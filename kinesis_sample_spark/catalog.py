@@ -1,0 +1,58 @@
+"""Fixture catalog: load the driver's parquet tables and register SQL views.
+
+Tables (TESTDATA.md / FIXTURES.md): TPC-H-ish star schema + ``events``
+(the stand-in for the reference's Kinesis stream envelope —
+AmazonKinesisRecordProducerSample.java:127-132) + ``documents`` /
+``embeddings`` for the LLM-pipeline operators.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst keeps
+predicate pushdown / column pruning; at 100 TB these would be
+partitioned-by-date tables and the same code path picks up partition
+pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables that are always tiny relative to the facts — safe to
+#: broadcast at any scale factor (region/nation are fixed-cardinality in
+#: TPC-H; supplier grows but stays orders of magnitude below lineitem).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view for ``spark.sql`` queries."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+One place to own the engine-wide physical-execution posture:
+
+- AQE on (runtime join re-planning, partition coalescing, skew-join
+  splitting) — at 100 TB the static plan is always wrong somewhere.
+- ``spark.sql.shuffle.partitions`` sized to the local core count for tests;
+  on a real cluster this is overridden per-deploy (rule of thumb: 2-3× total
+  executor cores, with AQE coalescing down).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB TIMESTAMP is UTC-naive).
+- Arrow on for every pandas-UDF exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[N] for tests; the same config block is what we would ship as
+    spark-defaults on a cluster (minus master/memory).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- planner / AQE ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- shuffle sizing (local; cluster deploys override) ---
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # --- oracle-compatible semantics ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- python exchange ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- local-mode memory; harmless on a cluster ---
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,99 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Mimics the contract in ``__spark_entry__.py``: run the Spark query and the
+oracle SQL on the same parquet tables, compare row count, column names, and
+an order-insensitive value hash. Used by tests/test_oracle_parity.py so
+mismatches surface before the driver's round check does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+
+import duckdb
+
+from kinesis_sample_spark.catalog import TABLES, table_path
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # repr round-trips doubles exactly; bit-identical floats → same token
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    """Order-insensitive: hash each row (columns sorted by name), xor-combine."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    acc = 0
+    for row in rows:
+        token = "|".join(_norm_cell(row[i]) for i in order)
+        acc ^= int.from_bytes(hashlib.md5(token.encode()).digest()[:16], "big")
+    return f"{acc:032x}"
+
+
+@dataclass
+class Comparison:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    columns_match: bool
+    hash_match: bool
+    spark_cols: list[str]
+    oracle_cols: list[str]
+    detail: str = ""
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.spark_rows == self.oracle_rows and self.columns_match and self.hash_match
+        )
+
+
+def compare(name, spark_df, con, sql) -> Comparison:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    cur = con.execute(sql)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    cols_match = sorted(s_cols) == sorted(o_cols)
+    h_s = value_hash(s_rows, s_cols)
+    h_o = value_hash(o_rows, o_cols)
+    detail = ""
+    if not h_s == h_o and s_rows and o_rows:
+        # sample first differing row for debug (sorted projections)
+        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+        proj_s = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in s_rows)
+        proj_o = sorted("|".join(_norm_cell(r[i]) for i in order_o) for r in o_rows)
+        for a, b in zip(proj_s, proj_o):
+            if a != b:
+                detail = f"spark={a!r} oracle={b!r}"
+                break
+        else:
+            detail = f"len spark={len(proj_s)} oracle={len(proj_o)}"
+    return Comparison(
+        name=name,
+        spark_rows=len(s_rows),
+        oracle_rows=len(o_rows),
+        columns_match=cols_match,
+        hash_match=h_s == h_o,
+        spark_cols=s_cols,
+        oracle_cols=o_cols,
+        detail=detail,
+    )
