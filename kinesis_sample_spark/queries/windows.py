@@ -1,0 +1,189 @@
+"""Window-function operators — SURVEY.md §2 Table B ("Window functions",
+"Sorts / limits / top-k": absent in the reference, required of the engine).
+
+Scale notes: every window here partitions by a key (customer/user) so state
+is bounded per partition and Spark distributes partitions across executors.
+Window aggregates over money use the exact-decimal scheme so segment-tree
+vs streaming accumulation order (DuckDB vs Spark) cannot change the value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import dec
+from kinesis_sample_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+# q14 — ranking family: top-3 orders per customer.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_top_orders_per_customer",
+    bench=True,
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def q14_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank with a unique tie-break (orderkey) so the
+    top-3 set is deterministic. Scale: one shuffle on o_custkey; per-group
+    state is a sort of that customer's orders only."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — running totals + lag/lead per customer order history.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_running_order_totals",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total,
+       LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def q15_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal sum (exact under any accumulation strategy) plus
+    lag/lead passthrough. Frame is ROWS-based with a unique ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_total"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — sliding ROWS frame: 5-row moving average of event values per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_moving_avg_events",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE)
+           / COUNT(value) OVER w AS moving_avg,
+       COUNT(*) OVER w AS frame_rows
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def q16_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame — constant state per row regardless of scale.
+    Average built as exact-decimal sum / count (see functions.numeric)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, W.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.sum(dec("value")).over(w).cast("double") / F.count("value").over(w)).alias(
+                "moving_avg"
+            ),
+            F.count("*").over(w).alias("frame_rows"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — time-range frame: events in the trailing hour per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_trailing_hour_count",
+    oracle="""
+SELECT user_id, event_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_last_hour
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+def q17_trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time. Spark's rangeBetween needs a numeric
+    ordering, so the frame runs on epoch milliseconds — DuckDB's
+    ``epoch_ms`` floors identically to Spark's ``unix_millis``. Scale: the
+    range frame is a per-partition two-pointer scan, O(rows) total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, W.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", F.count("*").over(w).alias("n_last_hour"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — distribution functions: ntile / percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_customer_balance_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+""",
+)
+def q18_customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist with a unique ordering. The ratio
+    outputs are small-integer divisions — identical doubles either engine."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    )

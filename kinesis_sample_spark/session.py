@@ -47,6 +47,10 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long and lift to micros in the catalog
+        # (kinesis_sample_spark.catalog.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
