@@ -1,0 +1,386 @@
+"""Deduplication operators over ``documents`` — north-star LLM-pipeline
+surface (BASELINE.json; SURVEY.md §2 Table B "LLM-pipeline extensions").
+
+Four dedup families, all engine-portable (oracle-exact via the md5-derived
+hash family in functions.hashing):
+
+- exact (normalized-hash groupBy)
+- MinHash + LSH banding (shingle → signature → band-bucket join → exact
+  jaccard on candidates only)
+- SimHash (bitwise majority over token hashes, hamming-band blocking)
+- character-n-gram jaccard with length/lang blocking
+
+Scale design: signatures are computed with *array higher-order functions*
+(``transform``/``array_min``) — per-row, JVM-side, no explode, no shuffle.
+Only candidate verification explodes shingles, and only for the tiny
+LSH-bucketed candidate set. At 100 TB the candidate join is the one shuffle
+and it is keyed on band values whose cardinality grows with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.hashing import (
+    md5_long,
+    md5_long_sql,
+    seeded_md5_long,
+    seeded_md5_long_sql,
+)
+from kinesis_sample_spark.functions.shingles import shingle_array
+from kinesis_sample_spark.queries import query
+
+N_HASHES = 8  # minhash signature length
+BAND_SIZE = 4  # 2 bands of 4 → candidates at jaccard ≳ 0.5
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + word-3-shingle array (docs shorter than 3 tokens are
+    droppable by definition of the shingle — none exist in the fixtures).
+
+    Repartitioned first: the fixture is a single parquet file (one input
+    split), and the shingling/hashing below is the CPU-heavy part — on a
+    real corpus the many input files provide this parallelism for free."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.filter(F.size(F.split("text", " ")) >= 3).withColumn(
+        "shl", shingle_array(F.split("text", " "))
+    )
+
+
+_SQL_SHL = (
+    "list_transform(range(1, len(string_split(text, ' ')) - 1),"
+    " i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]"
+    " || ' ' || string_split(text, ' ')[i+2])"
+)
+
+
+# ---------------------------------------------------------------------------
+# q30 — exact dedup on normalized text.
+# ---------------------------------------------------------------------------
+_NORM_SQL = md5_long_sql(r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))")
+
+
+@query(
+    "q30_exact_dedup",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM_SQL} AS h
+    FROM documents
+)
+SELECT h AS text_hash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+FROM norm GROUP BY h ORDER BY survivor_id
+""",
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = hash-groupBy on normalized text; survivor = min doc_id
+    (deterministic, unlike dropDuplicates). Scale: one shuffle on a 60-bit
+    hash — uniformly distributed, no skew; text itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select("doc_id", md5_long(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_dups"))
+        .orderBy("survivor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — MinHash + LSH near-dup pairs.
+# ---------------------------------------------------------------------------
+def _sql_minhash_cols() -> str:
+    return ",\n        ".join(
+        f"list_min(list_transform(shl, x -> {seeded_md5_long_sql('x', s)})) AS m{s}"
+        for s in range(N_HASHES)
+    )
+
+
+@query(
+    "q31_minhash_lsh",
+    bench=True,
+    oracle=f"""
+WITH docs3 AS (
+    SELECT doc_id, {_SQL_SHL} AS shl
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+mh AS (
+    SELECT doc_id, {_sql_minhash_cols()}
+    FROM docs3
+),
+bands AS (
+    SELECT doc_id, 0 AS band_idx,
+           CAST(m0 AS VARCHAR)||'_'||m1||'_'||m2||'_'||m3 AS band_val FROM mh
+    UNION ALL
+    SELECT doc_id, 1, CAST(m4 AS VARCHAR)||'_'||m5||'_'||m6||'_'||m7 FROM mh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shl) AS sh FROM docs3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, na.n AS n_a, nb.n AS n_b,
+       i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures per row via array higher-order functions (no
+    explode/shuffle), LSH band-bucket self-join for candidates, exact
+    jaccard verification on candidates only. The fixtures contain ~25
+    planted near-dup pairs at jaccard ≈ 0.98; threshold 0.8 keeps them and
+    rejects the word-soup background."""
+    docs3 = _docs_with_shingles(spark, sf_dir)
+
+    def _minhash(seed: int):
+        # NB: must be a 1-arg lambda — a second (defaulted) parameter would
+        # make Spark's transform() pass the array index into it.
+        return lambda x: seeded_md5_long(x, seed)
+
+    # One signature relation, persisted: (doc_id, distinct shingle set,
+    # 8 minhashes). Every later branch (banding, both candidate sides)
+    # reuses it instead of re-running tokenize→shingle→hash — on a real
+    # corpus this is the "materialize the signature table" step of the
+    # pipeline.
+    sig = docs3.select(
+        "doc_id",
+        F.array_distinct("shl").alias("shs"),
+        *[
+            F.array_min(F.transform("shl", _minhash(s))).alias(f"m{s}")
+            for s in range(N_HASHES)
+        ],
+    ).persist()
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.concat_ws("_", "m0", "m1", "m2", "m3").alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.concat_ws("_", "m4", "m5", "m6", "m7").alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification on the (small) candidate set: per-pair set
+    # intersection via array ops — JVM-side, no shingle explosion/shuffle.
+    sets = sig.select("doc_id", "shs")
+    pairs = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")), "doc_a"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")), "doc_b"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — SimHash: 32-bit signature + hamming near-pairs via byte-band blocking.
+# ---------------------------------------------------------------------------
+def _spark_simhash_bits(tok_col: str = "tok"):
+    h = md5_long(F.col(tok_col))
+    bits = []
+    for j in range(32):
+        bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
+        bits.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}"))
+    return bits
+
+
+def _sql_simhash_sum_cols() -> str:
+    h = md5_long_sql("tok")
+    return ",\n        ".join(
+        f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+
+
+_SQL_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)" for j in range(32)
+)
+
+
+@query(
+    "q32_simhash_pairs",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sums AS (
+    SELECT doc_id, {_sql_simhash_sum_cols()}
+    FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {_SQL_SIMHASH_ASSEMBLE} AS simhash FROM sums),
+bands AS (
+    SELECT doc_id, simhash, b.band_idx, (simhash >> (8 * b.band_idx)) & 255 AS band_val
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a, b.doc_id AS doc_b, b.simhash AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+ORDER BY doc_a, doc_b
+""",
+)
+def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted 32-bit SimHash over distinct tokens; candidates must share
+    at least one of four 8-bit bands (pigeonhole: hamming ≤ 6 ⇒ ≥ 1 clean
+    byte), then exact hamming ≤ 6 filter. Scale: signature is one
+    aggregation; banding multiplies rows ×4 only."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sums = toks.groupBy("doc_id").agg(*_spark_simhash_bits())
+    assemble = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        assemble = term if assemble is None else assemble + term
+    # persisted: the band self-join would otherwise recompute the whole
+    # token-explode + 32-bit-sum pipeline for each side.
+    sig = sums.select("doc_id", assemble.alias("simhash")).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band_idx * 8) & 255"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — character-4-gram jaccard with (lang, length-bucket) blocking.
+# ---------------------------------------------------------------------------
+@query(
+    "q33_chargram_jaccard",
+    oracle="""
+WITH g AS (
+    SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+           list_distinct(list_transform(range(1, length(text) - 2),
+                                        i -> substring(text, i, 4))) AS grams
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS n_inter,
+           len(a.grams) AS n_a, len(b.grams) AS n_b
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       n_inter / (n_a + n_b - n_inter) AS jaccard
+FROM pairs
+WHERE n_inter / (n_a + n_b - n_inter) >= 0.85
+ORDER BY doc_a, doc_b
+""",
+)
+def q33_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-shingle jaccard — catches near-dups that word shingles
+    miss (e.g. punctuation/whitespace edits). Blocking on (lang,
+    length-bucket) bounds the pair space; set ops run per-pair via array
+    intersect (JVM-side), no shingle explosion at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("bigint").alias("len_bucket"),
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")
+        ).alias("grams"),
+    )
+    pairs = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
+            F.size(F.col("a.grams")).alias("n_a"),
+            F.size(F.col("b.grams")).alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.85)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over ``embeddings`` — north-star LLM-pipeline surface.
+
+Three operators:
+- brute-force cosine top-k (the exactness baseline; broadcast query set)
+- LSH-bucketed approximate NN (random-hyperplane signs; deterministic
+  planes shared with the oracle as literals)
+- embedding near-duplicate pairs (label-blocked cosine threshold)
+
+All dot products via functions.vectors (JVM-side fold, bit-identical to the
+DuckDB oracle). At 100 TB: the query set broadcasts; candidate generation
+for ANN is an equi-join on bucket id; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.vectors import (
+    cosine,
+    dot,
+    hyperplanes,
+    plane_lit,
+    sql_cosine,
+    sql_dot,
+    sql_plane_lit,
+)
+from kinesis_sample_spark.queries import query
+
+N_QUERIES = 5  # fixed query set: vec_id < 5
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+_PLANES = hyperplanes(N_PLANES, DIM)
+
+_SQL_COS = sql_cosine("q.embedding", "c.embedding")
+
+
+# ---------------------------------------------------------------------------
+# q34 — brute-force cosine top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "q34_cosine_topk",
+    bench=True,
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_COS} AS cos_sim
+    FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+) t
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN baseline: broadcast the (tiny) query set against the
+    corpus, score per row, keep top-k per query via window rank with a
+    deterministic tie-break. Scale: corpus never shuffles until the final
+    (n_queries × k)-row rank stage; the scoring is a map-only stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — LSH-bucketed approximate NN.
+# ---------------------------------------------------------------------------
+def _sql_bucket(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN {sql_dot(vec, sql_plane_lit(_PLANES[j]))} > 0"
+        f" THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q35_lsh_ann",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_COS} AS cos_sim
+    FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+) t
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def q35_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: 8 random-hyperplane sign bits → 256 buckets; search
+    only the query's bucket. The planes are Python-computed md5-derived
+    literals, identical in plan and oracle by construction. Scale: bucket
+    assignment is map-only; the candidate join is an equi-join on bucket —
+    the classic IVF/LSH trade (recall vs candidate count) tuned by
+    N_PLANES."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(N_PLANES):
+        term = F.when(
+            dot(F.col("embedding"), plane_lit(_PLANES[j])) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), j),
+        ).otherwise(F.lit(0).cast("bigint"))
+        bucket = term if bucket is None else bucket + term
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — embedding near-duplicate pairs (label-blocked).
+# ---------------------------------------------------------------------------
+@query(
+    "q36_embedding_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+ORDER BY vec_a, vec_b
+""",
+)
+def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection with label blocking (stand-in
+    for any coarse pre-cluster: at corpus scale, block on an ANN bucket or
+    cluster id so the pair space stays linear-ish, never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,268 @@
+"""Stream-semantics operators, batch-checked — SURVEY.md §2 Table A + §5.2.
+
+These queries mirror the reference pipeline's observable semantics on the
+bounded ``events`` fixture so the DuckDB oracle can gate them; the *live*
+Structured Streaming versions of the same transformations are in
+``kinesis_sample_spark.streaming`` and are tested for batch-equivalence in
+tests/test_streaming.py (SURVEY.md §5.2: run the streaming query on a
+bounded source and compare the final table against the batch SQL).
+
+Reference semantics covered here:
+- A1/A2 record construction + A12 decode-projection (envelope round trip)
+- event-time windows (tumbling/sliding/session) and streaming dedup — absent
+  in the reference, required of the engine (Table B)
+- as-of join via the union+window composition in operators/asof.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import dec
+from kinesis_sample_spark.operators.asof import asof_join
+from kinesis_sample_spark.queries import query
+
+#: the reference producer's payload format:
+#: "testData-" + LocalDateTime.now() (Prod:128-129; README.md:14)
+PAYLOAD_FMT_SPARK = "yyyy-MM-dd'T'HH:mm:ss.SSS"
+PAYLOAD_FMT_DUCK = "%Y-%m-%dT%H:%M:%S.%g"
+
+
+# ---------------------------------------------------------------------------
+# q22 — Kinesis envelope round trip: build → binary → decode → lift ts.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_envelope_roundtrip",
+    oracle=f"""
+SELECT event_id,
+       'partitionKey-' || CAST(user_id AS VARCHAR) AS partition_key,
+       decode(encode('testData-' || strftime(ts, '{PAYLOAD_FMT_DUCK}'))) AS payload,
+       strptime(substring(decode(encode('testData-' || strftime(ts, '{PAYLOAD_FMT_DUCK}'))), 10),
+                '{PAYLOAD_FMT_DUCK}') AS parsed_ts
+FROM events
+ORDER BY event_id
+""",
+)
+def q22_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full data path in one expression chain: producer
+    record construction (payload = "testData-"+ISO ts, partitionKey-%d —
+    Prod:126-130), opaque-bytes envelope (encode), consumer UTF-8 decode
+    (Proc:102-103) and the typed lift of the embedded timestamp the
+    reference never did. Millisecond truncation matches both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(F.lit("testData-"), F.date_format("ts", PAYLOAD_FMT_SPARK))
+    data = F.encode(payload, "UTF-8")  # the envelope's opaque bytes
+    decoded = F.decode(data, "UTF-8")
+    return (
+        ev.select(
+            "event_id",
+            F.concat(F.lit("partitionKey-"), F.col("user_id").cast("string")).alias(
+                "partition_key"
+            ),
+            decoded.alias("payload"),
+            F.to_timestamp(F.expr("substring(decode(encode(concat('testData-', date_format(ts, 'yyyy-MM-dd\\'T\\'HH:mm:ss.SSS')), 'UTF-8'), 'UTF-8'), 10)"), PAYLOAD_FMT_SPARK).alias("parsed_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — tumbling event-time window aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q23_tumbling_window",
+    bench=True,
+    oracle="""
+SELECT event_type,
+       date_trunc('hour', ts) AS w_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, w_start
+""",
+)
+def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.window`` tumbling 1h — the same expression works under
+    readStream+watermark (see streaming.pipeline); in batch it degenerates
+    to a hash aggregation on the window-start. Scale: pre-aggregation
+    happens map-side; cardinality = types × hours."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "w_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — sliding window (1 h window, 30 min slide → 2 windows per event).
+# ---------------------------------------------------------------------------
+@query(
+    "q24_sliding_window",
+    oracle="""
+WITH buckets AS (
+    SELECT event_type, value,
+           unnest([ (epoch_ms(ts) // 1000 // 1800) * 1800,
+                    (epoch_ms(ts) // 1000 // 1800) * 1800 - 1800 ]) AS w_start_s
+    FROM events
+)
+SELECT event_type,
+       make_timestamp(w_start_s * 1000000) AS w_start,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM buckets
+GROUP BY event_type, w_start_s
+ORDER BY event_type, w_start
+""",
+)
+def q24_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows assign each event to window_size/slide buckets;
+    Spark's Expand does exactly what the oracle's unnest does. State scales
+    with (types × windows), not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("w_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "w_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — session windows (30 min inactivity gap) per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q25_session_windows",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def q25_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window(ts, gap)`` — merge events within 30 min of each
+    other; window end = last event + gap. The oracle is the classic
+    gaps-and-islands rewrite. In streaming this same expression runs with
+    watermark-managed state (see streaming.pipeline)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — deterministic dedup: first event per (user, type).
+# ---------------------------------------------------------------------------
+@query(
+    "q26_first_event_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, ts, value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS rn
+    FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+)
+def q26_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup (``dropDuplicates`` keeps an
+    arbitrary row — unacceptable for an oracle-checked engine; the
+    window-rank rewrite pins the survivor). Streaming equivalent:
+    ``dropDuplicatesWithinWatermark`` in streaming.pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — as-of join: latest view at-or-before each purchase, per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q27_asof_purchase_view",
+    bench=True,
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    ) WHERE rn = 1
+),
+p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       v.ts AS r_ts, v.event_id AS r_event_id, v.value AS r_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.user_id, p.event_id
+""",
+)
+def q27_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises operators.asof.asof_join (union + running last() — the
+    SMJ-cost-shape composition; DuckDB's native ASOF JOIN is the oracle).
+    Right-side (user, ts) ties collapse to the max event_id on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "user_id", "event_id", "ts", "value", "r_ts", "r_event_id", "r_value"
+    ).orderBy("user_id", "event_id")
