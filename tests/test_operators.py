@@ -1,0 +1,81 @@
+"""Unit tests for custom operators and expression helpers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.functions.hashing import seeded_md5_long
+from kinesis_sample_spark.functions.shingles import shingle_array
+from kinesis_sample_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "l1"), (1, _ts("2024-01-01T12:00:00"), "l2"),
+         (2, _ts("2024-01-01T09:00:00"), "l3")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), "r1"), (1, _ts("2024-01-01T10:00:00"), "r2"),
+         (1, _ts("2024-01-01T11:00:00"), "r3"), (2, _ts("2024-01-01T09:30:00"), "r4")],
+        ["k", "ts", "rv"],
+    )
+    out = {
+        (r["k"], r["lv"]): r["r_rv"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    # inclusive: left@10:00 matches right@10:00 (not 09:30)
+    assert out[(1, "l1")] == "r2"
+    assert out[(1, "l2")] == "r3"
+    assert out[(2, "l3")] is None  # right@09:30 is after left@09:00
+
+
+def test_asof_join_exclusive(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"), "l1")], ["k", "ts", "lv"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "r1"), (1, _ts("2024-01-01T10:00:00"), "r2")],
+        ["k", "ts", "rv"],
+    )
+    row = asof_join(left, right, on="k", inclusive=False).collect()[0]
+    assert row["r_rv"] == "r1"  # strict <: the equal-ts right row is excluded
+
+
+def test_asof_join_right_tie_determinism(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"), "l1")], ["k", "ts", "lv"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 5, "a"), (1, _ts("2024-01-01T09:00:00"), 9, "b")],
+        ["k", "ts", "seq", "rv"],
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["r_seq"] == 9  # max payload struct wins ties deterministically
+
+
+def test_shingle_array_matches_naive(spark):
+    df = spark.createDataFrame([("a b c d e",), ("x y",), ("p q r",)], ["text"])
+    out = df.select(
+        shingle_array(F.split("text", " ")).alias("fast"),
+        F.expr(
+            "CASE WHEN size(split(text,' ')) >= 3 THEN "
+            "transform(sequence(1, size(split(text,' '))-2),"
+            " i -> concat_ws(' ', slice(split(text,' '), i, 3))) "
+            "ELSE array() END"
+        ).alias("naive"),
+    ).collect()
+    for r in out:
+        assert r["fast"] == r["naive"]
+
+
+def test_seeded_hashes_differ_by_seed(spark):
+    """Regression for the 2-arg-lambda bug: different seeds must yield
+    different hash functions."""
+    df = spark.createDataFrame([("token",)], ["t"])
+    row = df.select(
+        *[seeded_md5_long(F.col("t"), s).alias(f"h{s}") for s in range(4)]
+    ).collect()[0]
+    assert len({row[f"h{s}"] for s in range(4)}) == 4
