@@ -1,0 +1,320 @@
+"""Advanced relational surface — pivot/unpivot, grouping sets, correlated
+subqueries, full outer joins, exact percentiles, regex tokenization, and a
+grouped-map pandas UDF (SURVEY.md §2 Table B rows "Aggregations", "Set
+ops", "UDF/UDAF/UDTF").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table, register_views
+from kinesis_sample_spark.functions.numeric import dec, dsum
+from kinesis_sample_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+# q44 — pivot (conditional aggregation).
+# ---------------------------------------------------------------------------
+@query(
+    "q44_pivot_status",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS qty_open,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q44_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pivot`` with an explicit value list (never let Spark scan for
+    distinct pivot values at 100 TB — that is an extra pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — explicit GROUPING SETS + grouping() markers.
+# ---------------------------------------------------------------------------
+@query(
+    "q45_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q45_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set lattice with grouping() disambiguators (so
+    a NULL group value is distinguishable from the ALL bucket)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — correlated scalar subquery (TPC-H Q17 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q46_small_quantity_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_quantity < (
+      SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                    / COUNT(l2.l_quantity))
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+)
+def q46_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution, which is what makes the
+    pattern survive scale). Expressed in SQL to exercise the SQL surface."""
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_quantity < (
+      SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(l2.l_quantity))
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — full outer join with coalesced keys.
+# ---------------------------------------------------------------------------
+@query(
+    "q47_full_outer_activity",
+    oracle="""
+WITH buyers AS (
+    SELECT user_id, COUNT(*) AS n_purchases FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+raters AS (
+    SELECT user_id, COUNT(*) AS n_errors FROM events
+    WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT COALESCE(b.user_id, r.user_id) AS user_id,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(n_errors, 0) AS n_errors
+FROM buyers b FULL OUTER JOIN raters r ON b.user_id = r.user_id
+ORDER BY user_id
+""",
+)
+def q47_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER between two aggregated views of the same stream, with
+    COALESCE key recovery — the missing-side null handling Table B's join
+    row demands."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    raters = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("r_user_id"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    return (
+        buyers.join(raters, buyers.user_id == raters.r_user_id, "full_outer")
+        .select(
+            F.coalesce("user_id", "r_user_id").alias("user_id"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — exact percentiles (linear interpolation) per group.
+# ---------------------------------------------------------------------------
+@query(
+    "q48_quantity_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q48_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    both linear-interpolating). Fine at any scale for *grouped* percentiles;
+    for a global percentile over 100 TB prefer approx_percentile
+    (see q61) — exact requires a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.50).alias("p50"),
+            F.percentile("l_quantity", 0.75).alias("p75"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — unpivot / melt.
+# ---------------------------------------------------------------------------
+@query(
+    "q49_unpivot_balances",
+    oracle="""
+SELECT c_custkey, metric, val FROM (
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+) t
+ORDER BY c_custkey, metric
+""",
+)
+def q49_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via DataFrame.unpivot (Expand under the hood — one pass,
+    no join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", F.col("c_acctbal"), F.col("c_nationkey").cast("double"))
+        .withColumnsRenamed({"c_acctbal": "acctbal", "c_nationkey": "nationkey"})
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .orderBy("c_custkey", "metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — BPE-ish token counting (regex word split + length-based subwords).
+# ---------------------------------------------------------------------------
+@query(
+    "q51_token_counts",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(text, '[a-zA-Z0-9]+') AS words FROM documents
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       list_aggregate(list_transform(words, w -> (length(w) + 3) // 4), 'sum') AS n_subword_est,
+       length(text) // 4 AS n_char_est
+FROM t JOIN documents USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def q51_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-free token estimation, the standard pipeline triage:
+    regex word extraction + ceil(len/4) subword estimate + chars/4. All
+    integer arithmetic — exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit("[a-zA-Z0-9]+"), 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.aggregate(
+                F.transform(words, lambda w: (F.length(w) + 3).cast("long") / 4),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v.cast("long"),
+            ).alias("n_subword_est"),
+            (F.length("text") / 4).cast("long").alias("n_char_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60 — grouped-map pandas UDF (applyInPandas) with exact-integer output.
+# ---------------------------------------------------------------------------
+def _order_seq(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "o_custkey": pdf["o_custkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "seq": range(1, len(pdf) + 1),
+            "gap_days": pdf["o_orderdate"].diff().dt.days.astype("Int64"),
+        }
+    )
+    return out
+
+
+@query(
+    "q60_pandas_order_seq",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS seq,
+       date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, seq
+""",
+)
+def q60_pandas_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (Arrow exchange, one group per call): order
+    sequencing + inter-order gaps per customer. Output is all integers, so
+    the oracle (window functions) matches exactly — the UDF *path* is what
+    is under test. Scale: groups are per-customer (bounded); for giant
+    groups prefer the window-function form (q15), which streams."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            _order_seq, "o_custkey long, o_orderkey long, seq bigint, gap_days bigint"
+        )
+        .orderBy("o_custkey", "seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — approximate aggregates (rows-only: sketch internals are
+# engine-specific by design; the driver records the weaker check).
+# ---------------------------------------------------------------------------
+@query("q61_approx_stats", oracle=None)
+def q61_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct + KLL-ish percentile sketches — the 100 TB
+    workhorses (single pass, mergeable, bounded memory). No oracle: sketch
+    estimates are implementation-defined; correctness is bounded-error, and
+    the exact counterparts are oracle-checked in q10/q48."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,78 @@
+"""Plan-shape assertions: the scale guarantees the query docstrings claim
+must be visible in the physical plan, not just intended.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.plans import (
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    scan_columns,
+)
+from kinesis_sample_spark.queries import load_registry
+
+REGISTRY = load_registry()
+SF = "/root/testdata/sf0.01"
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), f"shipdate not pushed: {pushed}"
+    (cols,) = scan_columns(df)
+    # 7 needed columns out of 11 — l_orderkey/partkey/suppkey/linenumber pruned
+    assert set(cols) == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }, cols
+
+
+def test_q01_partial_aggregation(spark):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF)
+    assert has_partial_aggregate(df)
+
+
+def test_q05_broadcasts_dimensions(spark):
+    df = REGISTRY["q05_local_supplier_volume"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q06_all_predicates_pushed(spark):
+    df = REGISTRY["q06_forecast_revenue"].fn(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} missing from pushed filters: {pushed}"
+
+
+def test_q34_broadcasts_query_set(spark):
+    df = REGISTRY["q34_cosine_topk"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_events_scan_prunes_props(spark):
+    """A projection that doesn't touch props must not read it (it's the
+    widest column in events)."""
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    for cols in scan_columns(ev):
+        assert "props" not in cols
+
+
+def test_no_cartesian_in_registry(spark):
+    """No query may plan a cartesian product over unbounded inputs — the
+    classic accidental O(n²). (BroadcastNestedLoop against a broadcast-
+    hinted tiny side is acceptable; CartesianProduct is not.)"""
+    from kinesis_sample_spark.plans.inspect import formatted_plan
+
+    for name, q in sorted(REGISTRY.items()):
+        plan = formatted_plan(q.fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
