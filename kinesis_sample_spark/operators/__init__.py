@@ -6,5 +6,6 @@ package is category (1) unless its docstring says otherwise.
 """
 
 from kinesis_sample_spark.operators.asof import asof_join
+from kinesis_sample_spark.operators.skew import salted_join
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "salted_join"]

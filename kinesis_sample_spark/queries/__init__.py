@@ -47,6 +47,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 _MODULES = (
     "kinesis_sample_spark.queries.relational",
     "kinesis_sample_spark.queries.advanced",
+    "kinesis_sample_spark.queries.tpch_more",
     "kinesis_sample_spark.queries.windows",
     "kinesis_sample_spark.queries.scalar",
     "kinesis_sample_spark.queries.stream_batch",

@@ -1,0 +1,311 @@
+"""Deeper TPC-H-shaped coverage (Q2/Q7/Q10/Q14/Q18/Q19/Q22 analogs adapted
+to the fixture schema — no partsupp/shipmode columns exist, see
+FIXTURES.md). These exercise the join/aggregate patterns the lighter
+queries don't: multi-dim join trees with disjunctive residuals, having-
+style post-aggregation filters, per-group argmax, and anti-join +
+uncorrelated scalar subquery combos.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import dec, dsum
+from kinesis_sample_spark.queries import query
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+def _disc_price():
+    from kinesis_sample_spark.functions.numeric import one_minus
+
+    return dec("l_extendedprice") * one_minus("l_discount")
+
+
+# ---------------------------------------------------------------------------
+# q70 — volume shipping between two nations by year (TPC-H Q7 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q70_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(CAST(SUM({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q70_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast copies of nation with a disjunctive cross-nation
+    residual; fact-side joins shuffle once each on their keys."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(load_table(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = F.broadcast(load_table(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_disc_price(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — returned-item revenue per customer, top 20 (TPC-H Q10 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q71_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(CAST(SUM({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q71_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact filter (returnflag pushed to the scan) → join →
+    top-20 via TakeOrdered with deterministic tie-break."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(_disc_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — promo revenue share (TPC-H Q14 shape: conditional agg ratio).
+# ---------------------------------------------------------------------------
+@query(
+    "q72_promo_share",
+    oracle=f"""
+SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ym,
+       100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC_PRICE} END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS promo_share,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY strftime(l_shipdate, '%Y-%m')
+ORDER BY ym
+""",
+)
+def q72_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio per month. NULL-skipping SUM(CASE) on
+    both engines; exact decimal sums surfaced as doubles before one final
+    division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _disc_price())).cast("double")
+    total = F.sum(_disc_price()).cast("double")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .agg(
+            (F.lit(100.0) * promo / total).alias("promo_share"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("ym")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — large-quantity orders (TPC-H Q18 shape: HAVING over a join-back).
+# ---------------------------------------------------------------------------
+@query(
+    "q73_large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+""",
+)
+def q73_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join-back: the HAVING filter shrinks the fact side
+    *before* the dimension joins — ordering the tree this way is the scale
+    win (never join first and aggregate later when the filter is on the
+    aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — disjunctive multi-clause predicate revenue (TPC-H Q19 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q74_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(CAST(SUM({_SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q74_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides — Catalyst extracts the common
+    per-side disjuncts for pushdown and keeps the cross-side residual on
+    the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & q.between(10, 30))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum(_disc_price(), "revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — best supplier per part (TPC-H Q2 spirit: per-group argmax).
+# ---------------------------------------------------------------------------
+@query(
+    "q75_best_supplier_per_part",
+    oracle="""
+WITH shipped AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+ranked AS (
+    SELECT l_partkey AS p_key, s_suppkey, s_name, s_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+                              ORDER BY s_acctbal DESC, s_suppkey) AS rn
+    FROM shipped JOIN supplier ON s_suppkey = l_suppkey
+)
+SELECT p_key AS l_partkey, s_suppkey, s_name, s_acctbal
+FROM ranked WHERE rn = 1
+ORDER BY l_partkey
+""",
+)
+def q75_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax via window rank over a deduped association —
+    the scalable replacement for the correlated MIN subquery in TPC-H Q2
+    (one shuffle on partkey; no per-row subquery execution)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    w = W.partitionBy("l_partkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        shipped.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — rich-but-inactive customers (TPC-H Q22 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q76_rich_inactive_customers",
+    oracle="""
+WITH avg_bal AS (
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+           / COUNT(c_acctbal) AS a
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q76_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (broadcast single row) + anti join +
+    aggregate — TPC-H Q22's plan shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum(dec("c_acctbal"), "total_bal"))
+        .orderBy("c_mktsegment")
+    )

@@ -79,3 +79,29 @@ def test_seeded_hashes_differ_by_seed(spark):
         *[seeded_md5_long(F.col("t"), s).alias(f"h{s}") for s in range(4)]
     ).collect()[0]
     assert len({row[f"h{s}"] for s in range(4)}) == 4
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-transparent: identical rows to the plain
+    equi-join, for both inner and left, including unmatched left rows."""
+    from kinesis_sample_spark.operators.skew import salted_join
+
+    left = spark.range(0, 500).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("lv")
+    )  # key 0/1/2 each ~167 rows (0 is "hot" stand-in)
+    right = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c"), (9, "z")], ["k", "rv"]
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, "k", how=how, salt_buckets=8)
+        assert salted.exceptAll(plain).count() == 0, how
+        assert plain.exceptAll(salted).count() == 0, how
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from kinesis_sample_spark.operators.skew import salted_join
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(spark.range(1), spark.range(1), "id", how="full_outer")

@@ -1,0 +1,98 @@
+"""applyInPandasWithState + stream-stream join behavior tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.sources.files import replay_events_stream, write_stream_fixture
+from kinesis_sample_spark.streaming.envelope import envelope_from_events
+from kinesis_sample_spark.streaming.stateful import stateful_key_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
+    """State survives micro-batch boundaries: with one file per trigger,
+    the final running count per key equals the batch groupBy count."""
+    events_dir = write_stream_fixture(spark, SF, str(tmp_path), n_files=4)
+    env = envelope_from_events(replay_events_stream(spark, events_dir, files_per_trigger=1))
+    q = (
+        stateful_key_counts(env)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode appends one row per (key, batch) — the last row per key
+    # is the running total; compare against batch ground truth
+    final = spark.sql(
+        """
+        SELECT partitionKey, n_records, total_batches FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY partitionKey
+                                         ORDER BY n_records DESC) rn
+            FROM t_state
+        ) WHERE rn = 1
+        """
+    )
+    expected = (
+        envelope_from_events(load_table(spark, SF, "events"))
+        .groupBy("partitionKey")
+        .agg(F.count("*").alias("n_records"))
+    )
+    diff = (
+        final.select("partitionKey", "n_records")
+        .exceptAll(expected)
+        .unionByName(expected.exceptAll(final.select("partitionKey", "n_records")))
+    )
+    assert diff.count() == 0
+    # and at least one key must have been seen in >1 batch (state carried)
+    assert final.filter(F.col("total_batches") > 1).count() > 0
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (purchases ⋈ views within ±1 h per user) —
+    watermarks on both sides bound the join state. Result checked against
+    the identical batch join."""
+    events_dir = write_stream_fixture(spark, SF, str(tmp_path), n_files=4)
+
+    def _split(df):
+        purchases = (
+            df.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "40 days")
+        )
+        views = (
+            df.filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("event_id").alias("v_id"),
+                    F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "40 days")
+        )
+        return purchases, views
+
+    sp, sv = _split(replay_events_stream(spark, events_dir))
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    q = (
+        sp.join(sv, cond)
+        .select("user_id", "p_id", "v_id")
+        .writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM t_ssj")
+
+    bp, bv = _split(load_table(spark, SF, "events"))
+    expected = bp.join(bv, cond).select("user_id", "p_id", "v_id")
+    assert streamed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(streamed).count() == 0
+    assert streamed.count() > 0
