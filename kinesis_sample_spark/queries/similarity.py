@@ -196,3 +196,114 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q37 — IVF ANN: data-derived centroids (label means), nearest-cell probe.
+# ---------------------------------------------------------------------------
+_IVF_TOPK = 3
+
+
+@query(
+    "q37_ivf_ann",
+    oracle=f"""
+WITH exploded AS (
+    SELECT vec_id, label, unnest(embedding)::DOUBLE AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+dims AS (
+    SELECT label AS c_label, pos,
+           CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(val) AS mean
+    FROM exploded GROUP BY label, pos
+),
+centroids AS (
+    SELECT c_label, list(mean ORDER BY pos) AS cvec FROM dims GROUP BY c_label
+),
+assigned AS (
+    SELECT vec_id, embedding, c_label AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.c_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.c_label) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+q AS (SELECT * FROM assigned WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+    FROM q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= {_IVF_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF in two real stages: (1) build the coarse index — per-cell
+    centroids as exact-decimal per-dimension means (here cells seed from
+    the label column; swap in k-means iterations for unlabeled corpora —
+    each iteration is this same assign+average pass); (2) probe — assign
+    every vector (and query) to its nearest centroid by cosine and search
+    only that cell. Scale: centroids are tiny and broadcast; the index
+    build is one shuffle keyed (cell, dim); search cost drops by the cell
+    fan-out (nprobe/ncells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+    dims = (
+        exploded.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count("val")
+            ).alias("mean")
+        )
+    )
+    centroids = dims.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s.getField("mean")
+        ).alias("cvec")
+    )
+    ranked = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    cosine(F.col("embedding"), F.col("cvec")).desc(), F.col("c_label")
+                )
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", F.col("c_label").alias("cell")
+    ).persist()  # reused as both query and corpus side of the probe
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -15,6 +15,7 @@ One place to own the engine-wide physical-execution posture:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -46,6 +47,15 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         # --- local-mode memory; harmless on a cluster ---
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketing) land in tmp, never in the repo; static
+        # conf — must be set before the session exists
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "kinesis_sample_spark_warehouse"),
+            ),
+        )
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
         # default; read as long and lift to micros in the catalog

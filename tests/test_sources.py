@@ -1,0 +1,93 @@
+"""Source formats (Table B "Scans/sources"): JSON and CSV roundtrips with
+explicit schemas (never inferSchema in production — it is an extra full
+read), plus the RocksDB state store provider for stateful streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.sources.files import EVENTS_SCHEMA, replay_events_stream, write_stream_fixture
+from kinesis_sample_spark.streaming.envelope import envelope_from_events
+from kinesis_sample_spark.streaming.pipeline import use_rocksdb_state
+from kinesis_sample_spark.streaming.stateful import stateful_key_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    src = _events(spark)
+    path = str(tmp_path / "events_json")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(EVENTS_SCHEMA).json(path)
+    assert back.count() == src.count()
+    assert back.schema == EVENTS_SCHEMA
+    # value fidelity on a sample column (timestamps survive ISO round trip)
+    assert (
+        back.select(F.sum(F.col("event_id")).alias("s")).collect()[0].s
+        == src.select(F.sum(F.col("event_id")).alias("s")).collect()[0].s
+    )
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    src = _events(spark).drop("props")  # props contains commas/quotes — csv needs quoting anyway
+    path = str(tmp_path / "events_csv")
+    # default csv timestampFormat truncates to millis — pin a micros format
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    src.write.mode("overwrite").option("header", True).option("timestampFormat", ts_fmt).csv(path)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .csv(path)
+    )
+    assert back.count() == src.count()
+    diff = back.exceptAll(src).count() + src.exceptAll(back).count()
+    assert diff == 0
+
+
+def test_malformed_json_goes_to_corrupt_column(spark, tmp_path):
+    """PERMISSIVE mode + _corrupt_record — the batch-source analog of the
+    streaming DLQ (SURVEY.md §2 A11 mapping)."""
+    p = tmp_path / "bad.json"
+    p.write_text('{"event_id": 1, "user_id": 2}\n{not json at all}\n')
+    schema = "event_id long, user_id long, _corrupt_record string"
+    df = spark.read.schema(schema).json(str(p)).cache()
+    try:
+        assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+        assert df.filter(F.col("event_id") == 1).count() == 1
+    finally:
+        df.unpersist()
+
+
+def test_stateful_query_on_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB provider must run the same stateful pipeline unchanged
+    (state off-heap, incremental checkpoints — the 100 TB configuration)."""
+    use_rocksdb_state(spark, True)
+    try:
+        events_dir = write_stream_fixture(spark, SF, str(tmp_path), n_files=3)
+        env = envelope_from_events(
+            replay_events_stream(spark, events_dir, files_per_trigger=1)
+        )
+        q = (
+            stateful_key_counts(env)
+            .writeStream.format("memory")
+            .queryName("t_rocks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        total_keys = spark.sql(
+            "SELECT count(DISTINCT partitionKey) AS n FROM t_rocks"
+        ).collect()[0].n
+        expected = _events(spark).select("user_id").distinct().count()
+        assert total_keys == expected
+    finally:
+        use_rocksdb_state(spark, False)
