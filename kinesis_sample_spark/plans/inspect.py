@@ -60,8 +60,13 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges. Not a target in itself, but a plan
-    that doubles its exchanges after a refactor deserves a look."""
-    return formatted_plan(df).count("Exchange hashpartitioning") + formatted_plan(df).count(
-        "Exchange rangepartitioning"
-    )
+    """Number of *shuffle* exchanges (broadcast exchanges excluded — they
+    move only the small side). Not a target in itself, but a plan that
+    doubles its exchanges after a refactor deserves a look.
+
+    Formatted plans print shuffle nodes as ``+- Exchange (n)`` in the tree
+    (the partitioning spec only appears in the detail section), so count
+    tree nodes, not 'Exchange hashpartitioning' substrings — the latter
+    never match and silently report 0."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"[+:]- Exchange \(", plan))
