@@ -11,11 +11,18 @@ the registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kinesis_sample_spark.queries import load_registry
+# the driver may load this file from any cwd — make the package importable
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from kinesis_sample_spark.queries import load_registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

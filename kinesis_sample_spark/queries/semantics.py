@@ -1,0 +1,169 @@
+"""Semantics corners — null handling, map/JSON explosion, deterministic
+sampling, and time-series gap filling (Table B rows "Predicates", "Scalar
+functions", plus the densification idiom every metrics pipeline needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.hashing import md5_long, md5_long_sql
+from kinesis_sample_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+# q52 — null semantics: outer-join nulls through arithmetic/comparison.
+# ---------------------------------------------------------------------------
+@query(
+    "q52_null_semantics",
+    oracle="""
+WITH j AS (
+    SELECT c_custkey, c_acctbal, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+)
+SELECT c_custkey,
+       COALESCE(o_totalprice, 0.0) AS price_or_zero,
+       NULLIF(c_acctbal, 0.0) AS bal_or_null,
+       (o_totalprice IS NULL) AS no_big_order,
+       CASE WHEN o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL
+            THEN o_totalprice + c_acctbal END AS sum_or_null,
+       COUNT(*) OVER (PARTITION BY c_custkey) AS n_rows_for_cust
+FROM j
+ORDER BY c_custkey, price_or_zero
+""",
+)
+def q52_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic through an outer join: COALESCE/NULLIF, IS NULL
+    predicates, null-propagating arithmetic — identical SQL semantics on
+    both engines, so any engine deviation in null handling trips the
+    hash."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000),
+        "left",
+    ).select("c_custkey", "c_acctbal", "o_totalprice")
+    from pyspark.sql import Window as W
+
+    return (
+        j.select(
+            "c_custkey",
+            F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+            F.nullif(F.col("c_acctbal"), F.lit(0.0)).alias("bal_or_null"),
+            F.col("o_totalprice").isNull().alias("no_big_order"),
+            F.when(
+                F.col("o_totalprice").isNotNull() & F.col("c_acctbal").isNotNull(),
+                F.col("o_totalprice") + F.col("c_acctbal"),
+            ).alias("sum_or_null"),
+            F.count("*").over(W.partitionBy("c_custkey")).alias("n_rows_for_cust"),
+        )
+        .orderBy("c_custkey", "price_or_zero")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — map/JSON explosion: payload → (key, value) rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q53_props_map_explode",
+    oracle="""
+SELECT event_id, k AS key, CAST(json_extract_string(props, k) AS INTEGER) AS val
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events) t
+ORDER BY event_id, key
+""",
+)
+def q53_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic form of A12's payload lift: parse the opaque JSON
+    payload into a map and explode to key/value rows (works for any key
+    set, unlike the fixed-schema from_json in q19)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.explode(F.from_json("props", "map<string,int>")).alias("key", "val"),
+        )
+        .orderBy("event_id", "key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — deterministic hash sampling.
+# ---------------------------------------------------------------------------
+@query(
+    "q54_hash_sample",
+    oracle=f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE {md5_long_sql("CAST(event_id AS VARCHAR)")} % 100 < 10
+ORDER BY event_id
+""",
+)
+def q54_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via hash-mod on the key — unlike
+    ``df.sample`` this is stable across engines, runs, partitionings and
+    retries, which is what experiment pipelines actually need. Scale:
+    pure map-side filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(md5_long(F.col("event_id").cast("string")) % 100 < 10)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — time-series gap filling (densification).
+# ---------------------------------------------------------------------------
+@query(
+    "q55_gap_fill_daily",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+           CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+    FROM events
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20), bounds
+),
+actual AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+    FROM events WHERE user_id < 20 GROUP BY 1, 2
+)
+SELECT g.user_id, g.day, COALESCE(a.n, 0) AS n_events
+FROM grid g LEFT JOIN actual a ON a.user_id = g.user_id AND a.day = g.day
+ORDER BY g.user_id, g.day
+""",
+)
+def q55_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify per-user daily counts over the full corpus date range:
+    sequence+explode builds the grid, outer join fills zeros. Scale: the
+    grid is (keys × days) — generated, never shuffled wide; the join keys
+    on (user, day) which is also the aggregation key, so AQE reuses the
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    actual = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(actual, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events"))
+        .orderBy("user_id", "day")
+    )
