@@ -1,0 +1,92 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The iterative-algorithm pattern on Spark: per iteration, (1) broadcast the
+k×d centroid literals, (2) assign each vector to its nearest centroid —
+map-only, (3) recompute per-(cluster, dim) means with one keyed shuffle,
+(4) collect only the k×d centroid matrix back to the driver. Data never
+collects; driver state is O(k·d) regardless of corpus size. This is the
+index-build step q37 stubs with label means when no labels exist
+(SURVEY.md §2 LLM-pipeline extensions: similarity-search scale path).
+
+Determinism: init = the k lowest-id vectors; assignment tie-break = lowest
+cluster id; means are plain double averages (iteration is a fixpoint
+search — exact-decimal machinery is unnecessary because no oracle
+hash-compares intermediate floats; the unit test checks against a NumPy
+reference with float tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.functions.vectors import dot
+
+
+def _sq_dist(vec_col, centroid_lit):
+    """squared L2 via the fold: |v|² - 2 v·c + |c|² without materializing
+    the difference vector (the |v|² term is rank-invariant but kept so the
+    value is a real distance for callers that read it)."""
+    diff = F.zip_with(
+        vec_col, centroid_lit, lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 5,
+) -> tuple[list[list[float]], DataFrame]:
+    """Run ``n_iter`` Lloyd iterations; returns (centroids, assignments).
+
+    ``centroids``: k lists of doubles (driver-side, tiny).
+    ``assignments``: DataFrame (id_col, cluster) — lazily recomputable.
+    """
+    # deterministic init: the k lowest-id vectors
+    init_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    for _ in range(n_iter):
+        assigned = _assign(emb, id_col, vec_col, centroids)
+        # recompute means: explode to (cluster, dim) — one keyed shuffle
+        new_rows = (
+            assigned.join(emb, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s.getField("mean"),
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [float(x) for x in r["cvec"]] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
+
+    return centroids, _assign(emb, id_col, vec_col, centroids)
+
+
+def _assign(emb: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    dists = [
+        _sq_dist(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias(f"d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_d = emb.select(id_col, vec_col, *dists)
+    cluster = F.lit(0)
+    best = F.col("d0")
+    for i in range(1, len(centroids)):
+        is_better = F.col(f"d{i}") < best
+        cluster = F.when(is_better, F.lit(i)).otherwise(cluster)
+        best = F.when(is_better, F.col(f"d{i}")).otherwise(best)
+    return with_d.select(id_col, cluster.alias("cluster"))

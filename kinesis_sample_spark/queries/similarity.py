@@ -307,3 +307,42 @@ def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q38 — k-means IVF ANN (unlabeled corpora; rows-only check).
+# ---------------------------------------------------------------------------
+@query("q38_kmeans_ivf_ann", oracle=None)
+def q38_kmeans_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unlabeled-corpus version of q37: build the coarse quantizer with
+    operators.kmeans (deterministic Lloyd iterations; verified against a
+    NumPy reference in tests/test_kmeans.py), then probe the query's cell.
+    No SQL oracle: the iterative fit isn't expressible as one SQL query —
+    the driver records the rows-only check; correctness evidence is the
+    k-means unit test plus q37's oracle for the probe stage."""
+    from kinesis_sample_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, k=8, n_iter=3)
+    cells = emb.join(assigned, "vec_id").persist()
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cluster").alias("q_cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cells, (F.col("cluster") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

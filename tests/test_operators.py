@@ -105,3 +105,19 @@ def test_salted_join_rejects_unsupported_how(spark):
 
     with _pytest.raises(ValueError):
         salted_join(spark.range(1), spark.range(1), "id", how="full_outer")
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """q61's sketches have no oracle by design; pin their error bounds
+    against the exact counterparts instead (HLL++ default rsd = 5%)."""
+    from kinesis_sample_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.10
+    assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.02
