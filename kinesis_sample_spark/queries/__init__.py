@@ -49,6 +49,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.advanced",
     "kinesis_sample_spark.queries.tpch_more",
     "kinesis_sample_spark.queries.semantics",
+    "kinesis_sample_spark.queries.extras",
     "kinesis_sample_spark.queries.windows",
     "kinesis_sample_spark.queries.scalar",
     "kinesis_sample_spark.queries.stream_batch",
