@@ -318,3 +318,47 @@ def q61_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — collection aggregates: ordered collect_list / collect_set.
+# ---------------------------------------------------------------------------
+@query(
+    "q62_collect_aggregates",
+    oracle="""
+SELECT user_id,
+       list(event_type ORDER BY event_id) FILTER (WHERE event_id % 100 < 5) AS first_types,
+       list_sort(list_distinct(list(event_type))) AS type_set,
+       COUNT(*) AS n
+FROM events
+WHERE user_id < 10
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q62_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with deterministic order (sort by a carried key —
+    Spark's collect_list has no ORDER BY, so collect structs and sort) and
+    collect_set (sorted: set order is engine-internal on both sides).
+    Collection aggregates are bounded-group tools — never collect an
+    unbounded group at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("event_id") % 100 < 5,
+                            F.struct("event_id", "event_type"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("event_type"),
+            ).alias("first_types"),
+            F.array_sort(F.collect_set("event_type")).alias("type_set"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("user_id")
+    )

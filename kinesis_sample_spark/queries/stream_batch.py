@@ -266,3 +266,61 @@ def q27_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id", "event_id", "ts", "value", "r_ts", "r_event_id", "r_value"
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q28 — interval join (time-proximity), bucketed for scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q28_interval_join",
+    oracle="""
+SELECT e.event_id, COUNT(p.event_id) AS n_purchases_nearby
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.ts >= e.ts - INTERVAL 1 MINUTE AND p.ts <= e.ts + INTERVAL 1 MINUTE
+GROUP BY e.event_id
+ORDER BY e.event_id
+""",
+)
+def q28_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within ±1 min of each error. A naive
+    inequality join is O(n·m) (DuckDB's IEJoin hides this; Spark would
+    nested-loop). The scalable composition: bucket both sides to the
+    minute, equi-join each error bucket against {b-1, b, b+1}, then apply
+    the exact interval predicate — candidate space shrinks from all pairs
+    to pairs in adjacent buckets, and the join is a plain hash equi-join
+    on the bucket key."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        (F.unix_millis("ts") / 60000).cast("bigint").alias("p_bucket"),
+    )
+    # each error probes its own bucket and both neighbors
+    probes = errors.select(
+        "e_id",
+        "e_ts",
+        F.explode(
+            F.array(
+                (F.unix_millis("e_ts") / 60000).cast("bigint") - 1,
+                (F.unix_millis("e_ts") / 60000).cast("bigint"),
+                (F.unix_millis("e_ts") / 60000).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    # conditional count, NOT a post-join filter: filtering would drop an
+    # error entirely when its neighbor buckets hold only out-of-interval
+    # purchases (every probe row eliminated), whereas the semantics demand
+    # a 0-count row.
+    in_interval = (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 MINUTE")) & (
+        F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    matched = probes.join(purchases, probes.bucket == purchases.p_bucket, "left")
+    return (
+        matched.groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count(F.when(in_interval, F.col("p_id"))).alias("n_purchases_nearby"))
+        .orderBy("event_id")
+    )
