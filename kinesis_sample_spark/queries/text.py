@@ -248,3 +248,99 @@ def q43_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     )
     return fps.orderBy("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# q44... continued text ops: q63 chunking, q64 vocabulary.
+# ---------------------------------------------------------------------------
+CHUNK = 20  # tokens per chunk
+STRIDE = 15  # 5-token overlap
+
+
+@query(
+    "q63_chunk_documents",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, i * {STRIDE} + 1, i * {STRIDE} + {CHUNK}), ' ') AS chunk_text,
+       len(list_slice(toks, i * {STRIDE} + 1, i * {STRIDE} + {CHUNK})) AS n_tokens
+FROM t, (SELECT unnest(range(0, 100)) AS i) idx
+WHERE i * {STRIDE} < len(toks)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK}-token chunks, {STRIDE}-token
+    stride) — the standard pre-tokenization step for training/RAG
+    pipelines. Pure built-ins: sequence of chunk starts → slice per chunk;
+    per-row, no shuffle (the UDTF API could express this too, but
+    row-at-a-time Python is the slow path — see engine rules). The final
+    short chunk is kept, matching most training-data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text,' ')) / {STRIDE}.0) as int) - 1),"
+                f" i -> slice(split(text, ' '), i * {STRIDE} + 1, {CHUNK}))"
+            )
+        ).alias("chunk_idx", "chunk_toks"),
+    ).filter(F.size("chunk_toks") > 0)
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+            F.size("chunk_toks").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "q64_vocabulary_stats",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+totals AS (SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT token,
+       COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df,
+       COUNT(*) / (SELECT total_tokens FROM totals) AS tf_share,
+       COUNT(DISTINCT doc_id) / (SELECT CAST(n_docs AS DOUBLE) FROM totals) AS df_share
+FROM toks
+GROUP BY token
+ORDER BY tf DESC, token
+""",
+)
+def q64_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency, document frequency, shares —
+    the inputs to tokenizer training and idf weighting (log excluded from
+    the oracle-checked output deliberately: transcendentals differ by
+    1 ulp between JVM and libm; downstream applies it). Scale: one
+    explode + one (token) and one (token, doc) aggregation — the classic
+    word-count shuffle shape."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    totals = toks.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") / F.col("total_tokens")).alias("tf_share"),
+            (F.col("df") / F.col("n_docs").cast("double")).alias("df_share"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+    )

@@ -90,12 +90,18 @@ def use_rocksdb_state(spark, enabled: bool = True) -> None:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
-def stop_query(query: StreamingQuery, timeout_s: float = 20.0) -> bool:
+def stop_query(query: StreamingQuery, timeout_s: float = 20.0, drain: bool = False) -> bool:
     """A16 graceful shutdown: the reference blocks on stdin then waits 20 s
-    for the scheduler's graceful-shutdown future (Cons:86-105). Spark's
-    equivalent: wait for the current micro-batch, then stop."""
+    for the scheduler's graceful-shutdown future (Cons:86-105).
+
+    ``drain=True`` waits for all *currently available* input first — only
+    meaningful on bounded sources (file replay); on an unbounded source
+    (rate/Kinesis) ``processAllAvailable`` never returns, so the default
+    stops after the in-flight micro-batch, which is exactly the
+    reference's graceful-shutdown semantics."""
     try:
-        query.processAllAvailable()
+        if drain:
+            query.processAllAvailable()
     finally:
         query.stop()
     return query.awaitTermination(timeout_s) or not query.isActive

@@ -145,7 +145,7 @@ def test_graceful_stop_and_listener(spark, events_dir):
             .trigger(availableNow=True)
             .start()
         )
-        assert stop_query(q, timeout_s=20.0)
+        assert stop_query(q, timeout_s=20.0, drain=True)  # bounded source → drain first
         assert not q.isActive
         n_events = load_table(spark, SF, "events").count()
         # listener delivery is async — poll briefly for the tail batches
