@@ -98,3 +98,58 @@ def q50_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 480).cast("int").alias("height"),
     )
     return media.mapInPandas(_extract_features, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q65 — scalar pandas UDF (Arrow-vectorized) with exact oracle parity.
+# ---------------------------------------------------------------------------
+def _make_vector_norm_udf():
+    """L2 norm with explicit sequential accumulation — NumPy's sum uses
+    pairwise summation whose float result differs from the oracle's
+    sequential fold; the per-element loop keeps the UDF bit-identical to
+    sqrt(list_dot_product(v,v)). (For throughput-first production use
+    np.linalg.norm and drop oracle exactness.)
+
+    Built lazily: decorating with a DDL return type at import time needs
+    an active SparkSession, and query modules import session-free.
+    """
+
+    @F.pandas_udf("double")
+    def _vector_norm(embs: pd.Series) -> pd.Series:
+        import math
+
+        out = []
+        for v in embs:
+            acc = 0.0
+            for x in v:
+                xd = float(x)
+                acc += xd * xd
+            out.append(math.sqrt(acc))
+        return pd.Series(out)
+
+    return _vector_norm
+
+
+@query(
+    "q65_pandas_vector_norm",
+    oracle="""
+SELECT vec_id, label,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def q65_pandas_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-pandas-UDF path (Arrow batches, vectorized transport):
+    per-row embedding norms, hash-matched against the SQL oracle — proving
+    the Python exchange preserves values exactly, not just approximately."""
+    from kinesis_sample_spark.catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    vector_norm = _make_vector_norm_udf()
+    return (
+        emb.select("vec_id", "label", vector_norm("embedding").alias("norm"))
+        .orderBy("vec_id")
+    )

@@ -76,3 +76,23 @@ def test_no_cartesian_in_registry(spark):
     for name, q in sorted(REGISTRY.items()):
         plan = formatted_plan(q.fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_inspectors_negative_controls(spark):
+    """Positive-only assertions go vacuous when the matcher breaks (the
+    exchange_count lesson): pin what the inspectors must NOT find."""
+    from kinesis_sample_spark.plans.inspect import (
+        exchange_count,
+        has_broadcast_join,
+        has_partial_aggregate,
+        pushed_filters,
+    )
+
+    scan = load_table(spark, SF, "region")
+    assert exchange_count(scan) == 0
+    assert not has_broadcast_join(scan)
+    assert not has_partial_aggregate(scan)
+    assert pushed_filters(scan) == []
+    agg = load_table(spark, SF, "orders").groupBy("o_orderstatus").count()
+    assert exchange_count(agg) >= 1
+    assert has_partial_aggregate(agg)
