@@ -50,6 +50,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.tpch_more",
     "kinesis_sample_spark.queries.semantics",
     "kinesis_sample_spark.queries.extras",
+    "kinesis_sample_spark.queries.corpus_quality",
     "kinesis_sample_spark.queries.windows",
     "kinesis_sample_spark.queries.scalar",
     "kinesis_sample_spark.queries.stream_batch",

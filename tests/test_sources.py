@@ -91,3 +91,14 @@ def test_stateful_query_on_rocksdb_state_store(spark, tmp_path):
         assert total_keys == expected
     finally:
         use_rocksdb_state(spark, False)
+
+
+def test_table_format_stub_reports_fallback(spark):
+    from kinesis_sample_spark.sources.table_formats import format_available, read_table
+    import pytest as _pytest
+
+    assert format_available(spark, "delta") is False  # no jars in this image
+    with _pytest.raises(RuntimeError, match="fallback"):
+        read_table(spark, "delta", "/tmp/nope")
+    with _pytest.raises(KeyError):
+        format_available(spark, "paimon")
