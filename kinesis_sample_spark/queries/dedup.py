@@ -99,11 +99,9 @@ def _sql_minhash_cols() -> str:
     )
 
 
-@query(
-    "q31_minhash_lsh",
-    bench=True,
-    oracle=f"""
-WITH docs3 AS (
+#: the pairs pipeline as a WITH-clause body, shared by q31 (pairs) and
+#: q69 (clusters over the pairs graph, via recursive CTE in the oracle).
+_SQL_PAIRS_BODY_TEMPLATE = f"""docs3 AS (
     SELECT doc_id, {_SQL_SHL} AS shl
     FROM documents WHERE len(string_split(text, ' ')) >= 3
 ),
@@ -130,13 +128,24 @@ inter AS (
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
     GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b, i.n_inter, na.n AS n_a, nb.n AS n_b,
-       i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.doc_a
-JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.8
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b, i.n_inter, na.n AS n_a, nb.n AS n_b,
+           i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.8
+)"""
+
+
+@query(
+    "q31_minhash_lsh",
+    bench=True,
+    oracle=f"""
+WITH {_SQL_PAIRS_BODY_TEMPLATE}
+SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard
+FROM pairs
 ORDER BY doc_a, doc_b
 """,
 )
@@ -383,4 +392,50 @@ def q33_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.85)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — near-dup clusters: pairs → connected components → survivors.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIRS_BODY_TEMPLATE},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id,
+       LEAST(a, MIN(b)) AS component,
+       (LEAST(a, MIN(b)) = a) AS is_survivor
+FROM reach
+GROUP BY a
+ORDER BY component, doc_id
+""",
+)
+def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that finishes MinHash dedup: candidate pairs become
+    duplicate *clusters* via connected components (operators.components:
+    min-label propagation, one join+agg per round), survivor = min doc_id
+    per component. The oracle computes the same components by transitive
+    closure (recursive CTE) — fine for the oracle's small graph, while the
+    engine path scales to corpus-size graphs."""
+    from kinesis_sample_spark.operators.components import connected_components
+
+    pairs = q31_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            (F.col("component") == F.col("node")).alias("is_survivor"),
+        )
+        .orderBy("component", "doc_id")
     )
