@@ -175,3 +175,52 @@ def test_rate_producer_envelope(spark):
         "shardId",
         "approximateArrivalTimestamp",
     }
+
+
+def test_streaming_session_windows_match_batch(spark, events_dir):
+    """Live session_window aggregation on the replay == q25's batch result
+    (complete mode + wide watermark for the bounded-equivalence run)."""
+    stream = replay_events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "40 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM t_sess")
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """A9/A13/A14: restarting a drained query against the same checkpoint
+    must not re-emit — offsets resume, the idempotent sink stays stable."""
+    out = str(tmp_path / "resume")
+    events_dir = write_stream_fixture(spark, SF, str(tmp_path), n_files=4)
+
+    def run():
+        env = envelope_from_events(replay_events_stream(spark, events_dir))
+        q = consume_with_dlq(
+            env, f"{out}/good", f"{out}/dlq", checkpoint=f"{out}/ckpt"
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(f"{out}/good").count()
+    run()  # second run: same checkpoint, no new input
+    assert spark.read.parquet(f"{out}/good").count() == first
