@@ -224,3 +224,23 @@ def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
     first = spark.read.parquet(f"{out}/good").count()
     run()  # second run: same checkpoint, no new input
     assert spark.read.parquet(f"{out}/good").count() == first
+
+
+def test_stream_static_join_enrichment(spark, events_dir):
+    """Stream-static join: enrich the event stream with the (static)
+    customer dimension — the dimension is re-read per micro-batch, no
+    watermark needed on the static side. Core pattern for
+    stream-time feature lookup."""
+    static_users = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = replay_events_stream(spark, events_dir)
+    enriched = stream.join(static_users, "user_id", "left")
+    _run_to_memory(
+        enriched.select("event_id", "user_id", "c_mktsegment"), "t_enrich"
+    )
+    out = spark.sql("SELECT * FROM t_enrich")
+    n_events = load_table(spark, SF, "events").count()
+    assert out.count() == n_events
+    # users 0..149 exist in customer (c_custkey range) — all should enrich
+    assert out.filter(F.col("c_mktsegment").isNull()).count() == 0
