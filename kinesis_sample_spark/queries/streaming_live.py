@@ -1,0 +1,100 @@
+"""Live Structured Streaming queries, driver-gated.
+
+Everything else in the registry is batch; these two callables actually
+*run a streaming query* (file-source replay of events → envelope →
+transformation → memory sink, availableNow) and return the final table —
+so the driver's DuckDB oracle hash-checks real streaming execution, not a
+batch mirror. Complete-mode + a watermark wider than the fixture's
+event-time span make the bounded run deterministic (production trades
+that for bounded state; see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.queries import query
+from kinesis_sample_spark.sources.files import replay_events_stream, write_stream_fixture
+from kinesis_sample_spark.streaming.envelope import envelope_from_events
+from kinesis_sample_spark.streaming.pipeline import streaming_window_counts
+
+
+def _replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="kss_live_")
+    events_dir = write_stream_fixture(spark, sf_dir, out, n_files=4)
+    return replay_events_stream(spark, events_dir)
+
+
+def _run(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"live_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# q80 — LIVE tumbling-window counts over the streamed envelope.
+# ---------------------------------------------------------------------------
+@query(
+    "q80_live_streaming_windows",
+    oracle="""
+SELECT date_trunc('hour', ts) AS w_start,
+       'partitionKey-' || CAST(user_id AS VARCHAR) AS partitionKey,
+       COUNT(*) AS n_records
+FROM events
+GROUP BY 1, 2
+ORDER BY w_start, partitionKey
+""",
+)
+def q80_live_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming path under the oracle: events replayed as files →
+    envelope build (A1/A2) → UTF-8 decode + event-time lift (A12) → DLQ
+    split (A11) → watermarked tumbling windows — executed by
+    MicroBatchExecution, final table hash-compared to plain batch SQL.
+    The payload's millisecond truncation cannot move an event across an
+    hour boundary, so the SQL needs no truncation gymnastics."""
+    env = envelope_from_events(_replay(spark, sf_dir))
+    agg = streaming_window_counts(env, window="1 hour", watermark="3650 days")
+    return _run(agg, "complete").orderBy("w_start", "partitionKey")
+
+
+# ---------------------------------------------------------------------------
+# q81 — LIVE streaming dedup collapsing an at-least-once replay.
+# ---------------------------------------------------------------------------
+@query(
+    "q81_live_streaming_dedup",
+    oracle="""
+SELECT DISTINCT 'partitionKey-' || CAST(user_id AS VARCHAR) AS partitionKey,
+       CAST(event_id AS VARCHAR) AS sequenceNumber
+FROM events
+ORDER BY partitionKey, sequenceNumber
+""",
+)
+def q81_live_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 made checkable: the input stream is deliberately doubled
+    (simulating post-failover replay), dropDuplicatesWithinWatermark
+    collapses it, and the oracle is the distinct key set — if streaming
+    dedup ever under- or over-collapses, the hash breaks."""
+    from kinesis_sample_spark.streaming.dlq import split_dlq
+    from kinesis_sample_spark.streaming.envelope import decode_envelope
+
+    stream = _replay(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    decoded = decode_envelope(envelope_from_events(doubled))
+    good, _ = split_dlq(decoded, "event_ts")
+    dedup = (
+        good.withWatermark("event_ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["partitionKey", "sequenceNumber"])
+        .select("partitionKey", "sequenceNumber")
+    )
+    return _run(dedup, "append").orderBy("partitionKey", "sequenceNumber")
