@@ -43,9 +43,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: runtime-settable confs every engine entry point needs, applied
+#: defensively because the *driver* may hand us a session built without
+#: kinesis_sample_spark.session.get_spark (e.g. the harness's own bare
+#: SparkSession): without nanosAsLong the events table is unreadable
+#: (Spark 4 rejects parquet TIMESTAMP(NANOS)); without UTC the timestamp
+#: values drift against the DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # performance, not correctness: a bare session defaults to 200 shuffle
+    # partitions — pure overhead at fixture scale; AQE re-coalesces anyway.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover — conf not recognized
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with

@@ -121,3 +121,18 @@ def test_approx_sketches_within_tolerance(spark):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.10
     assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.02
+
+
+def test_contract_works_on_bare_session(spark):
+    """The driver hands queries ITS session, not ours — load_table must
+    self-heal missing confs (nanos-timestamp read, UTC, AQE). Simulated by
+    clearing the critical conf and reloading events."""
+    from kinesis_sample_spark.catalog import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert df.count() == 1000
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
