@@ -18,10 +18,7 @@ reference with float tolerance).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-
-from kinesis_sample_spark.functions.vectors import dot
 
 
 def _sq_dist(vec_col, centroid_lit):

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table, register_views
-from kinesis_sample_spark.functions.numeric import dec, dsum
+from kinesis_sample_spark.functions.numeric import dec
 from kinesis_sample_spark.queries import query
 
 

@@ -98,3 +98,41 @@ def q81_live_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partitionKey", "sequenceNumber")
     )
     return _run(dedup, "append").orderBy("partitionKey", "sequenceNumber")
+
+
+# ---------------------------------------------------------------------------
+# q82 — LIVE custom stateful operator (applyInPandasWithState).
+# ---------------------------------------------------------------------------
+@query(
+    "q82_live_stateful_counts",
+    oracle="""
+SELECT 'partitionKey-' || CAST(user_id AS VARCHAR) AS partitionKey,
+       COUNT(*) AS n_records
+FROM events
+GROUP BY user_id
+ORDER BY partitionKey
+""",
+)
+def q82_live_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState under the gate: per-key running counts
+    accumulate across micro-batches in the state store (one file per
+    trigger forces multiple batches); the last emission per key must equal
+    the batch group count — checking both the pandas-state plumbing and
+    the cross-batch state carry."""
+    from pyspark.sql import Window as W
+
+    from kinesis_sample_spark.streaming.stateful import stateful_key_counts
+
+    out = tempfile.mkdtemp(prefix="kss_live_")
+    events_dir = write_stream_fixture(spark, sf_dir, out, n_files=4)
+    env = envelope_from_events(
+        replay_events_stream(spark, events_dir, files_per_trigger=1)
+    )
+    emissions = _run(stateful_key_counts(env), "update")
+    w = W.partitionBy("partitionKey").orderBy(F.col("n_records").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("partitionKey", "n_records")
+        .orderBy("partitionKey")
+    )

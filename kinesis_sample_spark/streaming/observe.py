@@ -5,7 +5,7 @@ StreamingQueryListener / lastProgress.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql.streaming import StreamingQueryListener
 

@@ -4,8 +4,6 @@ must be visible in the physical plan, not just intended.
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.plans import (

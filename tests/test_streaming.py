@@ -5,8 +5,6 @@ batch computation.
 
 from __future__ import annotations
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -17,7 +15,6 @@ from kinesis_sample_spark.streaming.envelope import (
     envelope_from_events,
     rate_producer,
 )
-from kinesis_sample_spark.streaming.dlq import split_dlq
 from kinesis_sample_spark.streaming.observe import CollectingListener
 from kinesis_sample_spark.streaming.pipeline import (
     consume_with_dlq,
