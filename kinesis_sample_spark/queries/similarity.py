@@ -346,3 +346,73 @@ def q38_kmeans_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — time-series similarity: hour-of-day activity profiles, cosine top-k.
+# ---------------------------------------------------------------------------
+_HOURS = 24
+_TS_TOPK = 3
+_SQL_PROFILE = ", ".join(
+    f"CAST(SUM(CASE WHEN CAST(hour(ts) AS INTEGER) = {h} THEN 1 ELSE 0 END) AS DOUBLE)"
+    for h in range(_HOURS)
+)
+
+
+@query(
+    "q83_timeseries_similarity",
+    oracle=f"""
+WITH profiles AS (
+    SELECT user_id, [{_SQL_PROFILE}] AS profile
+    FROM events GROUP BY user_id
+),
+q AS (SELECT * FROM profiles WHERE user_id < 10),
+scored AS (
+    SELECT q.user_id AS query_user, c.user_id AS other_user,
+           {sql_cosine('q.profile', 'c.profile')} AS cos_sim
+    FROM q JOIN profiles c ON c.user_id <> q.user_id
+)
+SELECT query_user, other_user, cos_sim, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_user
+                                 ORDER BY cos_sim DESC, other_user) AS rank
+    FROM scored
+) WHERE rank <= {_TS_TOPK}
+ORDER BY query_user, rank
+""",
+)
+def q83_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the streaming-data classic): compress
+    each user's event stream into an hour-of-day activity vector, then
+    cosine top-k across users — behavioral nearest neighbors. Scale: the
+    profile build is one aggregation (24 conditional sums, map-side
+    partial); profiles are tiny regardless of event volume, so the
+    similarity stage is the same broadcast-scored shape as q34."""
+    ev = load_table(spark, sf_dir, "events")
+    profile_cols = [
+        F.sum(F.when(F.hour("ts") == h, 1).otherwise(0)).cast("double").alias(f"h{h}")
+        for h in range(_HOURS)
+    ]
+    profiles = (
+        ev.groupBy("user_id")
+        .agg(*profile_cols)
+        .select("user_id", F.array(*[F.col(f"h{h}") for h in range(_HOURS)]).alias("profile"))
+    )
+    q = profiles.filter(F.col("user_id") < 10).select(
+        F.col("user_id").alias("query_user"), F.col("profile").alias("q_profile")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(profiles, F.col("user_id") != F.col("query_user"))
+        .select(
+            "query_user",
+            F.col("user_id").alias("other_user"),
+            cosine(F.col("q_profile"), F.col("profile")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_user").orderBy(F.col("cos_sim").desc(), F.col("other_user"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TS_TOPK)
+        .select("query_user", "other_user", "cos_sim", "rank")
+        .orderBy("query_user", "rank")
+    )
