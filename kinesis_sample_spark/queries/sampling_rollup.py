@@ -46,23 +46,22 @@ SELECT event_id, event_type, user_id
 FROM events
 WHERE {md5_long_sql("CAST(event_id AS VARCHAR)")} % 1000
       < (CASE {_RATE_SQL} ELSE {_DEFAULT_RATE} END)
-ORDER BY event_id
 """,
 )
 def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum keep rates (error 50%, purchase/signup 20%, rest 5%) —
     the class-rebalancing sampler. Pure map-side filter: no shuffle, no
-    state, embarrassingly parallel at any scale, and the kept set is a
-    function of event_id alone so retries/replays keep identical rows."""
+    state, embarrassingly parallel at any scale (a plan test asserts zero
+    exchanges — hence no presentation sort here; the gate's value-hash is
+    order-insensitive), and the kept set is a function of event_id alone
+    so retries/replays keep identical rows."""
     ev = load_table(spark, sf_dir, "events")
     rate = F.lit(_DEFAULT_RATE)
     for k, v in reversed(_STRATUM_RATES.items()):
         rate = F.when(F.col("event_type") == k, v).otherwise(rate)
-    return (
-        ev.filter(md5_long(F.col("event_id").cast("string")) % 1000 < rate)
-        .select("event_id", "event_type", "user_id")
-        .orderBy("event_id")
-    )
+    return ev.filter(
+        md5_long(F.col("event_id").cast("string")) % 1000 < rate
+    ).select("event_id", "event_type", "user_id")
 
 
 # ---------------------------------------------------------------------------

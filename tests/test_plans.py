@@ -94,3 +94,44 @@ def test_inspectors_negative_controls(spark):
     agg = load_table(spark, SF, "orders").groupBy("o_orderstatus").count()
     assert exchange_count(agg) >= 1
     assert has_partial_aggregate(agg)
+
+
+def test_q84_broadcasts_all_dims(spark):
+    """Q8 market share: 7 joins but only the fact chain may shuffle —
+    part/supplier/nation x2/region all broadcast."""
+    df = REGISTRY["q84_market_share"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    plan = __import__(
+        "kinesis_sample_spark.plans.inspect", fromlist=["formatted_plan"]
+    ).formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan.count("BroadcastHashJoin")
+
+
+def test_q90_self_join_copartitions(spark):
+    """Q17 correlated-average: the per-part aggregate and the join back to
+    lineitem share the l_partkey partitioning — at most 3 shuffles total
+    (two scan-side hash partitionings + none extra for the final
+    single-row agg's partial phase)."""
+    from kinesis_sample_spark.plans.inspect import exchange_count
+
+    df = REGISTRY["q90_small_quantity_revenue"].fn(spark, SF)
+    assert exchange_count(df) <= 3, exchange_count(df)
+
+
+def test_q92_semi_anti_share_orderkey_partitioning(spark):
+    """Q21 exists/not-exists: semi + anti legs must both hash on
+    l_orderkey; no cartesian, no extra exchange beyond one per leg."""
+    from kinesis_sample_spark.plans.inspect import exchange_count, formatted_plan
+
+    df = REGISTRY["q92_waiting_suppliers"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert exchange_count(df) <= 5, exchange_count(df)
+
+
+def test_q93_sampler_is_map_side(spark):
+    """Stratified sampling must stay a pure scan+filter: zero shuffles."""
+    from kinesis_sample_spark.plans.inspect import exchange_count
+
+    df = REGISTRY["q93_stratified_sample"].fn(spark, SF)
+    assert exchange_count(df) == 0, exchange_count(df)
