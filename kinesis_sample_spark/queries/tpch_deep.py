@@ -435,6 +435,7 @@ def q91_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q92_waiting_suppliers",
+    bench=True,
     oracle="""
 SELECT s_name, count(*) AS numwait
 FROM supplier
