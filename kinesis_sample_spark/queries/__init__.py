@@ -50,6 +50,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.tpch_more",
     "kinesis_sample_spark.queries.tpch_deep",
     "kinesis_sample_spark.queries.sampling_rollup",
+    "kinesis_sample_spark.queries.contamination",
     "kinesis_sample_spark.queries.semantics",
     "kinesis_sample_spark.queries.extras",
     "kinesis_sample_spark.queries.corpus_quality",
