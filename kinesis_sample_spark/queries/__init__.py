@@ -55,6 +55,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.extras",
     "kinesis_sample_spark.queries.corpus_quality",
     "kinesis_sample_spark.queries.capstone",
+    "kinesis_sample_spark.queries.stats",
     "kinesis_sample_spark.queries.streaming_live",
     "kinesis_sample_spark.queries.windows",
     "kinesis_sample_spark.queries.scalar",

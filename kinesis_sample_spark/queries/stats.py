@@ -1,0 +1,315 @@
+"""Deterministic statistics + sequence operators.
+
+The reference has no analytics surface at all (SURVEY.md §2 Table B —
+aggregations/windows "absent"; the closest thing to a statistic is the
+batch-size log at AmazonKinesisApplicationSampleRecordProcessor.java:167),
+so everything here is north-star engine capability, expressed with Spark
+built-ins only and hash-checked against the DuckDB oracle.
+
+Determinism notes (see functions/numeric.py): float SUMs are order-
+dependent, so every second-order moment is accumulated as an exact
+DECIMAL and only then cast to double; all derived formulas (slope, r²,
+idf, shares) are pure per-row double arithmetic with identical expression
+shape on both engines, which IEEE-754 makes bit-reproducible. sqrt is
+correctly rounded and safe; ln/exp are deliberately avoided (1-ulp libm
+vs JVM drift) — the TF-IDF query uses the rational idf surrogate
+(N - df + 0.5)/(df + 0.5), monotone in the classic BM25 idf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import dec, sql_dec, sql_double
+from kinesis_sample_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# q99 — closed-form OLS regression per group (exact-decimal moments).
+# ---------------------------------------------------------------------------
+# The five moments are exact decimals (associative — any partition order on
+# a 1000-executor cluster gives the same value); the fit itself is a fixed
+# double-expression tree evaluated identically on both engines. This is the
+# scalable pattern for regression at 100 TB: one partial+final aggregate,
+# O(groups) rows out, no iterative solver.
+
+_ND = "CAST(n AS DOUBLE)"
+_SLOPE = f"(({_ND} * sxy - sx * sy) / ({_ND} * sxx - sx * sx))"
+_INTERCEPT = f"((sy - slope * sx) / {_ND})"
+_R2 = (
+    f"((({_ND} * sxy - sx * sy) * ({_ND} * sxy - sx * sy)) / "
+    f"((({_ND} * sxx - sx * sx)) * (({_ND} * syy - sy * sy))))"
+)
+
+
+@query(
+    "q99_ols_regression",
+    oracle=f"""
+WITH agg AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_double("SUM(" + sql_dec("l_quantity") + ")")} AS sx,
+           {sql_double("SUM(" + sql_dec("l_extendedprice") + ")")} AS sy,
+           {sql_double("SUM(" + sql_dec("l_quantity") + " * " + sql_dec("l_quantity") + ")")} AS sxx,
+           {sql_double("SUM(" + sql_dec("l_quantity") + " * " + sql_dec("l_extendedprice") + ")")} AS sxy,
+           {sql_double("SUM(" + sql_dec("l_extendedprice") + " * " + sql_dec("l_extendedprice") + ")")} AS syy
+    FROM lineitem
+    GROUP BY l_returnflag
+), fit AS (
+    SELECT *, {_SLOPE} AS slope FROM agg
+)
+SELECT l_returnflag, n, slope,
+       {_INTERCEPT} AS intercept,
+       {_R2} AS r2
+FROM fit
+ORDER BY l_returnflag
+""",
+)
+def q99_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear fit extendedprice ~ quantity per returnflag: sufficient
+    statistics (n, Σx, Σy, Σxx, Σxy, Σyy) as exact decimal partial+final
+    aggregates, then slope/intercept/r² in closed form. No relational
+    operator in the reference computes anything — this is Table B
+    "Aggregations" capability taken to its statistical endpoint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd, pd_ = dec("l_quantity"), dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+    )
+    fit = agg.withColumn("slope", F.expr(_SLOPE))
+    return (
+        fit.select(
+            "l_returnflag",
+            "n",
+            "slope",
+            F.expr(_INTERCEPT).alias("intercept"),
+            F.expr(_R2).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — LOCF (last observation carried forward) via IGNORE NULLS window.
+# ---------------------------------------------------------------------------
+@query(
+    "q100_locf_fill",
+    oracle="""
+WITH base AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type <> 'error' THEN value END AS observed
+    FROM events
+)
+SELECT event_id, user_id, observed,
+       LAST_VALUE(observed IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM base
+ORDER BY event_id
+""",
+)
+def q100_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair for sensor-style streams: treat `error` events as missing
+    readings and carry the last good value forward per user (IGNORE NULLS
+    running window). Complements q55's densification — this fills holes in
+    place, q55 manufactures missing rows. Values pass through untouched
+    (no float arithmetic), so parity is exact. Scale: one hash partition
+    by user_id, sorted within — the same shape as any sessionized scan."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("observed"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            "observed",
+            F.last("observed", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — bigram heavy hitters (top-k n-grams with global share).
+# ---------------------------------------------------------------------------
+@query(
+    "q101_bigram_heavy_hitters",
+    oracle="""
+WITH docs AS (SELECT string_split(text, ' ') AS t FROM documents),
+bigrams AS (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM docs
+),
+counts AS (SELECT bigram, COUNT(*) AS cnt FROM bigrams GROUP BY bigram),
+total AS (SELECT SUM(cnt) AS total_bigrams FROM counts)
+SELECT bigram, cnt, cnt / CAST(total_bigrams AS DOUBLE) AS share
+FROM counts CROSS JOIN total
+ORDER BY cnt DESC, bigram
+LIMIT 100
+""",
+)
+def q101_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram heavy hitters — the frequency table behind
+    boilerplate detection and n-gram LM pruning. Adjacent-token pairs via
+    zip_with over two shifted slices (1-based element order matches the
+    oracle's list indexing), word-count shuffle, then TakeOrdered top-100
+    with a total-order tie-break (count desc, bigram) so the selected SET
+    is deterministic. Scale: explode + one agg; the top-k is a
+    per-partition heap merge on the driver, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        docs.select(F.split("text", " ").alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " slice(t, 2, greatest(size(t) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bigram")
+        )
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_bigrams"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "cnt",
+            (F.col("cnt") / F.col("total_bigrams").cast("double")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — equi-width histogram + cumulative distribution.
+# ---------------------------------------------------------------------------
+@query(
+    "q102_price_histogram",
+    oracle=f"""
+WITH b AS (
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           {sql_double("SUM(" + sql_dec("o_totalprice") + ")")} AS bucket_sum,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+)
+SELECT bucket, cnt, bucket_sum, lo, hi,
+       CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_cnt,
+       CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT)
+           / CAST(SUM(cnt) OVER () AS DOUBLE) AS cume_share
+FROM b
+ORDER BY bucket
+""",
+)
+def q102_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (50k buckets) with per-bucket
+    exact-decimal sums and a running cumulative-distribution share — the
+    fixed-bucket complement to q18's rank-based distribution and q48's
+    exact percentiles. The window runs over the *aggregated* buckets
+    (O(buckets) rows), so the single-partition running sum is free even
+    when the input is 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).alias("bucket")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(dec("o_totalprice")).cast("double").alias("bucket_sum"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    w_run = W.orderBy("bucket").rangeBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    return (
+        b.select(
+            "bucket",
+            "cnt",
+            "bucket_sum",
+            "lo",
+            "hi",
+            F.sum("cnt").over(w_run).alias("cum_cnt"),
+            (
+                F.sum("cnt").over(w_run)
+                / F.sum("cnt").over(w_all).cast("double")
+            ).alias("cume_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — TF-IDF top-k document ranking per term (rational idf).
+# ---------------------------------------------------------------------------
+_IDF_SCORE = (
+    "CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5))"
+)
+
+
+@query(
+    "q103_tfidf_topk",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df, {_IDF_SCORE} AS score
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE df >= 2
+)
+SELECT doc_id, token, tf, df, score, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY token ORDER BY score DESC, doc_id) AS rn
+      FROM scored) t
+WHERE rn <= 3
+ORDER BY token, rn
+""",
+)
+def q103_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term top-3 documents by TF-IDF — retrieval-style ranking built
+    from q64's vocabulary statistics. idf uses the BM25 rational surrogate
+    (N - df + 0.5)/(df + 0.5): same ranking as the log form, but pure
+    rational double arithmetic, so the oracle hash is exact (ln would
+    drift 1 ulp between libm and the JVM). Scale: two word-count
+    aggregates, a token-keyed shuffle join, a broadcast scalar, and a
+    per-token window — every stage partitions by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") >= 2)
+        .withColumn("score", F.expr(_IDF_SCORE))
+    )
+    w = W.partitionBy("token").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rn")
+        .orderBy("token", "rn")
+    )
