@@ -135,3 +135,44 @@ def test_q93_sampler_is_map_side(spark):
 
     df = REGISTRY["q93_stratified_sample"].fn(spark, SF)
     assert exchange_count(df) == 0, exchange_count(df)
+
+
+def test_q99_regression_is_one_aggregate_pass(spark):
+    """OLS sufficient statistics: all six moments in a single partial+final
+    aggregate over a 3-column pruned scan — the only shape that scales to
+    a 100 TB fact table (exchanges: one hash-by-group + final sort)."""
+    from kinesis_sample_spark.plans.inspect import exchange_count
+
+    df = REGISTRY["q99_ols_regression"].fn(spark, SF)
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) <= 2, exchange_count(df)
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_returnflag"}, cols
+
+
+def test_q100_locf_prunes_props(spark):
+    """The IGNORE-NULLS window must not drag the wide props column through
+    the user_id shuffle."""
+    df = REGISTRY["q100_locf_fill"].fn(spark, SF)
+    for cols in scan_columns(df):
+        assert "props" not in cols, cols
+
+
+def test_q101_q103_broadcast_scalar_totals(spark):
+    """Corpus-total scalars join by broadcast, never by shuffling the big
+    token-count side."""
+    for name in ("q101_bigram_heavy_hitters", "q103_tfidf_topk"):
+        df = REGISTRY[name].fn(spark, SF)
+        assert has_broadcast_join(df), name
+        assert has_partial_aggregate(df), name
+
+
+def test_q102_histogram_scans_one_column(spark):
+    """Equi-width histogram: bucket assignment is map-side over a single
+    pruned column; the CDF window runs post-aggregation (O(buckets))."""
+    from kinesis_sample_spark.plans.inspect import exchange_count
+
+    df = REGISTRY["q102_price_histogram"].fn(spark, SF)
+    (cols,) = scan_columns(df)
+    assert cols == ["o_totalprice"], cols
+    assert exchange_count(df) <= 2, exchange_count(df)
