@@ -8,17 +8,29 @@ collects; driver state is O(k·d) regardless of corpus size. This is the
 index-build step q37 stubs with label means when no labels exist
 (SURVEY.md §2 LLM-pipeline extensions: similarity-search scale path).
 
-Determinism: init = the k lowest-id vectors; assignment tie-break = lowest
+Determinism: init = the k lowest-id vectors (``init="first"``) or the k
+vectors with the smallest md5-derived id hash (``init="spread"`` — a
+deterministic uniform sample; see below); assignment tie-break = lowest
 cluster id; means are plain double averages (iteration is a fixpoint
 search — exact-decimal machinery is unnecessary because no oracle
 hash-compares intermediate floats; the unit test checks against a NumPy
 reference with float tolerance).
+
+Why ``spread`` matters at 100 TB: row ids are almost always correlated
+with ingest order, so the k lowest ids typically live in one file /
+one time range / one tenant — seeding all centroids inside a single
+dense region and wasting early iterations. Ordering by a hash of the id
+instead draws the k seeds uniformly from the whole corpus, and costs the
+same as ``first``: both are a TakeOrdered (per-partition heap of size k,
+merged on the driver) — never a global sort.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kinesis_sample_spark.functions.hashing import md5_long
 
 
 def _sq_dist(vec_col, centroid_lit):
@@ -38,15 +50,23 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 5,
+    init: str = "first",
 ) -> tuple[list[list[float]], DataFrame]:
     """Run ``n_iter`` Lloyd iterations; returns (centroids, assignments).
 
     ``centroids``: k lists of doubles (driver-side, tiny).
     ``assignments``: DataFrame (id_col, cluster) — lazily recomputable.
+    ``init``: ``"first"`` = k lowest ids; ``"spread"`` = k smallest
+    md5(id) — a deterministic uniform sample of seed points.
     """
-    # deterministic init: the k lowest-id vectors
+    if init == "spread":
+        seed_order = [md5_long(F.col(id_col).cast("string")), F.col(id_col)]
+    elif init == "first":
+        seed_order = [F.col(id_col)]
+    else:
+        raise ValueError(f"unknown init {init!r}; use 'first' or 'spread'")
     init_rows = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        emb.select(id_col, vec_col).orderBy(*seed_order).limit(k).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 

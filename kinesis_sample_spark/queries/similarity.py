@@ -315,15 +315,16 @@ def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q38_kmeans_ivf_ann", oracle=None)
 def q38_kmeans_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unlabeled-corpus version of q37: build the coarse quantizer with
-    operators.kmeans (deterministic Lloyd iterations; verified against a
-    NumPy reference in tests/test_kmeans.py), then probe the query's cell.
+    operators.kmeans (deterministic Lloyd iterations, hash-spread seed
+    sample; verified against a NumPy reference in tests/test_kmeans.py),
+    then probe the query's cell.
     No SQL oracle: the iterative fit isn't expressible as one SQL query —
     the driver records the rows-only check; correctness evidence is the
     k-means unit test plus q37's oracle for the probe stage."""
     from kinesis_sample_spark.operators.kmeans import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, assigned = kmeans_fit(emb, k=8, n_iter=3)
+    _, assigned = kmeans_fit(emb, k=8, n_iter=3, init="spread")
     cells = emb.join(assigned, "vec_id").persist()
     q = cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -44,3 +44,34 @@ def test_kmeans_matches_numpy_reference(spark):
     assert mismatches == 0
     # sanity: clusters are non-trivial
     assert len(set(got.values())) > 1
+
+
+def _md5_60bit(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.mark.slow
+def test_kmeans_spread_init_matches_numpy_reference(spark):
+    """init="spread" seeds = the k vectors with the smallest md5(id) —
+    replicate the hash ordering in Python (same md5-60bit convention as
+    functions/hashing.py) and re-run the NumPy reference from those
+    seeds; the distributed fit must agree exactly."""
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float32)
+
+    seed_idx = sorted(range(len(ids)), key=lambda i: (_md5_60bit(str(ids[i])), ids[i]))[:K]
+    reordered = np.concatenate(
+        [vecs[seed_idx], np.delete(vecs, seed_idx, axis=0)], axis=0
+    )
+    ref_centroids, _ = _numpy_kmeans(reordered, K, N_ITER)
+
+    centroids, assigned = kmeans_fit(emb, k=K, n_iter=N_ITER, init="spread")
+    np.testing.assert_allclose(np.array(centroids), ref_centroids, rtol=1e-9, atol=1e-9)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert len(set(got.values())) > 1
+    # seeds from a hash-uniform draw, not the first file: seed ids spread
+    assert sorted(ids[i] for i in seed_idx) != sorted(ids[:K])
