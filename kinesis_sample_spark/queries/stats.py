@@ -313,3 +313,159 @@ def q103_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df", "score", "rn")
         .orderBy("token", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — rolling z-score anomaly detection (exact-decimal window moments).
+# ---------------------------------------------------------------------------
+# The trailing window excludes the current row (score vs *history*); both
+# moments are exact decimals inside the frame, so any frame evaluation
+# strategy (Spark's streaming buffer, DuckDB's segment tree) yields the
+# same sums — float window sums would diverge between the two engines'
+# accumulation orders.
+
+_MEAN = "(s1 / CAST(n AS DOUBLE))"
+_VAR = (
+    "(GREATEST((s2 - (s1 * s1) / CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - 1.0), 0.0))"
+)
+_Z = (
+    f"(CASE WHEN n >= 5 AND SQRT({_VAR}) > 0.0"
+    f" THEN (value - {_MEAN}) / SQRT({_VAR}) END)"
+)
+
+
+@query(
+    "q104_rolling_zscore",
+    oracle=f"""
+WITH windowed AS (
+    SELECT event_id, user_id, value,
+           COUNT(value) OVER w AS n,
+           {sql_double("SUM(CAST(value AS DECIMAL(12,4))) OVER w")} AS s1,
+           {sql_double("SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) OVER w")} AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+), scored AS (
+    SELECT event_id, user_id, value, n, {_MEAN} AS hist_mean, {_Z} AS zscore
+    FROM windowed
+)
+SELECT event_id, user_id, value, n, hist_mean, zscore,
+       (ABS(zscore) > 2.0) AS is_anomaly
+FROM scored
+ORDER BY event_id
+""",
+)
+def q104_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: each event scored
+    against the trailing 19-event history of its user (mean/std from
+    exact-decimal window sums, Bessel-corrected, z = (x-μ)/σ, flag at
+    |z| > 2; null until 5 observations or under zero variance). Scale:
+    one hash partition by user_id and an O(1)-state sliding frame — the
+    same operator runs incrementally under applyInPandasWithState in the
+    streaming layer."""
+    ev = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(12,4)")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    windowed = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n"),
+        F.sum(vd).over(w).cast("double").alias("s1"),
+        F.sum(vd * vd).over(w).cast("double").alias("s2"),
+    )
+    scored = windowed.select(
+        "event_id",
+        "user_id",
+        "value",
+        "n",
+        F.expr(_MEAN).alias("hist_mean"),
+        F.expr(_Z).alias("zscore"),
+    )
+    return scored.select(
+        "*", (F.abs(F.col("zscore")) > 2.0).alias("is_anomaly")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q105 — pairwise source-vocabulary Jaccard overlap.
+# ---------------------------------------------------------------------------
+@query(
+    "q105_source_vocab_overlap",
+    oracle="""
+WITH vocab AS (
+    SELECT DISTINCT source, token
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+),
+sizes AS (SELECT source, COUNT(*) AS vocab_size FROM vocab GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+    FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_common, size_a, size_b,
+       n_common / CAST(size_a + size_b - n_common AS DOUBLE) AS jaccard
+FROM (
+    SELECT src_a, src_b, n_common,
+           sa.vocab_size AS size_a, sb.vocab_size AS size_b
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+) t
+ORDER BY src_a, src_b
+""",
+)
+def q105_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition analytics: Jaccard similarity between every pair
+    of sources' vocabularies — the set-level cousin of the document-level
+    near-dup family (q31-q36), used to spot mirrored/derivative sources
+    before sampling. Shape: explode → distinct (token,source) → token-keyed
+    self-join restricted to ordered pairs → count; per-source sizes
+    broadcast back onto the 190-row pair table. The token join fans out at
+    most |sources| per token, so it scales linearly in vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("vocab_size"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sized = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("vocab_size", "size_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("vocab_size", "size_b")),
+            "src_b",
+        )
+    )
+    return sized.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        "size_a",
+        "size_b",
+        (
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    ).orderBy("src_a", "src_b")
