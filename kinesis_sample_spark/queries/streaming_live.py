@@ -136,3 +136,65 @@ def q82_live_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partitionKey", "n_records")
         .orderBy("partitionKey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — LIVE watermarked stream-stream join (signup → purchase funnel).
+# ---------------------------------------------------------------------------
+@query(
+    "q106_live_stream_stream_join",
+    oracle="""
+SELECT a.user_id AS user_id,
+       a.event_id AS signup_id,
+       b.event_id AS purchase_id,
+       date_diff('second', a.ts, b.ts) AS delta_s,
+       b.value AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+ORDER BY signup_id, purchase_id
+""",
+)
+def q106_live_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join under the oracle gate: one replayed source
+    split into a signup stream and a purchase stream, joined on user with
+    a 1-hour event-time band — the funnel query Table B's "stream-stream
+    join" row promises, executed by MicroBatchExecution with join state
+    keyed by user_id (the time band is what lets Spark expire state once
+    the watermark passes; the bounded run uses a wide watermark for
+    determinism, production narrows it to bound state size). The final
+    append-mode table must hash-match the batch self-join."""
+    s = _replay(spark, sf_dir)
+    a = (
+        s.withWatermark("ts", "3650 days")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        s.withWatermark("ts", "3650 days")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        (F.col("b_ts").cast("long") - F.col("a_ts").cast("long")).alias("delta_s"),
+        "purchase_value",
+    )
+    return _run(joined, "append").orderBy("signup_id", "purchase_id")
