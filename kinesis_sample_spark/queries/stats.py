@@ -469,3 +469,58 @@ def q105_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
         ).alias("jaccard"),
     ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# q107 — IQR (Tukey-fence) outlier detection per group.
+# ---------------------------------------------------------------------------
+_LO_FENCE = "(p25 - 1.5 * (p75 - p25))"
+_HI_FENCE = "(p75 + 1.5 * (p75 - p25))"
+
+
+@query(
+    "q107_iqr_outliers",
+    oracle=f"""
+WITH fences AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.75) AS p75
+    FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, user_id, value,
+       {_LO_FENCE} AS lo_fence, {_HI_FENCE} AS hi_fence
+FROM events JOIN fences USING (event_type)
+WHERE value < {_LO_FENCE} OR value > {_HI_FENCE}
+ORDER BY event_id
+""",
+)
+def q107_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier scan: exact per-type quartiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both linear-interpolating),
+    fences at 1.5×IQR, then a broadcast join back onto the fact —
+    the population-relative complement of q104's per-entity rolling
+    z-score. Scale: the fence table is O(groups) so the join back is a
+    broadcast; only the quartile aggregate shuffles (per-group exact
+    percentiles sort within groups — for a single global percentile at
+    100 TB use q61's sketch instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.75).alias("p75"),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .where(
+            (F.col("value") < F.expr(_LO_FENCE))
+            | (F.col("value") > F.expr(_HI_FENCE))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.expr(_LO_FENCE).alias("lo_fence"),
+            F.expr(_HI_FENCE).alias("hi_fence"),
+        )
+        .orderBy("event_id")
+    )
