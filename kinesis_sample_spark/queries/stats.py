@@ -524,3 +524,51 @@ def q107_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — partition fingerprints (order-insensitive table checksums).
+# ---------------------------------------------------------------------------
+@query(
+    "q108_partition_fingerprints",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_rows,
+       bit_xor(('0x' || substring(md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           o_orderstatus, o_orderpriority)), 1, 15))::BIGINT) AS fingerprint
+FROM orders
+GROUP BY 1
+ORDER BY month
+""",
+)
+def q108_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy checksums: one order-insensitive fingerprint per month
+    partition — XOR of portable md5-derived row hashes (functions/
+    hashing.py), so two replicas of a 100 TB table can be compared
+    partition-by-partition with one scan each and O(partitions) exchanged
+    bytes, and any row-level divergence pins the month to re-sync. XOR is
+    commutative/associative ⇒ the checksum is identical under any
+    partitioning or row order. Hash inputs are restricted to integer and
+    string columns: their VARCHAR renderings are engine-identical, while
+    float/timestamp formatting is not (documented trap)."""
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    rowhash = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor(rowhash).alias("fingerprint"),
+        )
+        .orderBy("month")
+    )
