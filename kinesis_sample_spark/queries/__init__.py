@@ -56,6 +56,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.corpus_quality",
     "kinesis_sample_spark.queries.capstone",
     "kinesis_sample_spark.queries.stats",
+    "kinesis_sample_spark.queries.funnels",
     "kinesis_sample_spark.queries.streaming_live",
     "kinesis_sample_spark.queries.windows",
     "kinesis_sample_spark.queries.scalar",

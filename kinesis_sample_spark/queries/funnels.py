@@ -1,0 +1,138 @@
+"""Behavioral analytics over the event stream: cohort retention and
+funnel conversion — the canonical product-analytics shapes, built from
+the same envelope the reference's consumer decodes
+(AmazonKinesisApplicationSampleRecordProcessor.java:99-110 only prints
+records; these queries are what a real consumer computes from them).
+
+All outputs are integer counts and exact divisions of integers — no
+float-order hazards, so oracle parity is structural.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+# q109 — weekly cohort retention matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "q109_retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+    FROM events
+)
+SELECT cohort_week,
+       CAST(FLOOR(date_diff('day', cohort_week, act_week) / 7) AS BIGINT) AS week_number,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_number
+""",
+)
+def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort users by first-seen week, count distinct active users per
+    (cohort, weeks-since-cohort) cell — the retention triangle. Two
+    aggregations plus one user-keyed join; the cohort table is one row
+    per user, so at 100 TB the join side to broadcast or bucket is the
+    *user dimension*, not the event fact. Week offsets are exact
+    multiples of 7 days, so FLOOR(days/7) is integer-safe on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).alias("week_number"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_number")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — signup→purchase funnel conversion per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q110_funnel_conversion",
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'
+),
+converted AS (
+    SELECT DISTINCT s.user_id, s.event_id
+    FROM s JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+),
+per_user AS (
+    SELECT s.user_id,
+           COUNT(*) AS n_signups,
+           COUNT(c.event_id) AS n_converted
+    FROM s LEFT JOIN converted c
+      ON s.user_id = c.user_id AND s.event_id = c.event_id
+    GROUP BY s.user_id
+)
+SELECT user_id, n_signups, n_converted,
+       n_converted / CAST(n_signups AS DOUBLE) AS conversion_rate
+FROM per_user
+ORDER BY user_id
+""",
+)
+def q110_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: how many signup events were followed by a purchase
+    within an hour (the batch aggregate over q106's stream-stream join
+    pairs). Time-banded join on user_id, dedup to one conversion per
+    signup, left join back so zero-conversion users keep a row. The band
+    condition bounds join state exactly as the streaming watermark does."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "event_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_user = (
+        s.join(converted, ["user_id", "event_id"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.count("converted").alias("n_converted"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "n_signups",
+        "n_converted",
+        (F.col("n_converted") / F.col("n_signups").cast("double")).alias(
+            "conversion_rate"
+        ),
+    ).orderBy("user_id")
