@@ -136,3 +136,70 @@ def q110_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q111 — training-sequence packing (concat-then-chunk at context length).
+# ---------------------------------------------------------------------------
+@query(
+    "q111_sequence_packing",
+    oracle="""
+WITH sized AS (
+    SELECT source, doc_id, len(string_split(text, ' ')) AS tok_len
+    FROM documents
+),
+offs AS (
+    SELECT source, doc_id, tok_len,
+           SUM(tok_len) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tok_len AS start_offset
+    FROM sized
+)
+SELECT source, doc_id, tok_len, start_offset,
+       CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS seq_idx,
+       start_offset - CAST(FLOOR(start_offset / 2048.0) AS BIGINT) * 2048 AS offset_in_seq,
+       (CAST(FLOOR(start_offset / 2048.0) AS BIGINT)
+        <> CAST(FLOOR((start_offset + tok_len - 1) / 2048.0) AS BIGINT)) AS straddles
+FROM offs
+ORDER BY source, doc_id
+""",
+)
+def q111_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing layout: per source, concatenate documents in id
+    order and chunk the token stream at a 2048-token context length —
+    each doc gets its sequence index, offset within the sequence, and a
+    straddles-boundary flag (what an attention-mask builder consumes).
+    Pure integer window arithmetic (running token offsets), so parity is
+    exact. Scale: one window per source partition; the token streams of
+    different sources pack independently, so parallelism = number of
+    sources — for a single giant source, salt the stream into shards
+    first (operators/skew.py) and offset each shard by its shard-total
+    (two passes, still no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    sized = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("tok_len")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = sized.withColumn(
+        "start_offset", F.sum("tok_len").over(w) - F.col("tok_len")
+    )
+    seq_idx = F.floor(F.col("start_offset") / 2048.0)
+    end_idx = F.floor((F.col("start_offset") + F.col("tok_len") - 1) / 2048.0)
+    return (
+        offs.select(
+            "source",
+            "doc_id",
+            "tok_len",
+            "start_offset",
+            seq_idx.alias("seq_idx"),
+            (F.col("start_offset") - seq_idx * 2048).alias("offset_in_seq"),
+            (seq_idx != end_idx).alias("straddles"),
+        )
+        .orderBy("source", "doc_id")
+    )
