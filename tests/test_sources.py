@@ -102,3 +102,31 @@ def test_table_format_stub_reports_fallback(spark):
         read_table(spark, "delta", "/tmp/nope")
     with _pytest.raises(KeyError):
         format_available(spark, "paimon")
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Long-lived 100 TB tables evolve: later ingest batches add columns.
+    mergeSchema must union the schemas, null-fill history, and keep
+    column pruning working against the merged relation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "evolving")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.select("o_orderkey", "o_totalprice").write.parquet(
+        os.path.join(path, "batch=1")
+    )
+    orders.select(
+        "o_orderkey", "o_totalprice", F.lit("v2").alias("ingest_tag")
+    ).write.parquet(os.path.join(path, "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=1"), os.path.join(path, "batch=2")
+    )
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "ingest_tag"}
+    n = orders.count()
+    assert merged.count() == 2 * n
+    # history rows are null-filled for the new column, new rows carry it
+    assert merged.filter(F.col("ingest_tag").isNull()).count() == n
+    assert merged.filter(F.col("ingest_tag") == "v2").count() == n
