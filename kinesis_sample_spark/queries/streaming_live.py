@@ -198,3 +198,58 @@ def q106_live_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return _run(joined, "append").orderBy("signup_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# q112 — LIVE CDC upsert sink (foreachBatch merge into a parquet table).
+# ---------------------------------------------------------------------------
+@query(
+    "q112_live_cdc_upsert",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def q112_live_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization under the oracle gate: the replayed event
+    stream is upserted micro-batch by micro-batch into a parquet table
+    (operators/upsert.py — last-writer-wins by event_id inside
+    foreachBatch), and the driver hash-checks the *final table state*
+    against the batch argmax-per-key SQL. Because the merge orders by a
+    global version column, the final state is independent of batch
+    arrival order and of replays — the idempotent-sink half of the
+    exactly-once story (A13/A14) made checkable."""
+    import os
+
+    from kinesis_sample_spark.operators.upsert import foreach_batch_upsert
+    from kinesis_sample_spark.sources.files import (
+        replay_events_stream,
+        write_stream_fixture,
+    )
+
+    out = tempfile.mkdtemp(prefix="kss_live_")
+    events_dir = write_stream_fixture(spark, sf_dir, out, n_files=4)
+    table_path = os.path.join(out, "cdc_table")
+    stream = replay_events_stream(spark, events_dir, files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(table_path, "user_id", "event_id")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(table_path)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
