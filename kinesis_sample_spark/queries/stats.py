@@ -429,9 +429,14 @@ def q105_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back onto the 190-row pair table. The token join fans out at
     most |sources| per token, so it scales linearly in vocabulary size."""
     docs = load_table(spark, sf_dir, "documents")
+    # persisted: three consumers (sizes + both self-join sides) reuse the
+    # exploded distinct vocab instead of re-scanning documents — on a real
+    # corpus this is a materialized vocabulary table (same pattern as
+    # q31's signature relation).
     vocab = (
         docs.select("source", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
+        .persist()
     )
     sizes = vocab.groupBy("source").agg(F.count("*").alias("vocab_size"))
     a, b = vocab.alias("a"), vocab.alias("b")

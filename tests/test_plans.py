@@ -176,3 +176,36 @@ def test_q102_histogram_scans_one_column(spark):
     (cols,) = scan_columns(df)
     assert cols == ["o_totalprice"], cols
     assert exchange_count(df) <= 2, exchange_count(df)
+
+
+def test_q104_zscore_single_shuffle_window(spark):
+    """Rolling z-score: one hash partition by user_id + final sort — both
+    moments ride the same window, no extra exchange per moment."""
+    from kinesis_sample_spark.plans.inspect import exchange_count
+
+    df = REGISTRY["q104_rolling_zscore"].fn(spark, SF)
+    assert exchange_count(df) <= 2, exchange_count(df)
+    (cols,) = scan_columns(df)
+    assert "props" not in cols, cols
+
+
+def test_q108_fingerprint_is_one_aggregate_pass(spark):
+    """Anti-entropy checksums: one partial+final aggregate; the scan must
+    not read the unused o_totalprice column."""
+    from kinesis_sample_spark.plans.inspect import exchange_count
+
+    df = REGISTRY["q108_partition_fingerprints"].fn(spark, SF)
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) <= 2, exchange_count(df)
+    (cols,) = scan_columns(df)
+    assert "o_totalprice" not in cols, cols
+
+
+def test_q111_packing_is_one_window_pass(spark):
+    """Sequence packing: a single per-source window over a 3-column scan
+    (id, source, token length) — never the document text through a
+    shuffle."""
+    from kinesis_sample_spark.plans.inspect import exchange_count
+
+    df = REGISTRY["q111_sequence_packing"].fn(spark, SF)
+    assert exchange_count(df) <= 2, exchange_count(df)
