@@ -99,9 +99,10 @@ def _sql_minhash_cols() -> str:
     )
 
 
-#: the pairs pipeline as a WITH-clause body, shared by q31 (pairs) and
-#: q69 (clusters over the pairs graph, via recursive CTE in the oracle).
-_SQL_PAIRS_BODY_TEMPLATE = f"""docs3 AS (
+#: the candidate-verification pipeline (through verified intersection
+#: counts) as a WITH-clause body — shared by q31/q69 (jaccard) and q113
+#: (asymmetric containment), which apply different final filters.
+_SQL_CAND_BODY_TEMPLATE = f"""docs3 AS (
     SELECT doc_id, {_SQL_SHL} AS shl
     FROM documents WHERE len(string_split(text, ' ')) >= 3
 ),
@@ -128,7 +129,10 @@ inter AS (
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
     GROUP BY 1, 2
-),
+)"""
+
+#: the jaccard-thresholded pairs, as used by q31 and q69.
+_SQL_PAIRS_BODY_TEMPLATE = f"""{_SQL_CAND_BODY_TEMPLATE},
 pairs AS (
     SELECT i.doc_a, i.doc_b, i.n_inter, na.n AS n_a, nb.n AS n_b,
            i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
@@ -155,6 +159,20 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard verification on candidates only. The fixtures contain ~25
     planted near-dup pairs at jaccard ≈ 0.98; threshold 0.8 keeps them and
     rejects the word-soup background."""
+    pairs = _verified_candidate_pairs(spark, sf_dir)
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _verified_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with verified shingle-set intersection counts
+    (doc_a, doc_b, n_inter, n_a, n_b) — unfiltered, so different
+    similarity measures (jaccard q31, containment q113) share one
+    pipeline."""
     docs3 = _docs_with_shingles(spark, sf_dir)
 
     def _minhash(seed: int):
@@ -222,12 +240,7 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sh_b").alias("n_b"),
         )
     )
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -438,4 +451,45 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("component") == F.col("node")).alias("is_survivor"),
         )
         .orderBy("component", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — asymmetric containment near-dup (sub-document duplication).
+# ---------------------------------------------------------------------------
+@query(
+    "q113_containment_neardup",
+    oracle=f"""
+WITH {_SQL_CAND_BODY_TEMPLATE},
+cont AS (
+    SELECT i.doc_a, i.doc_b, i.n_inter, na.n AS n_a, nb.n AS n_b,
+           i.n_inter / na.n AS cont_a,
+           i.n_inter / nb.n AS cont_b
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b, cont_a, cont_b
+FROM cont
+WHERE GREATEST(cont_a, cont_b) >= 0.9
+ORDER BY doc_a, doc_b
+""",
+)
+def q113_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (|A∩B| / |A|) instead of jaccard: catches the
+    *sub-document* duplication jaccard misses — a short doc wholly quoted
+    inside a long one has low jaccard but containment ≈ 1 on the short
+    side. Shares q31's entire signature→band→verify pipeline
+    (_verified_candidate_pairs); only the final measure differs, which is
+    the point: at 100 TB the expensive stages are computed once and every
+    similarity policy (dedup, quote detection, decontamination) reads the
+    same verified-pair relation."""
+    pairs = _verified_candidate_pairs(spark, sf_dir)
+    cont_a = F.col("n_inter") / F.col("n_a")
+    cont_b = F.col("n_inter") / F.col("n_b")
+    return (
+        pairs.withColumn("cont_a", cont_a)
+        .withColumn("cont_b", cont_b)
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.9)
+        .orderBy("doc_a", "doc_b")
     )
