@@ -297,7 +297,10 @@ def q103_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token window — every stage partitions by token."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # persisted: both the df aggregate and the scoring join consume tf —
+    # without it the explode+agg subtree runs twice (materialized term
+    # stats table on a real corpus, same pattern as q31's signatures).
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
