@@ -362,3 +362,87 @@ def q62_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — grouped-AGGREGATE pandas UDF (Arrow UDAF path).
+# ---------------------------------------------------------------------------
+@query(
+    "q115_pandas_group_range",
+    oracle="""
+SELECT user_id,
+       MAX(value) - MIN(value) AS value_range
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q115_pandas_group_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — the custom-UDAF surface (distinct
+    from q60's grouped-map and q65's scalar paths): one Arrow batch per
+    group in, one scalar out, usable inside a regular ``agg``. The
+    statistic (max - min) is order-independent in float, so the Python
+    aggregation is value-exact against the SQL oracle — the UDAF
+    *plumbing* is what's under test. Scale: Catalyst cannot partial-agg a
+    Python UDAF (whole groups ship to Python), so reserve this path for
+    logic SQL can't express — and note the oracle shows this one could
+    have been two built-ins. (Spark also refuses to mix a pandas UDAF
+    with built-in aggregates in one agg — a real API constraint this
+    query documents by construction.)"""
+    import pandas as pd  # noqa: F401  (Arrow path)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def value_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(value_range("value").alias("value_range"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — Python UDTF (table function, lateral-joined).
+# ---------------------------------------------------------------------------
+@query(
+    "q116_udtf_fixed_chunks",
+    oracle="""
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(string_split(text, ' ')[i * 50 + 1 : i * 50 + 50], ' ') AS chunk
+FROM (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / 50.0) AS INT))) AS i
+    FROM documents
+)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q116_udtf_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function API): one input row → N chunk
+    rows, lateral-joined in SQL — the generator-shaped extension point
+    the reference's processSingleRecord hook (Proc:68-70) would become
+    when one record legitimately expands into many. Fixed 50-token
+    non-overlapping chunks (q63 is the sliding-window DataFrame form; this
+    exercises the UDTF execution path). Arrow-batched per partition; no
+    driver involvement."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class FixedChunks:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 50):
+                yield i // 50, " ".join(toks[i : i + 50])
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("q116_docs")
+    spark.udtf.register("q116_fixed_chunks", FixedChunks)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM q116_docs d, LATERAL q116_fixed_chunks(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
