@@ -227,7 +227,7 @@ WITH t AS (
 )
 SELECT doc_id,
        len(words) AS n_words,
-       list_aggregate(list_transform(words, w -> (length(w) + 3) // 4), 'sum') AS n_subword_est,
+       CAST(list_aggregate(list_transform(words, w -> (length(w) + 3) // 4), 'sum') AS BIGINT) AS n_subword_est,
        length(text) // 4 AS n_char_est
 FROM t JOIN documents USING (doc_id)
 ORDER BY doc_id
@@ -299,25 +299,49 @@ def q60_pandas_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q61 — approximate aggregates (rows-only: sketch internals are
-# engine-specific by design; the driver records the weaker check).
+# q61 — approximate aggregates, gated by deterministic error bounds.
 # ---------------------------------------------------------------------------
-@query("q61_approx_stats", oracle=None)
+@query(
+    "q61_approx_stats",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS median_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def q61_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct + KLL-ish percentile sketches — the 100 TB
-    workhorses (single pass, mergeable, bounded memory). No oracle: sketch
-    estimates are implementation-defined; correctness is bounded-error, and
-    the exact counterparts are oracle-checked in q10/q48."""
+    """HyperLogLog++ distinct + GK percentile sketches — the 100 TB
+    workhorses (single pass, mergeable, bounded memory). Sketch estimates
+    are implementation-defined, so the raw values can't be hash-compared;
+    instead the query emits the EXACT counts (oracle-recomputable) plus
+    ``within-error-bound`` booleans: HLL with default rsd 0.05 must land
+    within 15% of the exact distinct count, and the approx median (rank
+    error 1/1000) must fall inside the exact [p45, p55] value band. The
+    oracle asserts TRUE for each bound, so a sketch drifting out of its
+    published error envelope hash-fails the driver gate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.percentile("l_extendedprice", 0.45).alias("p45"),
+        F.percentile("l_extendedprice", 0.55).alias("p55"),
     )
+    rel_ok = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.15
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        rel_ok("approx_parts", "exact_parts").alias("parts_ok"),
+        rel_ok("approx_orders", "exact_orders").alias("orders_ok"),
+        F.col("approx_median").between(F.col("p45"), F.col("p55")).alias("median_ok"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -327,8 +351,8 @@ def q61_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_collect_aggregates",
     oracle="""
 SELECT user_id,
-       list(event_type ORDER BY event_id) FILTER (WHERE event_id % 100 < 5) AS first_types,
-       list_sort(list_distinct(list(event_type))) AS type_set,
+       COALESCE(array_to_string(list(event_type ORDER BY event_id) FILTER (WHERE event_id % 100 < 5), ','), '') AS first_types,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS type_set,
        COUNT(*) AS n
 FROM events
 WHERE user_id < 10
@@ -340,24 +364,30 @@ def q62_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list with deterministic order (sort by a carried key —
     Spark's collect_list has no ORDER BY, so collect structs and sort) and
     collect_set (sorted: set order is engine-internal on both sides).
+    Output columns are ','-joined strings (Spark array_join ≡ DuckDB
+    array_to_string) so the driver's pandas canonicalizer — which cannot
+    sort/hash ndarray cells — gets scalar columns on both engines.
     Collection aggregates are bounded-group tools — never collect an
     unbounded group at scale."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     return (
         ev.groupBy("user_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("event_id") % 100 < 5,
-                            F.struct("event_id", "event_type"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("event_id") % 100 < 5,
+                                F.struct("event_id", "event_type"),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s.getField("event_type"),
                 ),
-                lambda s: s.getField("event_type"),
+                ",",
             ).alias("first_types"),
-            F.array_sort(F.collect_set("event_type")).alias("type_set"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_set"),
             F.count("*").alias("n"),
         )
         .orderBy("user_id")

@@ -38,12 +38,15 @@ def _norm_cell(v) -> str:
 
 
 def value_hash(rows: list[tuple], colnames: list[str]) -> str:
-    """Order-insensitive: hash each row (columns sorted by name), xor-combine."""
+    """Order-insensitive: hash each row (columns sorted by name), combine by
+    addition mod 2^128. Addition (unlike XOR) is multiplicity-sensitive: two
+    results with equal counts but different duplicated rows ({A,A,B,B} vs
+    {C,C,D,D}) no longer collide, so duplicate-row bugs can't cancel out."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     acc = 0
     for row in rows:
         token = "|".join(_norm_cell(row[i]) for i in order)
-        acc ^= int.from_bytes(hashlib.md5(token.encode()).digest()[:16], "big")
+        acc = (acc + int.from_bytes(hashlib.md5(token.encode()).digest()[:16], "big")) % (1 << 128)
     return f"{acc:032x}"
 
 
