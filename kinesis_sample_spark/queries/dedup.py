@@ -168,17 +168,103 @@ def q31_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash(seed: int):
+    # NB: must be a 1-arg lambda — a second (defaulted) parameter would
+    # make Spark's transform() pass the array index into it.
+    return lambda x: seeded_md5_long(x, seed)
+
+
+def gram_minhash_bands(g: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """MinHash-LSH band relation (doc_id, lang, len_bucket, band_idx,
+    band_val) over any relation with a ``grams`` array column — the
+    blocking helper that de-quadratics the char-gram (q33) and
+    edit-distance (q56) dedup families: candidates must collide on a
+    minhash band *inside* their (lang, len-bucket) block, so the block
+    self-join becomes an equi-join on hash buckets whose occupancy shrinks
+    as the corpus grows, instead of all-pairs within the block."""
+    n_bands = n_hashes // band_size
+    mh = g.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        *[
+            F.array_min(F.transform("grams", _minhash(s))).alias(f"m{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "_", *[f"m{b * band_size + i}" for i in range(band_size)]
+            ).alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    return mh.select(
+        "doc_id", "lang", "len_bucket", F.explode(F.array(*structs)).alias("b")
+    ).select("doc_id", "lang", "len_bucket", "b.band_idx", "b.band_val")
+
+
+def banded_block_candidates(g: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) whose (lang, len_bucket)
+    block AND one minhash band both collide."""
+    bands = gram_minhash_bands(g, n_hashes, band_size)
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def sql_gram_bands(n_hashes: int = 8, band_size: int = 2) -> str:
+    """Oracle-side mirror of :func:`gram_minhash_bands`: CTE bodies
+    ``gmh``/``gbands`` over an existing CTE ``g(doc_id, lang, len_bucket,
+    grams)``."""
+    n_bands = n_hashes // band_size
+    mh_cols = ",\n        ".join(
+        f"list_min(list_transform(grams, x -> {seeded_md5_long_sql('x', s)})) AS m{s}"
+        for s in range(n_hashes)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, lang, len_bucket, {idx} AS band_idx, {val} AS band_val FROM gmh".format(
+            idx=b,
+            val="||'_'||".join(
+                f"CAST(m{b * band_size + i} AS VARCHAR)" for i in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""gmh AS (
+    SELECT doc_id, lang, len_bucket, {mh_cols}
+    FROM g
+),
+gbands AS (
+    {band_selects}
+),
+gcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM gbands a JOIN gbands b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)"""
+
+
 def _verified_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with verified shingle-set intersection counts
     (doc_a, doc_b, n_inter, n_a, n_b) — unfiltered, so different
     similarity measures (jaccard q31, containment q113) share one
     pipeline."""
     docs3 = _docs_with_shingles(spark, sf_dir)
-
-    def _minhash(seed: int):
-        # NB: must be a 1-arg lambda — a second (defaulted) parameter would
-        # make Spark's transform() pass the array index into it.
-        return lambda x: seeded_md5_long(x, seed)
 
     # One signature relation, persisted: (doc_id, distinct shingle set,
     # 8 minhashes). Every later branch (banding, both candidate sides)
@@ -244,12 +330,17 @@ def _verified_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q32 — SimHash: 32-bit signature + hamming near-pairs via byte-band blocking.
+# q32 — SimHash: 60-bit signature + hamming near-pairs via 15-bit-band blocking.
 # ---------------------------------------------------------------------------
+SIMHASH_BITS = 60  # md5_long is a 60-bit hash — use its full width
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 → 32 768 bucket values
+
+
 def _spark_simhash_bits(tok_col: str = "tok"):
     h = md5_long(F.col(tok_col))
     bits = []
-    for j in range(32):
+    for j in range(SIMHASH_BITS):
         bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
         bits.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}"))
     return bits
@@ -259,12 +350,13 @@ def _sql_simhash_sum_cols() -> str:
     h = md5_long_sql("tok")
     return ",\n        ".join(
         f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(32)
+        for j in range(SIMHASH_BITS)
     )
 
 
 _SQL_SIMHASH_ASSEMBLE = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)" for j in range(32)
+    f"(CASE WHEN s{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
 )
 
 
@@ -280,7 +372,8 @@ sums AS (
 ),
 sig AS (SELECT doc_id, {_SQL_SIMHASH_ASSEMBLE} AS simhash FROM sums),
 bands AS (
-    SELECT doc_id, simhash, b.band_idx, (simhash >> (8 * b.band_idx)) & 255 AS band_val
+    SELECT doc_id, simhash, b.band_idx,
+           (simhash >> ({SIMHASH_BAND_BITS} * b.band_idx)) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
     FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
 ),
 cand AS (
@@ -295,10 +388,21 @@ ORDER BY doc_a, doc_b
 """,
 )
 def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unweighted 32-bit SimHash over distinct tokens; candidates must share
-    at least one of four 8-bit bands (pigeonhole: hamming ≤ 6 ⇒ ≥ 1 clean
-    byte), then exact hamming ≤ 6 filter. Scale: signature is one
-    aggregation; banding multiplies rows ×4 only."""
+    """Unweighted 60-bit SimHash over distinct tokens; candidates must share
+    one of four 15-bit bands, then exact hamming ≤ 6 filter.
+
+    Bucket-cardinality math (why 15-bit bands, not 8): each band bucket
+    join is quadratic *within a bucket*. With b-bit bands a corpus of n
+    docs puts ~n/2^b docs in a bucket, so candidate pairs per band are
+    ~n²/2^(b+1). At b=8 (256 buckets) a 10^9-doc corpus would produce
+    ~2·10^15 pairs per band — a scale-killer; at b=15 (32 768 buckets)
+    the same corpus yields ~1.5·10^13, a 128× reduction, and bucket
+    occupancy keeps shrinking as signatures spread over real text (the
+    uniform-occupancy estimate is the worst case). Recall: pigeonhole
+    guarantees a clean band only for hamming ≤ 3 (4 bands); pairs at
+    hamming 4–6 are found iff their bit errors cluster into ≤ 3 bands —
+    the oracle computes the identical banding, so the gate checks the
+    exact same semantics."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -307,19 +411,25 @@ def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = toks.groupBy("doc_id").agg(*_spark_simhash_bits())
     assemble = None
-    for j in range(32):
+    for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
             F.lit(0).cast("bigint")
         )
         assemble = term if assemble is None else assemble + term
     # persisted: the band self-join would otherwise recompute the whole
-    # token-explode + 32-bit-sum pipeline for each side.
+    # token-explode + 60-bit-sum pipeline for each side.
     sig = sums.select("doc_id", assemble.alias("simhash")).persist()
     bands = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, band_idx * 8) & 255"))
+        F.explode(F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(simhash, band_idx * {SIMHASH_BAND_BITS})"
+            f" & {(1 << SIMHASH_BAND_BITS) - 1}"
+        ),
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -345,23 +455,25 @@ def q32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q33 — character-4-gram jaccard with (lang, length-bucket) blocking.
+# q33 — character-4-gram jaccard, blocked by (lang, len-bucket) × minhash band.
 # ---------------------------------------------------------------------------
 @query(
     "q33_chargram_jaccard",
-    oracle="""
+    oracle=f"""
 WITH g AS (
     SELECT doc_id, lang, n_chars // 64 AS len_bucket,
            list_distinct(list_transform(range(1, length(text) - 2),
                                         i -> substring(text, i, 4))) AS grams
     FROM documents
 ),
+{sql_gram_bands()},
 pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.grams, b.grams)) AS n_inter,
-           len(a.grams) AS n_a, len(b.grams) AS n_b
-    FROM g a JOIN g b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(ga.grams, gb.grams)) AS n_inter,
+           len(ga.grams) AS n_a, len(gb.grams) AS n_b
+    FROM gcand c
+    JOIN g ga ON ga.doc_id = c.doc_a
+    JOIN g gb ON gb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
        n_inter / (n_a + n_b - n_inter) AS jaccard
@@ -372,9 +484,15 @@ ORDER BY doc_a, doc_b
 )
 def q33_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-shingle jaccard — catches near-dups that word shingles
-    miss (e.g. punctuation/whitespace edits). Blocking on (lang,
-    length-bucket) bounds the pair space; set ops run per-pair via array
-    intersect (JVM-side), no shingle explosion at all."""
+    miss (e.g. punctuation/whitespace edits). Candidates must share a
+    (lang, len-bucket) block AND a 2-of-8 minhash band over the gram set
+    (banded_block_candidates), so the candidate join is an equi-join on
+    hash buckets rather than all-pairs within the block — an (en,
+    popular-length) block with m docs generates ~m²/2 pairs under plain
+    blocking but only Σ_buckets (occupancy choose 2) ≈ m²·j-collision-rate
+    under banding (collision rate = 1-(1-j²)^4 ≈ 1% for unrelated word-soup
+    docs, ≈ 1 for the planted j≈0.98 pairs). Verification stays per-pair
+    via JVM-side array_intersect, no gram explosion."""
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select(
         "doc_id",
@@ -383,21 +501,18 @@ def q33_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")
         ).alias("grams"),
-    )
+    ).persist()
+    sets = g.select("doc_id", "grams")
     pairs = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        banded_block_candidates(g)
+        .join(sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
-            F.size(F.col("a.grams")).alias("n_a"),
-            F.size(F.col("b.grams")).alias("n_b"),
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb")).alias("n_inter"),
+            F.size("ga").alias("n_a"),
+            F.size("gb").alias("n_b"),
         )
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.queries import query
+from kinesis_sample_spark.queries.dedup import sql_gram_bands
 
 
 # ---------------------------------------------------------------------------
@@ -147,17 +148,21 @@ def q59_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q56_edit_distance_neardup",
-    oracle="""
+    oracle=f"""
 WITH g AS (
-    SELECT doc_id, lang, n_chars // 16 AS len_bucket, text
+    SELECT doc_id, lang, n_chars // 16 AS len_bucket,
+           list_distinct(list_transform(range(1, length(text) - 2),
+                                        i -> substring(text, i, 4))) AS grams
     FROM documents
 ),
+{sql_gram_bands()},
 pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(a.text, b.text) AS edit_dist,
-           length(a.text) AS len_a, length(b.text) AS len_b
-    FROM g a JOIN g b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           length(da.text) AS len_a, length(db.text) AS len_b
+    FROM gcand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, edit_dist,
        1.0 - edit_dist / GREATEST(len_a, len_b) AS similarity
@@ -167,30 +172,41 @@ ORDER BY doc_a, doc_b
 """,
 )
 def q56_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup with tight (lang, 16-char-bucket) blocking —
-    levenshtein is O(len²) per pair, so the blocking IS the operator at
-    scale: only same-language near-equal-length docs are compared. Catches
-    character-level edits that set-based methods dilute."""
+    """Edit-distance near-dup. levenshtein is O(len²) per pair, so the
+    candidate generation IS the operator at scale: pairs must share a
+    (lang, 16-char-len-bucket) block AND a 2-of-8 minhash band over their
+    char-4-gram sets (dedup.banded_block_candidates) — the block self-join
+    is an equi-join on hash buckets, not all-pairs within the block, so an
+    (en, popular-length) block of m docs costs ~m²·band-collision-rate
+    (≈ 1% for unrelated docs) instead of m²/2 levenshtein evaluations.
+    Catches character-level edits that set-based methods dilute; the
+    gram-band prefilter keeps edit-similar docs because a small edit
+    perturbs few 4-grams (the planted near-dups sit at gram-jaccard ≈
+    0.9+, band-collision ≈ 1)."""
+    from kinesis_sample_spark.queries.dedup import banded_block_candidates
+
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     g = docs.select(
-        "doc_id", "lang", (F.col("n_chars") / 16).cast("bigint").alias("len_bucket"), "text"
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 16).cast("bigint").alias("len_bucket"),
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")
+        ).alias("grams"),
     )
+    texts = docs.select("doc_id", "text")
     pairs = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        banded_block_candidates(g)
+        .join(texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")), "doc_a")
+        .join(texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")), "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
-            F.length(F.col("a.text")).alias("len_a"),
-            F.length(F.col("b.text")).alias("len_b"),
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+            F.length("text_a").alias("len_a"),
+            F.length("text_b").alias("len_b"),
         )
     )
     sim = F.lit(1.0) - F.col("edit_dist") / F.greatest("len_a", "len_b")

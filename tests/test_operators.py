@@ -136,3 +136,19 @@ def test_contract_works_on_bare_session(spark):
         assert dict(df.dtypes)["ts"] == "timestamp"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_banded_dedup_recall_matches_all_pairs(spark):
+    """The minhash-band blocking added to q33/q56 (and q32's 15-bit bands)
+    is a candidate *prefilter* — it must not lose the planted near-dup
+    pairs the all-pairs-in-block semantics find at sf0.01. Counts are
+    pinned against the static fixture (verified against a DuckDB all-pairs
+    run: q33=5, q56=4, q31=25 planted pairs)."""
+    from kinesis_sample_spark.queries import load_registry
+
+    reg = load_registry()
+    sf = "/root/testdata/sf0.01"
+    assert reg["q31_minhash_lsh"].fn(spark, sf).count() == 25
+    assert reg["q33_chargram_jaccard"].fn(spark, sf).count() == 5
+    assert reg["q56_edit_distance_neardup"].fn(spark, sf).count() == 4
+    assert reg["q32_simhash_pairs"].fn(spark, sf).count() > 0

@@ -240,3 +240,30 @@ def test_runtime_bloom_filter_injects(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         set_runtime_bloom_filters(spark, True)  # restore defaults
+
+
+def test_q32_band_join_is_hash_equijoin(spark):
+    """The SimHash candidate self-join must be an equi-join on
+    (band_idx, band_val) — never a nested-loop/cartesian over signatures.
+    With 15-bit bands the bucket domain is 32 768 values per band; the
+    equi-join is what keeps candidate generation ~n²/2^16 per band instead
+    of n²/2 (see the q32 docstring's bucket-cardinality math)."""
+    from kinesis_sample_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q32_simhash_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan  # the band key reaches a join, not a filter
+
+
+def test_banded_block_candidates_equijoin(spark):
+    """q33/q56 share banded_block_candidates: the block join must be an
+    equi-join keyed on (lang, len_bucket, band_idx, band_val), not an
+    all-pairs product within the block."""
+    from kinesis_sample_spark.plans.inspect import formatted_plan
+
+    for name in ("q33_chargram_jaccard", "q56_edit_distance_neardup"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "band_val" in plan, name

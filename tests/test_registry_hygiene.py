@@ -1,0 +1,75 @@
+"""Registry hygiene: keep the driver's 50-entry correctness window pointed
+at the frontier.
+
+The external driver hash-checks only the first 50 registry entries per
+round, so iteration order is the verification budget. These tests pin the
+two invariants that protect it:
+
+1. every registry entry carries an oracle, or documents its rows-only
+   rationale in the docstring (so "no oracle" is always a decision, never
+   an accident), and
+2. the first 50 entries contain no query that already has green driver
+   rows in two consecutive rounds — re-verifying settled queries wastes
+   window slots that unverified queries need.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+from kinesis_sample_spark.queries import DRIVER_WINDOW, load_registry
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REGISTRY = load_registry()
+
+WINDOW_SIZE = 50
+
+
+def test_driver_window_is_exactly_the_driver_budget():
+    assert len(DRIVER_WINDOW) == WINDOW_SIZE
+    assert len(set(DRIVER_WINDOW)) == WINDOW_SIZE, "duplicate names in DRIVER_WINDOW"
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"DRIVER_WINDOW names not in registry: {missing}"
+    assert list(REGISTRY)[:WINDOW_SIZE] == list(DRIVER_WINDOW)
+
+
+def test_every_entry_has_oracle_or_documented_rationale():
+    undocumented = [
+        n
+        for n, q in REGISTRY.items()
+        if q.oracle is None and "rows-only" not in q.doc.lower()
+    ]
+    assert not undocumented, (
+        f"queries without oracle nor a 'rows-only' docstring rationale: {undocumented}"
+    )
+
+
+def _green_sets_by_round() -> dict[int, set[str]]:
+    """Queries with all three gates true, per CORRECTNESS_r{N}.json round."""
+    out: dict[int, set[str]] = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rows = json.loads(p.read_text())
+        out[int(m.group(1))] = {
+            n
+            for n, r in rows.items()
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+        }
+    return out
+
+
+def test_window_excludes_twice_green_queries():
+    """No slot in the 50-entry window may be spent on a query whose
+    correctness is already settled by green rows in two consecutive
+    driver rounds (one green row can be luck; two in a row is evidence)."""
+    greens = _green_sets_by_round()
+    settled: set[str] = set()
+    for r in sorted(greens):
+        if r - 1 in greens:
+            settled |= greens[r] & greens[r - 1]
+    stale = settled & set(DRIVER_WINDOW)
+    assert not stale, f"window wastes slots on twice-green queries: {sorted(stale)}"
