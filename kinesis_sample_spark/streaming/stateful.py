@@ -18,6 +18,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "partitionKey string, n_records bigint, total_batches int"
@@ -50,6 +51,90 @@ def stateful_key_counts(env: DataFrame) -> DataFrame:
         _track_counts,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — bounded per-record retry with attempt bookkeeping.
+# ---------------------------------------------------------------------------
+RETRY_OUTPUT_SCHEMA = (
+    "sequenceNumber string, result string, ok boolean, attempts int, dlq_reason string"
+)
+RETRY_STATE_SCHEMA = "attempts int, exhausted boolean"
+
+
+def retry_process(
+    env: DataFrame,
+    process,
+    *,
+    max_attempts: int = 10,
+    backoff_s: float = 0.0,
+):
+    """The reference's per-record retry loop (Proc:63-91: up to 10
+    attempts, 3 s backoff, then skip) as a stateful streaming operator —
+    with two fidelity upgrades over the reference:
+
+    - the skipped record is not silent: it lands in the output with
+      ``ok = false`` and ``attempts = max_attempts`` (callers split it to
+      the DLQ via :func:`kinesis_sample_spark.streaming.dlq.split_dlq`-style
+      filtering on ``ok``), and
+    - the attempt count lives in the state store, keyed by
+      ``sequenceNumber``: a poison record redelivered after a lease loss /
+      micro-batch replay (A14) short-circuits straight to the DLQ row
+      instead of burning another ``max_attempts`` executions.
+
+    ``process(payload: str, attempt: int) -> str`` runs executor-side
+    (Arrow-batched); a raise counts as a failed attempt. Retries within
+    one trigger are synchronous with ``backoff_s`` sleep between attempts,
+    exactly like the reference's loop; state is per-record and removed on
+    success, so state size tracks in-flight + poison records only."""
+    import time
+
+    def _retry(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        seq = key[0]
+        prior_attempts, exhausted = state.get if state.exists else (0, False)
+        rows = []
+        for pdf in pdfs:
+            for payload in pdf["payload"]:
+                if exhausted:
+                    # redelivered poison: report, don't re-execute
+                    rows.append((seq, None, False, prior_attempts, "exhausted:redelivered"))
+                    continue
+                err = None
+                attempt = prior_attempts
+                while attempt < max_attempts:
+                    attempt += 1
+                    try:
+                        result = process(payload, attempt)
+                        rows.append((seq, result, True, attempt, None))
+                        err = None
+                        break
+                    except Exception as e:  # noqa: BLE001 — any raise = failed attempt
+                        err = f"{type(e).__name__}: {e}"
+                        if attempt < max_attempts and backoff_s:
+                            time.sleep(backoff_s)
+                else:
+                    exhausted = True
+                    prior_attempts = attempt
+                    rows.append((seq, None, False, attempt, err))
+        if exhausted:
+            state.update((prior_attempts, True))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            rows, columns=["sequenceNumber", "result", "ok", "attempts", "dlq_reason"]
+        )
+
+    decoded = env.select(
+        "sequenceNumber",
+        F.col("data").cast("string").alias("payload"),
+    )
+    return decoded.groupBy("sequenceNumber").applyInPandasWithState(
+        _retry,
+        outputStructType=RETRY_OUTPUT_SCHEMA,
+        stateStructType=RETRY_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -96,3 +96,44 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     assert streamed.exceptAll(expected).count() == 0
     assert expected.exceptAll(streamed).count() == 0
     assert streamed.count() > 0
+
+
+def test_retry_process_bounded_attempts_then_dlq(spark, tmp_path):
+    """A11 fidelity (Proc:63-91): a poison record is attempted exactly
+    max_attempts times then surfaced with ok=false and its attempt count
+    (not silently skipped); a transiently-failing record succeeds on the
+    attempt where the failure clears; healthy records pass first try."""
+    from kinesis_sample_spark.streaming.stateful import retry_process
+
+    events_dir = write_stream_fixture(spark, SF, str(tmp_path), n_files=2)
+    env = envelope_from_events(replay_events_stream(spark, events_dir, files_per_trigger=1))
+
+    def process(payload: str, attempt: int) -> str:
+        if payload.endswith("0"):          # permanent poison
+            raise ValueError(payload)
+        if payload.endswith("1") and attempt < 2:  # transient: clears on attempt 2
+            raise ValueError(payload)
+        return payload
+
+    q = (
+        retry_process(env, process, max_attempts=3)
+        .writeStream.format("memory")
+        .queryName("t_retry")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_retry").collect()
+    assert rows
+    poison = [r for r in rows if not r["ok"]]
+    assert poison, "fixture should contain payloads ending in '0'"
+    for r in poison:
+        assert r["attempts"] == 3
+        assert r["result"] is None
+        assert "ValueError" in r["dlq_reason"]
+        assert r["dlq_reason"].endswith("0")
+    for r in rows:
+        if not r["ok"]:
+            continue
+        assert r["attempts"] == (2 if r["result"].endswith("1") else 1)

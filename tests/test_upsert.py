@@ -65,3 +65,21 @@ def test_streaming_cdc_upsert(spark, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_upsert_recovers_from_backup(spark, tmp_path):
+    """Crash simulation: if a batch died between the publish renames
+    (live table moved to __bak, replacement not yet renamed in), the next
+    batch must read the backup — not silently restart from empty."""
+    import shutil
+
+    table = str(tmp_path / "t")
+    apply_fn = foreach_batch_upsert(table, "k", "ver")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], ["k", "v", "ver"])
+    apply_fn(b1, 0)
+    shutil.move(table, table + "__bak")  # the crash window
+
+    b2 = spark.createDataFrame([(2, "b2", 2)], ["k", "v", "ver"])
+    apply_fn(b2, 1)
+    out = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert out == {1: "a", 2: "b2"}, "history from the backup must survive"
