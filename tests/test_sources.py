@@ -130,3 +130,36 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     # history rows are null-filled for the new column, new rows carry it
     assert merged.filter(F.col("ingest_tag").isNull()).count() == n
     assert merged.filter(F.col("ingest_tag") == "v2").count() == n
+
+
+def test_kinesis_integration_smoke(spark):
+    """Real-AWS integration smoke for sources/kinesis.py (A3-A7) — gated
+    behind KINESIS_SMOKE_STREAM/KINESIS_SMOKE_REGION env vars because CI
+    has no AWS credentials or network. When set, the admin surface must
+    round-trip (describe/create-if-missing/wait/list) and the connector
+    source must either load (jar present) or raise the documented
+    guidance error (jar absent) — never fail silently."""
+    import os
+
+    import pytest
+
+    stream = os.environ.get("KINESIS_SMOKE_STREAM")
+    region = os.environ.get("KINESIS_SMOKE_REGION")
+    if not stream or not region:
+        pytest.skip("set KINESIS_SMOKE_STREAM + KINESIS_SMOKE_REGION to run")
+
+    from kinesis_sample_spark.sources.kinesis import (
+        ensure_stream,
+        kinesis_source,
+        list_streams,
+        wait_for_active,
+    )
+
+    ensure_stream(stream, region)
+    wait_for_active(stream, region)
+    assert stream in list_streams(region)
+    try:
+        df = kinesis_source(spark, stream, region)
+        assert "data" in df.columns
+    except RuntimeError as e:
+        assert "connector" in str(e)
