@@ -143,6 +143,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.similarity",
     "kinesis_sample_spark.queries.text",
     "kinesis_sample_spark.queries.multimodal",
+    "kinesis_sample_spark.queries.pipeline_ops",
 )
 
 
