@@ -18,6 +18,15 @@ Spark batch jobs:
   pushdown story asserted in tests/test_plans.py — the filter only helps
   if the stats let the scan skip.
 
+- **Z-order clustering**: single-column range clustering makes the sort
+  column's stats tight but leaves every *other* column's per-file range
+  at the full domain — a filter on the second column skips nothing.
+  Interleaving the bits of two (or more) normalized key columns into one
+  Morton code and range-clustering on *that* trades a little tightness on
+  each dimension for usable min/max stats on all of them, which is how
+  lakehouse engines (Delta OPTIMIZE ZORDER, Iceberg sort orders) make
+  multi-predicate scans cheap.
+
 Both rewrite to a fresh directory: on object stores an in-place rewrite
 is not atomic — production estates swap via a metastore pointer or a
 table format (see sources/table_formats.py).
@@ -75,3 +84,65 @@ def cluster_parquet(
         else df.repartitionByRange(*cols)
     )
     parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(out_path)
+
+
+_Z_BITS = 16  # bits per dimension in the Morton code (2 dims → 32-bit z-value)
+
+
+def zorder_parquet(
+    df: DataFrame,
+    out_path: str,
+    cols: list[str],
+    *,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` clustered on the Morton (z-order) interleaving of the
+    bit patterns of ``cols``, so per-file parquet min/max stats stay
+    narrow on *every* listed column, not just the first.
+
+    Each column is min/max-normalized to a ``_Z_BITS``-bit integer (the
+    min/max pass is one tiny aggregate — at 100 TB it is a metadata-scale
+    scan Spark serves from footer stats for raw columns), then the bits
+    are interleaved JVM-side with shift/or expressions — no UDF, stays in
+    whole-stage codegen. The z-value is a derived write-time column only;
+    it is dropped from the stored schema.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    scale = (1 << _Z_BITS) - 1
+    norm = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1
+        norm.append(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(float(mn)))
+                / F.lit(float(span))
+                * scale
+            ).cast("bigint")
+        )
+    z = F.lit(0).cast("bigint")
+    for j in range(_Z_BITS):
+        for d, nc in enumerate(norm):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(nc, j).bitwiseAND(F.lit(1)),
+                    j * len(norm) + d,
+                )
+            )
+    with_z = df.withColumn("__zval", z)
+    parted = (
+        with_z.repartitionByRange(n_files, "__zval")
+        if n_files
+        else with_z.repartitionByRange("__zval")
+    )
+    (
+        parted.sortWithinPartitions("__zval")
+        .drop("__zval")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -163,3 +163,24 @@ def test_kinesis_integration_smoke(spark):
         assert "data" in df.columns
     except RuntimeError as e:
         assert "connector" in str(e)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is Spark's other built-in columnar format: round-trip the events
+    table and confirm both value fidelity and that predicate pushdown
+    reaches the ORC scan (search-argument pushdown appears in the plan)."""
+    src = _events(spark)
+    path = str(tmp_path / "events_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    assert (
+        back.agg(F.sum("event_id").alias("s")).collect()[0].s
+        == src.agg(F.sum("event_id").alias("s")).collect()[0].s
+    )
+    plan = (
+        back.filter(F.col("user_id") == 7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:120]
