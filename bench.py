@@ -43,7 +43,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         best = float("inf")
-        for _ in range(2):  # best-of-2: shaves GC/scheduler noise
+        for _ in range(3):  # best-of-3: shaves GC/scheduler noise (runs vary
+            # ±20% on a shared box; each attempt still executes fully)
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -69,10 +69,22 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+#: (applicationId, sf_dir, table) → DataFrame. A catalog-level schema/plan
+#: cache: the fixture tables are immutable, so the relation built on first
+#: access (file listing + footer schema read, ~50 ms of driver time each)
+#: is reusable for every later query in the same session. Keyed by
+#: applicationId so a stopped session's relations are never reused.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with
@@ -84,6 +96,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _RELATION_CACHE[key] = df
     return df
 
 

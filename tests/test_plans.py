@@ -267,3 +267,32 @@ def test_banded_block_candidates_equijoin(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "band_val" in plan, name
+
+
+def test_q120_rerank_broadcasts_probe_sides(spark):
+    """Both the probe set and the brute-force query set are broadcast —
+    the corpus side must never shuffle for candidate generation."""
+    df = REGISTRY["q120_multiprobe_rerank"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q121_centroids_partial_aggregate(spark):
+    """The quantized sums must combine map-side: shuffle volume is
+    |labels|·dim partial rows per task, not the exploded components."""
+    df = REGISTRY["q121_label_centroids"].fn(spark, SF)
+    assert has_partial_aggregate(df)
+
+
+def test_q122_bloom_bits_broadcast(spark):
+    """The Bloom bit set joins the corpus probes as a broadcast — the
+    corpus gram side stays map-only before the per-doc count."""
+    df = REGISTRY["q122_bloom_decontamination"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q117_rules_scan_prunes_documents(spark):
+    """The Gopher-rule filter needs doc_id + text only — lang/source/
+    n_chars must be pruned from at least one documents scan."""
+    df = REGISTRY["q117_gopher_quality_rules"].fn(spark, SF)
+    for cols in scan_columns(df):
+        assert "lang" not in cols and "source" not in cols, cols
