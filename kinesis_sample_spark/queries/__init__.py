@@ -144,6 +144,9 @@ _MODULES = (
     "kinesis_sample_spark.queries.text",
     "kinesis_sample_spark.queries.multimodal",
     "kinesis_sample_spark.queries.pipeline_ops",
+    "kinesis_sample_spark.queries.graph",
+    "kinesis_sample_spark.queries.reweighting",
+    "kinesis_sample_spark.queries.redaction",
 )
 
 

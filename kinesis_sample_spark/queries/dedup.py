@@ -608,3 +608,71 @@ def q113_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= 0.9)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — canonical-document selection: clusters → keep-best policy.
+# ---------------------------------------------------------------------------
+@query(
+    "q127_canonical_selection",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIRS_BODY_TEMPLATE},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+ranked AS (
+    SELECT c.component, c.doc_id, d.n_chars,
+           row_number() OVER (
+               PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id
+           ) AS rn
+    FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ranked
+GROUP BY component
+ORDER BY component
+""",
+)
+def q127_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The policy step after q69's clustering: near-dup dedup doesn't
+    just *find* clusters, it must pick which member survives. The common
+    production policy is keep-the-longest (longest member usually has the
+    least truncation/boilerplate damage), tiebroken by doc_id for
+    determinism. One row per cluster: the canonical doc, member count and
+    total chars — the "what did dedup delete" audit a release needs.
+
+    Scale: reuses q31's verified pairs + connected components (see q69);
+    the selection itself is a row_number window partitioned by component —
+    cluster-sized partitions (tiny), not corpus-sized."""
+    from pyspark.sql import Window as W
+
+    from kinesis_sample_spark.operators.components import connected_components
+
+    pairs = q31_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = cc.select(F.col("node").alias("doc_id"), "component").join(docs, "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("component")
+    )

@@ -253,3 +253,51 @@ def q112_live_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — LIVE stream-static enrichment join.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_live_stream_static_enrich",
+    oracle="""
+WITH prof AS (
+  SELECT user_id,
+         CASE WHEN sum(CAST(value AS DECIMAL(18,6))) >= 18000
+              THEN 'high' ELSE 'low' END AS tier
+  FROM events GROUP BY user_id
+)
+SELECT 'partitionKey-' || CAST(e.user_id AS VARCHAR) AS partitionKey,
+       p.tier,
+       CAST(count(*) AS BIGINT) AS n_records
+FROM events e JOIN prof p ON p.user_id = e.user_id
+GROUP BY 1, 2
+ORDER BY partitionKey
+""",
+)
+def q126_live_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining streaming join shape: a live stream enriched against
+    a *batch* dimension (feature-store lookup — here a per-user value
+    tier computed from the batch events table, decimal-summed so the
+    threshold compare is exact in any engine). The dimension is broadcast
+    into every micro-batch — at 100 TB/day stream rates this is the only
+    join shape that needs no stream-side state at all. Aggregation after
+    the join runs in complete mode; the oracle replays the identical
+    enrich+count in batch SQL."""
+    from kinesis_sample_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"))
+        .select(
+            F.concat(F.lit("partitionKey-"), F.col("user_id").cast("string")).alias(
+                "partitionKey"
+            ),
+            F.when(F.col("sv") >= 18000, "high").otherwise("low").alias("tier"),
+        )
+    )
+    stream = envelope_from_events(_replay(spark, sf_dir))
+    joined = stream.join(F.broadcast(prof), "partitionKey")
+    agg = joined.groupBy("partitionKey", "tier").agg(F.count("*").alias("n_records"))
+    return _run(agg, "complete").orderBy("partitionKey")

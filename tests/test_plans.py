@@ -296,3 +296,29 @@ def test_q117_rules_scan_prunes_documents(spark):
     df = REGISTRY["q117_gopher_quality_rules"].fn(spark, SF)
     for cols in scan_columns(df):
         assert "lang" not in cols and "source" not in cols, cols
+
+
+def test_q123_weight_tables_broadcast(spark):
+    """Both 1024-row hashed-count tables join the exploded token stream
+    as broadcasts; the corpus side shuffles only on doc_id."""
+    df = REGISTRY["q123_importance_weights"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_q124_redaction_scan_prunes_events(spark):
+    """Redaction needs event_type/user_id/event_id/props — ts and value
+    must be pruned from the events scan."""
+    df = REGISTRY["q124_pii_redaction"].fn(spark, SF)
+    for cols in scan_columns(df):
+        assert "ts" not in cols and "value" not in cols, cols
+
+
+def test_q125_pagerank_no_cartesian(spark):
+    """Every PageRank iteration must be an equi-join on the edge key —
+    a cartesian/nested-loop anywhere would explode at graph scale."""
+    df = REGISTRY["q125_pagerank_part_supplier"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregate(df)
