@@ -417,3 +417,78 @@ def q83_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_user", "other_user", "cos_sim", "rank")
         .orderBy("query_user", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — contrastive pair mining (positives + hard negatives).
+# ---------------------------------------------------------------------------
+_N_HARD_NEG = 3
+
+
+@query(
+    "q129_hard_negative_mining",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS kind,
+           {_SQL_COS} AS cos_sim
+    FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, kind
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, kind, rank, neighbor_id, neighbor_label, cos_sim
+FROM ranked
+WHERE (kind = 'pos' AND rank = 1) OR (kind = 'neg' AND rank <= {_N_HARD_NEG})
+ORDER BY query_id, kind, rank
+""",
+)
+def q129_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data mining: per query, the closest
+    *same-label* vector (the positive) and the {3} closest *different-
+    label* vectors (hard negatives — near misses are what make the loss
+    informative; random negatives are trivially separable). Same plan
+    shape as q34 — broadcast query set, map-side scoring, window rank on
+    the tiny scored relation — so the corpus side never shuffles. At
+    production scale the same query swaps its scoring stage for q35/q37's
+    bucketed candidates; the mining logic (label split + per-kind rank)
+    is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("query_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.when(F.col("label") == F.col("query_label"), "pos")
+            .otherwise("neg")
+            .alias("kind"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id", "kind").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.filter(
+            ((F.col("kind") == "pos") & (F.col("rank") == 1))
+            | ((F.col("kind") == "neg") & (F.col("rank") <= _N_HARD_NEG))
+        )
+        .select(
+            "query_id", "query_label", "kind", "rank",
+            "neighbor_id", "neighbor_label", "cos_sim",
+        )
+        .orderBy("query_id", "kind", "rank")
+    )

@@ -580,3 +580,74 @@ def q108_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — winsorized (percentile-clipped) robust statistics.
+# ---------------------------------------------------------------------------
+@query(
+    "q128_winsorized_stats",
+    oracle=f"""
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type,
+         LEAST(GREATEST(e.value, p.p05), p.p95) AS clipped,
+         CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END AS ic,
+         p.p05, p.p95
+  FROM events e JOIN pct p USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(ic) AS BIGINT) AS n_clipped,
+       {sql_double("SUM(CAST(clipped AS DECIMAL(18,6)))")} AS winsor_sum,
+       max(p05) AS p05,
+       max(p95) AS p95
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip each group's values to its own [p05, p95]
+    before aggregating — is the standard robust-stats step before feature
+    normalization (a handful of outliers otherwise dominate a mean).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate
+    identically (bit-exact, proven by q48), so the clip bounds match; the
+    clipped sum goes through the exact-decimal path (functions/numeric)
+    so accumulation order can't fork the hash.
+
+    Scale: percentiles per group are one exact-percentile aggregation
+    (Spark sorts within groups); the 5-row bounds table broadcasts back
+    into a map-side clip; the final aggregation is partial+final. For
+    quantiles over billions of rows per group, swap percentile for
+    approx_percentile and gate with error-bound booleans like q61."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    c = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("clipped"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("int")
+        .alias("ic"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("ic").alias("n_clipped"),
+            F.sum(dec("clipped", "decimal(18,6)")).cast("double").alias("winsor_sum"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+        )
+        .orderBy("event_type")
+    )

@@ -322,3 +322,18 @@ def test_q125_pagerank_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_q128_bounds_broadcast_and_partial_agg(spark):
+    """The 5-row percentile-bounds table broadcasts back into the clip;
+    the winsorized sum combines map-side."""
+    df = REGISTRY["q128_winsorized_stats"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_q129_query_set_broadcast(spark):
+    """Contrastive mining scores map-side against a broadcast query set —
+    the corpus embeddings never shuffle for scoring."""
+    df = REGISTRY["q129_hard_negative_mining"].fn(spark, SF)
+    assert has_broadcast_join(df)
