@@ -138,3 +138,71 @@ def q98_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — cross-source contamination matrix.
+# ---------------------------------------------------------------------------
+_MAX_SRC_DF = 10  # stop-gram cap: grams in more sources than this are noise
+
+
+@query(
+    "q130_source_overlap_matrix",
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT source, unnest(grams) AS gram
+  FROM (
+    SELECT source, {_SQL_GRAMS} AS grams
+    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+  )
+),
+srcdf AS (SELECT gram, count(*) AS n_src FROM g GROUP BY gram),
+k AS (SELECT g.source, g.gram FROM g JOIN srcdf USING (gram) WHERE srcdf.n_src <= {_MAX_SRC_DF}),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM k GROUP BY source),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM k a JOIN k b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_shared, sa.n_grams AS n_a, sb.n_grams AS n_b
+FROM p
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+ORDER BY src_a, src_b
+""",
+)
+def q130_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: distinct word-5-gram overlap
+    counts per source pair, the corpus-composition audit run before
+    mixing sources (a crawl that mirrors another source inflates its
+    effective weight). Stop-gram hygiene: grams present in more than
+    {10} sources are boilerplate and excluded *before* the self-join —
+    that cap is what bounds the join fanout at scale (per surviving gram,
+    at most {10}·{9}/2 source pairs, independent of corpus size). The
+    per-gram relation shuffles once on gram; pair counts and the sizes
+    join are |sources|²-bounded, i.e. tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_array(F.split("text", " "), _NGRAM)
+    g = (
+        docs.select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    srcdf = g.groupBy("gram").agg(F.count("*").alias("n_src"))
+    k = g.join(srcdf.filter(F.col("n_src") <= _MAX_SRC_DF), "gram").select(
+        "source", "gram"
+    )
+    sizes = k.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = k.select(F.col("source").alias("src_a"), "gram")
+    b = k.select(F.col("source").alias("src_b"), "gram")
+    p = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        p.join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n_grams", "n_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n_grams", "n_b")), "src_b")
+        .select("src_a", "src_b", "n_shared", "n_a", "n_b")
+        .orderBy("src_a", "src_b")
+    )

@@ -301,3 +301,68 @@ def q126_live_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFram
     joined = stream.join(F.broadcast(prof), "partitionKey")
     agg = joined.groupBy("partitionKey", "tier").agg(F.count("*").alias("n_records"))
     return _run(agg, "complete").orderBy("partitionKey")
+
+
+# ---------------------------------------------------------------------------
+# q131 — LIVE session windows (dynamic-gap state merging).
+# ---------------------------------------------------------------------------
+_SESSION_GAP_S = 7200  # 2 h; fixture gaps never come within 1 s of this
+
+
+@query(
+    "q131_live_session_windows",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, date_trunc('milliseconds', ts) AS ts_ms FROM events
+),
+d AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+                   > INTERVAL {_SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, ts_ms,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT 'partitionKey-' || CAST(user_id AS VARCHAR) AS partitionKey,
+       min(ts_ms) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sess
+ORDER BY partitionKey, session_start
+""",
+)
+def q131_live_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows are the one event-time window Spark must *merge
+    state* for (a late event can fuse two open sessions) — exercised
+    here LIVE via ``F.session_window`` over the replayed envelope, one
+    row per (user, session). The oracle recomputes sessions serially as
+    gaps-and-islands SQL (lag → break flags → running sum), on
+    millisecond-truncated timestamps because the envelope payload
+    carries millis (fixture gaps sit hours from the 2 h threshold, so
+    truncation can never flip a boundary). Scale: session state is
+    per-key and windows close ``gap`` after the key's last event —
+    state size tracks *active* keys, not history; the batch shape is a
+    single keyed aggregation."""
+    from kinesis_sample_spark.streaming.dlq import split_dlq
+    from kinesis_sample_spark.streaming.envelope import decode_envelope
+
+    stream = decode_envelope(envelope_from_events(_replay(spark, sf_dir)))
+    good, _ = split_dlq(stream, "event_ts")
+    agg = (
+        good.groupBy(
+            F.session_window("event_ts", f"{_SESSION_GAP_S} seconds"),
+            "partitionKey",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "partitionKey",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run(agg, "complete").orderBy("partitionKey", "session_start")

@@ -337,3 +337,12 @@ def test_q129_query_set_broadcast(spark):
     the corpus embeddings never shuffle for scoring."""
     df = REGISTRY["q129_hard_negative_mining"].fn(spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_q130_overlap_gram_equijoin(spark):
+    """The source-pair overlap must come from an equi-join on gram (with
+    the stop-gram cap bounding fanout) — never a cartesian of sources."""
+    df = REGISTRY["q130_source_overlap_matrix"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
