@@ -186,10 +186,13 @@ def q130_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         docs.select("source", F.explode(grams).alias("gram"))
         .distinct()
+        .persist()  # read 2×: stop-gram df + the kept relation below
     )
     srcdf = g.groupBy("gram").agg(F.count("*").alias("n_src"))
-    k = g.join(srcdf.filter(F.col("n_src") <= _MAX_SRC_DF), "gram").select(
-        "source", "gram"
+    k = (
+        g.join(srcdf.filter(F.col("n_src") <= _MAX_SRC_DF), "gram")
+        .select("source", "gram")
+        .persist()  # read 3×: both self-join sides + per-source sizes
     )
     sizes = k.groupBy("source").agg(F.count("*").alias("n_grams"))
     a = k.select(F.col("source").alias("src_a"), "gram")
