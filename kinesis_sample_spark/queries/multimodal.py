@@ -153,3 +153,78 @@ def q65_pandas_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "label", vector_norm("embedding").alias("norm"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — frame sampling: 1:N mapInPandas over binary "video" payloads.
+# ---------------------------------------------------------------------------
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4  # keep every 4th frame
+_MAX_FRAMES = 5  # per document
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, n_frames bigint, checksum bigint"
+
+
+def sample_frames(data: bytes) -> list[dict]:
+    """Stub frame decoder: treat the payload as fixed-16-byte frames and
+    keep every 4th, max 5 — the deterministic stand-in for "decode video,
+    sample keyframes" (a real libav build would replace the slicing, not
+    the pipeline). Emits byte-checksum features per kept frame."""
+    n_frames = -(-len(data) // _FRAME_BYTES)
+    out = []
+    for i in list(range(0, n_frames, _FRAME_STRIDE))[:_MAX_FRAMES]:
+        frame = data[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+        out.append({"frame_idx": i, "n_frames": n_frames, "checksum": sum(frame) % 997})
+    return out
+
+
+def _sample_frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
+            for f in sample_frames(data):
+                rows.append((doc_id, f["frame_idx"], f["n_frames"], f["checksum"]))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "n_frames", "checksum"])
+
+
+@query(
+    "q133_frame_sampling",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+),
+idx AS (
+  SELECT doc_id, L,
+         unnest(list_slice(range(0, CAST(ceil(L / {_FRAME_BYTES}.0) AS BIGINT),
+                                 {_FRAME_STRIDE}), 1, {_MAX_FRAMES})) AS frame_idx,
+         text
+  FROM f
+),
+fr AS (
+  SELECT doc_id, frame_idx,
+         CAST(ceil(L / {_FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+         substring(text, frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES}) AS sub
+  FROM idx
+)
+SELECT doc_id, frame_idx, n_frames,
+       CAST(list_aggregate(list_transform(range(1, len(sub) + 1),
+                                          i -> ascii(substring(sub, i, 1))), 'sum')
+            % 997 AS BIGINT) AS checksum
+FROM fr
+ORDER BY doc_id, frame_idx
+""",
+)
+def q133_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling over binary media: unlike q50's 1:1 feature
+    extraction, every input row fans out to N output rows inside the
+    Arrow batch iterator — the mapInPandas shape video/audio pipelines
+    actually need (decode once, emit per-frame/per-segment rows). The
+    oracle slices the same frames out of the UTF-8 stand-in payload in
+    SQL, so frame boundaries, stride sampling, and per-frame checksums
+    are all value-gated. Scale: map-only until the final sort; payload
+    bytes cross into Python once per row via Arrow, already partitioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    return media.mapInPandas(_sample_frames_batches, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -651,3 +651,90 @@ def q128_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — count-min sketch vs exact heavy hitters.
+# ---------------------------------------------------------------------------
+_CMS_DEPTH = 3
+_CMS_WIDTH = 2048
+_CMS_TOP = 20
+
+
+def _cms_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import seeded_md5_long_sql
+
+    rows = "\n".join(
+        f"c{j} AS (SELECT {seeded_md5_long_sql('tok', j)} % {_CMS_WIDTH} AS b, "
+        f"CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),"
+        for j in range(_CMS_DEPTH)
+    )
+    joins = "\n".join(
+        f"JOIN c{j} ON c{j}.b = {seeded_md5_long_sql('t.tok', j)} % {_CMS_WIDTH}"
+        for j in range(_CMS_DEPTH)
+    )
+    least = "LEAST(" + ", ".join(f"c{j}.c" for j in range(_CMS_DEPTH)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+{rows}
+top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT {_CMS_TOP}
+)
+SELECT t.tok, t.exact_n, {least} AS cms_n, {least} - t.exact_n AS overcount
+FROM top t
+{joins}
+ORDER BY exact_n DESC, tok
+"""
+
+
+@query("q132_countmin_heavy_hitters", oracle=_cms_oracle())
+def q132_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with the engine-portable md5 hash family: because
+    every cell is an integer count under deterministic hashes, the whole
+    *approximate* structure is hash-gated — the oracle rebuilds the
+    identical 3×2048 sketch serially and LEAST-reads it. Output: the
+    exact top-20 tokens with their CMS estimate and the overcount
+    (CMS ≥ exact by construction; the visible overcount IS the
+    collision-error audit).
+
+    Scale: the sketch build is groupBy over (row, bucket) — map-side
+    combine caps every task's output at depth·width = 6144 rows no
+    matter the corpus size, and the finished sketch (≤6144 rows)
+    broadcasts back to score any candidate set. This is the structure
+    that answers "how often does ANY token occur" in one broadcast
+    lookup, where the exact per-token table would be vocabulary-sized."""
+    from kinesis_sample_spark.functions.hashing import seeded_md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(_CMS_TOP)
+    )
+    out = exact
+    ests = []
+    for j in range(_CMS_DEPTH):
+        cms_j = (
+            toks.select((seeded_md5_long(F.col("tok"), j) % _CMS_WIDTH).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias(f"c{j}"))
+        )
+        out = out.withColumn(f"b{j}", seeded_md5_long(F.col("tok"), j) % _CMS_WIDTH).join(
+            F.broadcast(cms_j), F.col(f"b{j}") == F.col("b"), "inner"
+        ).drop("b", f"b{j}")
+        ests.append(F.col(f"c{j}"))
+    return (
+        out.select(
+            "tok",
+            "exact_n",
+            F.least(*ests).alias("cms_n"),
+            (F.least(*ests) - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "tok")
+    )
