@@ -147,6 +147,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.graph",
     "kinesis_sample_spark.queries.reweighting",
     "kinesis_sample_spark.queries.redaction",
+    "kinesis_sample_spark.queries.formats",
 )
 
 

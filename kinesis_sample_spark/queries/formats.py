@@ -1,0 +1,88 @@
+"""File-format round-trips under the value-hash gate.
+
+tests/test_sources.py unit-tests JSON/CSV/ORC round-trips; these queries
+put the same paths under the *driver* gate: each writes the events table
+out in a non-parquet format, reads it back, and aggregates — while the
+oracle aggregates straight from the original parquet. Any value lost or
+mangled in the writer→reader round trip (float text precision, quoting,
+type mapping) breaks the hash.
+
+Double fidelity note: Spark's JSON and CSV writers serialize doubles via
+Java's shortest-round-trip rendering, so read-back doubles are
+bit-identical — which is exactly the property the gate checks. Timestamps
+are excluded here (format-pinning is exercised in the unit tests); the
+exact-decimal sum follows functions/numeric.py.
+
+Scale: the round trip is a full write + read of the table — these are
+IO-fidelity gates, not perf paths (and are deliberately NOT in the bench
+set). Aggregations are partial+final as everywhere.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import sql_double
+from kinesis_sample_spark.queries import query
+
+_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+_AGG_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_double("SUM(CAST(value AS DECIMAL(18,6)))")} AS total_value,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _agg(back: DataFrame) -> DataFrame:
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _events_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query("q134_json_roundtrip_agg", oracle=_AGG_ORACLE)
+def q134_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines on disk → schema-pinned read-back → aggregate;
+    oracle reads the original parquet. Gates the JSON writer/reader pair
+    end-to-end (double text precision included)."""
+    out = tempfile.mkdtemp(prefix="kss_json_")
+    _events_subset(spark, sf_dir).write.mode("overwrite").json(out)
+    return _agg(spark.read.schema(_SCHEMA).json(out))
+
+
+@query("q135_csv_roundtrip_agg", oracle=_AGG_ORACLE)
+def q135_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through the CSV writer/reader (headered, schema-pinned —
+    CSV's untyped text is where quoting/precision bugs live)."""
+    out = tempfile.mkdtemp(prefix="kss_csv_")
+    _events_subset(spark, sf_dir).write.mode("overwrite").option("header", True).csv(out)
+    return _agg(spark.read.schema(_SCHEMA).option("header", True).csv(out))
+
+
+@query("q136_orc_roundtrip_agg", oracle=_AGG_ORACLE)
+def q136_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through ORC (binary columnar — the second warehouse
+    format next to parquet)."""
+    out = tempfile.mkdtemp(prefix="kss_orc_")
+    _events_subset(spark, sf_dir).write.mode("overwrite").orc(out)
+    return _agg(spark.read.orc(out))

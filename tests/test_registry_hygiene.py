@@ -73,3 +73,27 @@ def test_window_excludes_twice_green_queries():
             settled |= greens[r] & greens[r - 1]
     stale = settled & set(DRIVER_WINDOW)
     assert not stale, f"window wastes slots on twice-green queries: {sorted(stale)}"
+
+
+def test_no_degenerate_zero_row_oracles():
+    """A 0-row result passes the hash gate trivially (empty == empty), so
+    a query that silently filters everything out would look green while
+    checking nothing. Every oracle must return rows at sf0.01."""
+    import duckdb
+
+    from kinesis_sample_spark.queries import load_registry
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'"
+        )
+    zero = [
+        name
+        for name, q in load_registry().items()
+        if q.oracle is not None and not con.execute(q.oracle).fetchall()
+    ]
+    assert not zero, f"degenerate 0-row oracles: {zero}"
