@@ -676,3 +676,56 @@ def q127_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — dedup audit: near-duplication rate per source.
+# ---------------------------------------------------------------------------
+@query(
+    "q138_dedup_rate_per_source",
+    oracle=f"""
+WITH {_SQL_PAIRS_BODY_TEMPLATE},
+dup_docs AS (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION
+    SELECT doc_b FROM pairs
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dd.doc_id) AS BIGINT) AS n_in_dup_pairs,
+       CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS dup_chars
+FROM documents d
+LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def q138_dedup_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dedup report a corpus release publishes: how many
+    of each source's documents sit in a verified near-dup pair, and how
+    many chars that duplication represents. A source with an outlier
+    dup-rate is either a mirror of another source (see q130) or a
+    boilerplate farm — both change its mixing weight (q119). Reuses
+    q31's verified pairs; the per-source rollup is a left join against
+    the (tiny) distinct dup-doc set, broadcast by Catalyst."""
+    pairs = q31_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    j = docs.join(F.broadcast(dup_docs), "doc_id", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_dup").alias("n_in_dup_pairs"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("dup_chars"),
+        )
+        .orderBy("source")
+    )

@@ -245,3 +245,64 @@ def q114_revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — curriculum bins: ntile deciles over a lexical-diversity score.
+# ---------------------------------------------------------------------------
+@query(
+    "q137_curriculum_bins",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS score
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, score,
+         ntile(10) OVER (ORDER BY score DESC, doc_id) AS bin
+  FROM s
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(score) AS min_score,
+       max(score) AS max_score
+FROM b
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def q137_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: split the corpus into 10 equal-population
+    quality deciles (lexical-diversity score, doc_id tie-broken so the
+    total order — and therefore every ntile edge — is deterministic in
+    both engines) with per-bin token budgets. Exact division of two ints
+    is a correctly-rounded IEEE op, identical across engines.
+
+    Scale note: a global ntile is a total sort — fine for the gate, but
+    at 100 TB you'd compute decile *boundaries* (approx_percentile),
+    broadcast them, and bucket map-side; identical bins whenever scores
+    are distinct. Same trade q48 documents for global percentiles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias("score"),
+    )
+    b = s.withColumn(
+        "bin", F.ntile(10).over(W.orderBy(F.desc("score"), "doc_id"))
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("bin")
+    )

@@ -152,3 +152,31 @@ def test_banded_dedup_recall_matches_all_pairs(spark):
     assert reg["q33_chargram_jaccard"].fn(spark, sf).count() == 5
     assert reg["q56_edit_distance_neardup"].fn(spark, sf).count() == 4
     assert reg["q32_simhash_pairs"].fn(spark, sf).count() > 0
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS invariant: min-over-rows of bucket counts >= true count for
+    every token (collisions only ever add). Checked on the fixture corpus
+    for the full vocabulary, not just the top-k the query outputs."""
+    from kinesis_sample_spark.functions.hashing import seeded_md5_long
+    from kinesis_sample_spark.queries.stats import _CMS_DEPTH, _CMS_WIDTH
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    out = exact
+    ests = []
+    for j in range(_CMS_DEPTH):
+        cms_j = (
+            toks.select((seeded_md5_long(F.col("tok"), j) % _CMS_WIDTH).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias(f"c{j}"))
+        )
+        out = (
+            out.withColumn(f"b{j}", seeded_md5_long(F.col("tok"), j) % _CMS_WIDTH)
+            .join(F.broadcast(cms_j), F.col(f"b{j}") == F.col("b"))
+            .drop("b", f"b{j}")
+        )
+        ests.append(F.col(f"c{j}"))
+    viol = out.filter(F.least(*ests) < F.col("exact_n")).count()
+    assert viol == 0
