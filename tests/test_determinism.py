@@ -73,3 +73,40 @@ def test_double_sum_is_not_invariant(spark):
     assert a.keys() == b.keys()
     # at least one group differs in the low bits (600k float adds)
     assert any(a[k] != b[k] for k in a), "double sums unexpectedly identical"
+
+
+def test_lsh_recall_vs_brute_force_ground_truth(spark):
+    """Completeness of the banded-LSH candidate generation: every pair
+    with true jaccard >= 0.8 (brute-force over all doc pairs, word-shingle
+    sets) must appear in q31's output. LSH banding is probabilistic in
+    general; the fixture's planted near-dups sit at j ~ 0.98 where two
+    4-hash bands detect with prob ~1 — a silent banding regression (wrong
+    band split, broken hash seed) would show up here as a recall hole."""
+    import itertools
+
+    from kinesis_sample_spark.queries import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    R = load_registry()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    shingles = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        if len(toks) < 3:
+            continue
+        shingles[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    truth = set()
+    for a, b in itertools.combinations(sorted(shingles), 2):
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a] | shingles[b])
+        if union and inter / union >= 0.8:
+            truth.add((a, b))
+    assert truth, "fixture should plant at least one near-dup pair at sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in R["q31_minhash_lsh"].fn(spark, sf).collect()
+    }
+    assert truth <= got, f"LSH missed true pairs: {sorted(truth - got)}"
+    assert got <= truth, f"LSH emitted false pairs: {sorted(got - truth)}"

@@ -180,3 +180,18 @@ def test_countmin_never_underestimates(spark):
         ests.append(F.col(f"c{j}"))
     viol = out.filter(F.least(*ests) < F.col("exact_n")).count()
     assert viol == 0
+
+
+def test_observe_metrics_match_aggregate(spark):
+    """df.observe() piggybacks metrics on a real action — the in-band
+    observability hook (A17's batch analogue; streaming uses
+    streaming/observe.py's listener). The observed sum/count must equal
+    the same aggregate computed as a query."""
+    from pyspark.sql import Observation
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    obs = Observation("ev")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+    observed.write.mode("overwrite").format("noop").save()
+    row = df.agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")).collect()[0]
+    assert obs.get["n"] == row["n"] and obs.get["s"] == row["s"]
