@@ -306,3 +306,59 @@ def q137_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — SCD2: build a slowly-changing dimension from the event change log.
+# ---------------------------------------------------------------------------
+@query(
+    "q139_scd2_intervals",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_id
+  FROM events
+),
+starts AS (
+  SELECT user_id, ts AS valid_from, event_type, event_id
+  FROM chg
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from, event_id,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+         AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+         IS NULL) AS is_current
+FROM starts
+ORDER BY user_id, valid_from, event_id
+""",
+)
+def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log: collapse
+    consecutive identical states per user (lag), then close each surviving
+    state with the next state's start (lead) — open interval = current
+    row. The standard warehouse transform from CDC feed to queryable
+    dimension; q27's as-of join is its read-side counterpart. Ties on ts
+    are ordered by event_id so both engines see one total order.
+
+    Scale: two window passes over the same (user_id × time) ordering —
+    Catalyst reuses the sort; state per key is O(1). The dimension builds
+    incrementally in production via foreachBatch upsert (operators/
+    upsert.py) with identical per-key logic."""
+    w_ord = [F.col("ts").asc(), F.col("event_id").asc()]
+    chg = W.partitionBy("user_id").orderBy(*w_ord)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    starts = (
+        ev.withColumn("prev_type", F.lag("event_type").over(chg))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = W.partitionBy("user_id").orderBy(F.col("valid_from").asc(), F.col("event_id").asc())
+    return (
+        starts.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from", "event_id")
+    )
