@@ -346,3 +346,12 @@ def test_q130_overlap_gram_equijoin(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q139_windows_share_one_shuffle(spark):
+    """Both window passes (lag-collapse, lead-close) order by the same
+    (user_id × time) key — Catalyst must reuse one hash exchange; the
+    only other exchange is the final presentation sort."""
+    df = REGISTRY["q139_scd2_intervals"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:800]
