@@ -729,3 +729,57 @@ def q138_dedup_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — the materialized workspace pipeline, driver-gated end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "q140_workspace_manifest",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIRS_BODY_TEMPLATE},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+ranked AS (
+    SELECT c.doc_id,
+           row_number() OVER (
+               PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id
+           ) AS rn
+    FROM comp c JOIN documents d USING (doc_id)
+),
+dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d
+LEFT JOIN dropped x ON x.doc_id = d.doc_id
+WHERE x.doc_id IS NULL
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def q140_workspace_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-job pipeline under the gate: run operators/workspace.py's
+    prepare_corpus (pairs → components → canonical → kept, each stage
+    materialized to parquet and read back) in a fresh workspace and
+    return the release manifest. The oracle recomputes the whole chain
+    serially — so the materialization seams (write → _SUCCESS → re-read)
+    are value-checked, not just the in-memory logic."""
+    import tempfile
+
+    from kinesis_sample_spark.operators.workspace import prepare_corpus
+
+    ws = tempfile.mkdtemp(prefix="kss_ws_")
+    stages = prepare_corpus(spark, sf_dir, ws)
+    return stages["manifest"].orderBy("source")

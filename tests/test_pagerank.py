@@ -57,3 +57,24 @@ def test_pagerank_total_mass_bounded(spark):
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     n = ranks.count()
     assert RANK_BASE * n < total <= RANK_SCALE * n
+
+
+def test_pagerank_random_graphs_match_replica(spark):
+    """Property check on adversarial small graphs (self-contained random
+    generator, fixed seeds): stars, chains, cliques and random mixtures
+    must all match the serial integer replica exactly."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = rng.randint(5, 18)
+        edges = {(rng.randint(1, n), rng.randint(1, n)) for _ in range(n * 2)}
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "a: long, b: long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_int(df, "a", "b", iterations=3).collect()
+        }
+        assert got == _serial_pagerank(edges, 3), f"seed {seed}"
