@@ -10,7 +10,7 @@ float-order hazards, so oracle parity is structural.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
@@ -202,4 +202,63 @@ def q111_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (seq_idx != end_idx).alias("straddles"),
         )
         .orderBy("source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — frequent-transition mining over per-user event sequences.
+# ---------------------------------------------------------------------------
+_MIN_SUPPORT = 350  # absolute count at sf0.01: ~9.9k transitions over 25 pairs ≈ 394 avg
+
+
+@query(
+    "q141_transition_mining",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS total FROM t)
+SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+       CAST(t.n AS DOUBLE) / tot.total AS support
+FROM t, tot
+WHERE t.n >= {_MIN_SUPPORT}
+ORDER BY n DESC, src, dst
+""",
+)
+def q141_transition_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral patterns, mined not pre-specified (q110's
+    funnel checks a FIXED pattern; this discovers which transitions are
+    common): per-user ordered event pairs via lead(), global counts,
+    absolute-support filter. support = n / total is an exact IEEE
+    division of two integers — engine-identical. At scale the heavy step
+    is the per-user window (one user_id shuffle); the transition table
+    is |event_types|² rows, trivially small, and the total is a
+    broadcast scalar."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    t = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    tot = t.agg(F.sum("n").alias("total"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") >= _MIN_SUPPORT)
+        .select(
+            "src",
+            "dst",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("support"),
+        )
+        .orderBy(F.desc("n"), "src", "dst")
     )

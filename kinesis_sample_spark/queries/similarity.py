@@ -492,3 +492,67 @@ def q129_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "kind", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — int8 embedding quantization with reconstruction-error audit.
+# ---------------------------------------------------------------------------
+_ONES = [1.0] * DIM
+
+
+@query(
+    "q142_int8_quantization",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, label, v,
+         list_min(v) AS vmin, list_max(v) AS vmax,
+         (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM e
+),
+err AS (
+  SELECT vec_id, label, vmin, vmax,
+         list_transform(v, x -> abs(x - (vmin +
+             (CASE WHEN scale = 0 THEN 0
+                   ELSE least(floor((x - vmin) / scale), 255) END) * scale)))
+           AS errs
+  FROM m
+)
+SELECT vec_id, label, vmin, vmax,
+       list_max(errs) AS max_err,
+       {sql_dot("errs", sql_plane_lit(_ONES))} AS l1_err
+FROM err
+ORDER BY vec_id
+""",
+)
+def q142_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max int8 quantization — the compression step that
+    makes billion-vector ANN affordable (4× smaller than float32, and
+    q121's integer-centroid trick needs quantized components anyway) —
+    with the reconstruction-error audit emitted in-band: max and L1
+    error per vector. Everything is per-row array arithmetic in exact
+    IEEE doubles (floor/least/abs; the L1 fold reuses the dot-product
+    machinery with a ones-vector so accumulation is sequential on both
+    engines). No shuffle at all: at 100 TB this is a map-only rewrite
+    of the embedding column."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    scale = (vmax - vmin) / F.lit(255.0)
+    dq = lambda x: vmin + F.when(scale == 0, F.lit(0)).otherwise(
+        F.least(F.floor((x - vmin) / scale), F.lit(255))
+    ) * scale
+    errs = F.transform(v, lambda x: F.abs(x - dq(x)))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            vmin.alias("vmin"),
+            vmax.alias("vmax"),
+            F.array_max(errs).alias("max_err"),
+            dot(errs, plane_lit(_ONES)).alias("l1_err"),
+        )
+        .orderBy("vec_id")
+    )
