@@ -148,6 +148,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.reweighting",
     "kinesis_sample_spark.queries.redaction",
     "kinesis_sample_spark.queries.formats",
+    "kinesis_sample_spark.queries.versioning",
 )
 
 

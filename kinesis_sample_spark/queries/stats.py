@@ -738,3 +738,87 @@ def q132_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — pairwise covariance moments over the fact table (one pass).
+# ---------------------------------------------------------------------------
+#: (column, cents-quantizer) pairs: each measure is lifted to an exact
+#: integer (×100 through DECIMAL(12,2), see functions/numeric.py) so the
+#: moment sums are order-independent integers, not doubles.
+_COV_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _int_cents(col: str) -> str:
+    return f"CAST(CAST({col} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "q145_covariance_moments",
+    oracle=(
+        "WITH q AS (SELECT "
+        + ", ".join(f"{_int_cents(c)} AS i{k}" for k, c in enumerate(_COV_COLS))
+        + " FROM lineitem), m AS (SELECT count(*) AS n, "
+        + ", ".join(f"sum(i{k}) AS s{k}" for k in range(len(_COV_COLS)))
+        + ", "
+        + ", ".join(
+            f"sum(CAST(i{a} AS HUGEINT) * i{b}) AS s{a}_{b}"
+            for a in range(len(_COV_COLS))
+            for b in range(a, len(_COV_COLS))
+        )
+        + " FROM q) SELECT x_col, y_col, n, sum_x, sum_y, sum_xy, "
+        "(sum_xy - sum_x * sum_y / n) / n AS cov_cents FROM ("
+        + " UNION ALL ".join(
+            f"SELECT '{_COV_COLS[a]}' AS x_col, '{_COV_COLS[b]}' AS y_col, "
+            f"CAST(n AS DOUBLE) AS n, CAST(s{a} AS DOUBLE) AS sum_x, "
+            f"CAST(s{b} AS DOUBLE) AS sum_y, CAST(s{a}_{b} AS DOUBLE) AS sum_xy "
+            "FROM m"
+            for a in range(len(_COV_COLS))
+            for b in range(a, len(_COV_COLS))
+        )
+        + ") ORDER BY x_col, y_col"
+    ),
+)
+def q145_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance matrix (10 unordered pairs over 4 measures)
+    from ONE aggregation pass: quantize each measure to exact integer
+    cents, accumulate count + 4 linear + 10 product moments as a single
+    map-side-combined Aggregate, then unpivot the 1-row result into
+    matrix rows driver-side-free (the unpivot runs over a 1-row
+    relation). Integer moment sums are associative, so a 1000-executor
+    sum equals the oracle's serial sum exactly; the covariance itself is
+    then derived in double from identical integers — bit-equal on both
+    engines. Product sums exceed int64 at scale, so they accumulate in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB).
+
+    This is the moment-sketch pattern: the full covariance matrix of a
+    100 TB table costs one scan and a constant-size (15-cell) state, the
+    same shape q99's OLS regression uses for its normal equations."""
+    k = len(_COV_COLS)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.expr(_int_cents(c)).alias(f"i{i}") for i, c in enumerate(_COV_COLS)]
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(f"i{a}").alias(f"s{a}") for a in range(k)]
+    aggs += [
+        F.sum(F.expr(f"CAST(i{a} AS DECIMAL(38,0)) * i{b}")).alias(f"s{a}_{b}")
+        for a in range(k)
+        for b in range(a, k)
+    ]
+    m = li.agg(*aggs)
+    stack_parts = ", ".join(
+        f"'{_COV_COLS[a]}', '{_COV_COLS[b]}', CAST(n AS DOUBLE), "
+        f"CAST(s{a} AS DOUBLE), CAST(s{b} AS DOUBLE), CAST(s{a}_{b} AS DOUBLE)"
+        for a in range(k)
+        for b in range(a, k)
+    )
+    n_pairs = k * (k + 1) // 2
+    return (
+        m.select(
+            F.expr(
+                f"stack({n_pairs}, {stack_parts}) AS (x_col, y_col, n, sum_x, sum_y, sum_xy)"
+            )
+        )
+        .withColumn("cov_cents", F.expr("(sum_xy - sum_x * sum_y / n) / n"))
+        .orderBy("x_col", "y_col")
+    )

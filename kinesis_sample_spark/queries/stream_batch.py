@@ -324,3 +324,107 @@ def q28_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(in_interval, F.col("p_id"))).alias("n_purchases_nearby"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — interval-overlap join (order activity windows × promo windows).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q146_interval_overlap_join",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderdate AS o_start,
+         o_orderdate + INTERVAL 3 DAY AS o_end
+  FROM orders
+),
+b AS (
+  SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+),
+w AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 11 DAY)) AS w_start FROM b
+),
+win AS (
+  SELECT w_start, w_start + INTERVAL 5 DAY AS w_end FROM w
+)
+SELECT win.w_start, win.w_end,
+       count(o.o_orderkey) AS n_orders
+FROM win LEFT JOIN o
+  ON o.o_start < win.w_end AND win.w_start < o.o_end
+GROUP BY win.w_start, win.w_end
+ORDER BY win.w_start
+""",
+)
+def q146_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: every order owns an activity
+    interval [orderdate, +3 days), promo windows of 5 days open every 11
+    days across the table's date range; count orders overlapping each
+    window (windows with zero orders kept).
+
+    The oracle states it as the theta join it is — which DuckDB's IEJoin
+    absorbs but Spark would nested-loop at O(n·m). The engine path blocks
+    both sides to 7-day buckets first: each interval explodes into the
+    few buckets it touches (≤2 for orders, ≤2 for windows), the join is a
+    plain hash equi-join on the bucket key, the exact overlap predicate
+    then prunes false bucket-mates, and a distinct collapses pairs that
+    met in two buckets. Candidate space shrinks from |orders|·|windows|
+    to co-bucketed pairs only — the same bucket-then-verify shape as q28
+    and the LSH families, applied to time intervals. Window generation is
+    a broadcast-scalar sequence (≤ hundreds of rows at any scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("o_start"),
+        F.expr("o_orderdate + INTERVAL 3 DAYS").alias("o_end"),
+    )
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    windows = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 11 DAYS)")).alias("w_start")
+    ).withColumn("w_end", F.expr("w_start + INTERVAL 5 DAYS"))
+
+    def week_bucket(expr: str) -> F.Column:
+        # o_orderdate is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP_LTZ —
+        # the session zone is pinned to UTC so the cast is deterministic
+        return (
+            F.unix_millis(F.expr(expr).cast("timestamp_ltz")) / (7 * 86400 * 1000)
+        ).cast("bigint")
+
+    # explode each side into every 7-day bucket its interval touches; the
+    # end bound is exclusive, so the last touched bucket is bucket(end - ε)
+    o_probes = o.select(
+        "o_orderkey",
+        "o_start",
+        "o_end",
+        F.explode(
+            F.sequence(
+                week_bucket("o_start"),
+                week_bucket("o_end - INTERVAL 1 MILLISECOND"),
+            )
+        ).alias("bucket"),
+    )
+    w_probes = windows.select(
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                week_bucket("w_start"),
+                week_bucket("w_end - INTERVAL 1 MILLISECOND"),
+            )
+        ).alias("bucket"),
+    )
+    overlap = (F.col("o_start") < F.col("w_end")) & (F.col("w_start") < F.col("o_end"))
+    pairs = (
+        w_probes.join(o_probes, on="bucket")
+        .filter(overlap)
+        .select("w_start", "w_end", "o_orderkey")
+        .distinct()
+    )
+    return (
+        windows.join(pairs, on=["w_start", "w_end"], how="left")
+        .groupBy("w_start", "w_end")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("w_start")
+    )

@@ -344,3 +344,75 @@ def q64_vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tf").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — BPE first-merge-round pair counts.
+# ---------------------------------------------------------------------------
+_BPE_TOP = 50
+
+
+@query(
+    "q144_bpe_pair_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+w2 AS (
+  SELECT w FROM w WHERE length(w) >= 2
+),
+p AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair
+  FROM w2
+),
+c AS (
+  SELECT pair, count(*) AS n_pair FROM p GROUP BY pair
+),
+tot AS (
+  SELECT sum(n_pair) AS total_pairs FROM c
+)
+SELECT pair, n_pair,
+       CAST(n_pair AS DOUBLE) / CAST(total_pairs AS DOUBLE) AS pair_share
+FROM c, tot
+ORDER BY n_pair DESC, pair
+LIMIT {_BPE_TOP}
+""",
+)
+def q144_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge candidates, round 1: frequency of every
+    adjacent character pair inside corpus words — the statistic a BPE
+    tokenizer trainer (Sennrich et al. 2016) maximizes at each merge
+    step; the top pair here IS the first merge. The iterative trainer
+    re-runs this count after substituting the merged symbol; each round
+    is the same plan.
+
+    Scale shape: explode words → per-word pair generation via
+    ``transform(sequence(...))`` array HOFs (JVM-side, no Python), one
+    (pair, count) exchange with map-side partials, broadcast of the
+    1-row total. The pair alphabet is bounded (≤ |charset|²), so the
+    final aggregate is tiny no matter the corpus size; the deterministic
+    (count desc, pair asc) order makes the top-k cut reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n_pair"))
+    totals = counts.agg(F.sum("n_pair").alias("total_pairs"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "pair",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("total_pairs").cast("double")).alias(
+                "pair_share"
+            ),
+        )
+        .orderBy(F.col("n_pair").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
