@@ -355,3 +355,39 @@ def test_q139_windows_share_one_shuffle(spark):
     df = REGISTRY["q139_scd2_intervals"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(user_id") == 1, plan[:800]
+
+
+def test_q143_diff_is_single_pk_join(spark):
+    """The snapshot diff must be exactly one full-outer join keyed on the
+    PK — no extra exchanges beyond the two join sides and no nested
+    loop (the change predicate is applied post-join, not as a join
+    condition that would break the equi-join)."""
+    df = REGISTRY["q143_snapshot_diff"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FullOuter") >= 1, plan[:800]
+
+
+def test_q145_covariance_is_one_aggregate_pass(spark):
+    """All 15 moments must come from a single partial+final aggregate
+    over one scan — the moment-sketch contract (same shape as q99/q108)."""
+    df = REGISTRY["q145_covariance_moments"].fn(spark, SF)
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:800]
+
+
+def test_q146_interval_join_is_hash_equijoin(spark):
+    """The engine path must join on the week bucket (hash equi-join),
+    never nested-loop the raw theta predicate the oracle states."""
+    df = REGISTRY["q146_interval_overlap_join"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan or "bucket" in plan
+    # the overlap candidates must meet on the bucket key
+    assert "bucket" in plan, plan[:800]
+
+
+def test_q147_skew_audit_broadcasts_totals(spark):
+    df = REGISTRY["q147_join_key_skew_audit"].fn(spark, SF)
+    assert has_broadcast_join(df)
