@@ -40,15 +40,18 @@ def main() -> None:
             q.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
     load_table(spark, SF_DIR, "lineitem").count()
 
-    timings: dict[str, float] = {}
-    for name, q in bench_queries.items():
-        best = float("inf")
-        for _ in range(3):  # best-of-3: shaves GC/scheduler noise (runs vary
-            # ±20% on a shared box; each attempt still executes fully)
+    # Best-of-3 with attempts interleaved round-robin across queries: a
+    # transient noisy-neighbor burst then degrades at most one attempt per
+    # query instead of all three back-to-back attempts of whichever query
+    # it overlaps (runs vary ±20% on a shared box; each attempt still
+    # executes fully through the noop sink).
+    best: dict[str, float] = {n: float("inf") for n in bench_queries}
+    for _ in range(3):
+        for name, q in bench_queries.items():
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {n: round(v, 4) for n, v in best.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

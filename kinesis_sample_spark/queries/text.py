@@ -11,6 +11,7 @@ runs unchanged over 100 TB of documents.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
@@ -415,4 +416,143 @@ def q144_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pair").desc(), "pair")
         .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — content-defined chunking (rolling-hash boundaries).
+# ---------------------------------------------------------------------------
+_CDC_MOD = 16            # boundary when trigram hash ≡ 0 (mod 16) → ~16-token chunks
+_FP_MOD = 1 << 60        # chunk fingerprint kept in 60 bits (bigint-safe)
+
+
+@query(
+    "q148_content_defined_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM t
+),
+flag AS (
+  SELECT doc_id, i, w[i] AS tok,
+         CASE WHEN i >= 3
+              AND {md5_long_sql("w[i-2] || ' ' || w[i-1] || ' ' || w[i]")} % {_CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+),
+chunked AS (
+  SELECT doc_id, i, tok,
+         sum(boundary) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM flag
+),
+rel AS (
+  SELECT doc_id, chunk_id, tok,
+         i - min(i) OVER (PARTITION BY doc_id, chunk_id) AS rel_pos
+  FROM chunked
+),
+chunks AS (
+  SELECT doc_id, chunk_id, count(*) AS n_tokens,
+         CAST(sum({md5_long_sql("rel_pos || ':' || tok")}) % {_FP_MOD} AS BIGINT)
+           AS chunk_fp
+  FROM rel GROUP BY doc_id, chunk_id
+)
+SELECT doc_id, chunk_id, n_tokens, chunk_fp,
+       count(*) OVER (PARTITION BY chunk_fp, n_tokens) AS n_dups
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+)
+def q148_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a boundary opens wherever the rolling
+    trigram hash ≡ 0 (mod 16), so chunk boundaries are decided by
+    *content*, not offsets — insert one word at the top of a document
+    and every downstream chunk fingerprint survives, which is why CDC
+    (Muthitacharoen et al., LBFS SOSP'01) is the standard chunker for
+    storage-level dedup. Spark shape: posexplode → two window passes
+    over the same (doc_id × position) ordering (boundary prefix-sum,
+    then per-chunk relative position — one exchange, Catalyst reuses the
+    sort) → per-chunk aggregate. The fingerprint is an order-independent
+    sum of (relative-position-salted) token hashes taken mod 2^60, so
+    identical chunks collide on it wherever they appear; ``n_dups``
+    surfaces cross-corpus chunk duplication directly. Per-doc state is
+    bounded by document length; nothing global is materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "tok")
+    w_doc = W.partitionBy("doc_id").orderBy("i")
+    trigram = F.concat_ws(" ", F.lag("tok", 2).over(w_doc), F.lag("tok", 1).over(w_doc), F.col("tok"))
+    boundary = (
+        (F.col("i") >= 3) & (md5_long(trigram) % _CDC_MOD == 0)
+    ).cast("int")
+    chunked = tok.withColumn("boundary", boundary).withColumn(
+        "chunk_id", F.sum("boundary").over(w_doc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    rel = chunked.withColumn(
+        "rel_pos",
+        F.col("i") - F.min("i").over(W.partitionBy("doc_id", "chunk_id")),
+    )
+    chunks = rel.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(
+                md5_long(F.concat_ws(":", "rel_pos", "tok")).cast("decimal(38,0)")
+            )
+            % F.lit(_FP_MOD)
+        )
+        .cast("bigint")
+        .alias("chunk_fp"),
+    )
+    return chunks.withColumn(
+        "n_dups", F.count("*").over(W.partitionBy("chunk_fp", "n_tokens"))
+    ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# q149 — top-k terms per source.
+# ---------------------------------------------------------------------------
+_TERMS_PER_SOURCE = 5
+
+
+@query(
+    "q149_top_terms_per_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT source, token, count(*) AS tf FROM tok GROUP BY source, token
+),
+r AS (
+  SELECT source, token, tf,
+         row_number() OVER (PARTITION BY source ORDER BY tf DESC, token) AS rnk
+  FROM c
+)
+SELECT source, token, tf, rnk FROM r
+WHERE rnk <= {_TERMS_PER_SOURCE}
+ORDER BY source, rnk
+""",
+)
+def q149_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-k term ranking — the corpus-composition fingerprint
+    a release report prints per source. Two exchanges: the (source,
+    token) count with map-side partials, then a repartition on source
+    for the rank window; the window input is already the *aggregated*
+    relation (|sources|·|vocab| rows, not corpus tokens), so the rank
+    pass is small no matter the corpus size. Deterministic tie-break
+    (tf desc, token asc) keeps the cut reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("tf").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TERMS_PER_SOURCE)
+        .orderBy("source", "rnk")
     )
