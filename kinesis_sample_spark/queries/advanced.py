@@ -476,3 +476,94 @@ def q116_udtf_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — Python UDTF over a partitioned TABLE argument.
+# ---------------------------------------------------------------------------
+@query(
+    "q151_udtf_user_sessions",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_ms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn = n_events THEN event_type END) AS last_type,
+       COALESCE(max(gap_ms), 0) AS max_gap_ms
+FROM g
+GROUP BY user_id, n_events
+ORDER BY user_id
+""",
+)
+def q151_udtf_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a PARTITION BY table argument (Spark 4
+    polymorphic table-function API): the engine hash-partitions events by
+    user and feeds each user's rows — ordered by the WITH ORDERING we
+    request — to one UDTF instance, which streams them and emits a
+    single journey-summary row (count, first/last event type, max
+    inter-event gap). This is the table-in/table-out extension point the
+    reference's per-shard processor
+    (AmazonKinesisApplicationSampleRecordProcessor.java:63-91) maps to
+    when the per-key logic genuinely needs imperative state; the state
+    here is O(1) per partition key, and rows stream through Arrow
+    batches — nothing accumulates.
+
+    The events table stores ts as raw nanos (parquet TIMESTAMP(NANOS) →
+    long under nanosAsLong), so gaps are computed in integer
+    milliseconds — exact on both engines."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, n_events bigint, first_type string, "
+        "last_type string, max_gap_ms bigint"
+    )
+    class UserJourney:
+        def __init__(self):
+            self.user_id = None
+            self.n = 0
+            self.first = None
+            self.last = None
+            self.prev_ms = None
+            self.max_gap = 0
+
+        def eval(self, row):
+            self.user_id = row["user_id"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_type"]
+            self.last = row["event_type"]
+            ts_ms = row["ts_ms"]
+            if self.prev_ms is not None:
+                self.max_gap = max(self.max_gap, ts_ms - self.prev_ms)
+            self.prev_ms = ts_ms
+
+        def terminate(self):
+            if self.n:
+                yield self.user_id, self.n, self.first, self.last, self.max_gap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        "event_id",
+    )
+    ev.createOrReplaceTempView("q151_events")
+    spark.udtf.register("q151_user_journey", UserJourney)
+    return spark.sql(
+        """
+        SELECT j.user_id, j.n_events, j.first_type, j.last_type, j.max_gap_ms
+        FROM q151_user_journey(
+          TABLE(SELECT user_id, ts_ms, event_type, event_id FROM q151_events)
+          PARTITION BY user_id
+          ORDER BY (ts_ms, event_id)
+        ) j
+        ORDER BY j.user_id
+        """
+    )

@@ -98,3 +98,102 @@ def q125_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), "node")
         .limit(_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — triangle counting on the part co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_triangle_count",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+wedges AS (
+  SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.v = bc.u
+            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+),
+edges AS (
+  SELECT count(*) AS n_edges FROM e
+)
+SELECT n_edges, n_wedges, n_triangles,
+       3.0 * n_triangles / n_wedges AS clustering_coeff
+FROM edges, wedges, tri
+""",
+)
+def q150_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient over the part
+    co-occurrence graph (parts sharing an order are adjacent — the
+    products-bought-together projection). The canonical a<u<v ordered
+    edge list means every triangle is generated exactly once by the
+    wedge join (ab.v = bc.u) plus the closing-edge hash join — the
+    standard distributed triangle algorithm (node-iterator over ordered
+    edges); no nested loops, three hash equi-joins total.
+
+    Scale notes (100 TB): the per-order pair expansion is quadratic in
+    *per-order* part count, which TPC-H bounds at 7 (a crawl analog:
+    links per page — cap the fan-out before pairing). The ordered edge
+    direction makes high-degree hubs emit only their higher-id
+    neighbors, the classic mitigation that keeps the wedge join from
+    exploding on hubs; residual skew falls to AQE skew-join splitting.
+    Counts are exact integers; the coefficient divides identical
+    integers on both engines."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2)).cast("bigint").alias("n_wedges")
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+        .join(ac, (F.col("ac.u") == F.col("ab.u")) & (F.col("ac.v") == F.col("bc.v")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
