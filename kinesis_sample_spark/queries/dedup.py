@@ -20,6 +20,7 @@ and it is keyed on band values whose cardinality grows with the corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
@@ -783,3 +784,142 @@ def q140_workspace_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = tempfile.mkdtemp(prefix="kss_ws_")
     stages = prepare_corpus(spark, sf_dir, ws)
     return stages["manifest"].orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q152 — prefix-filtered exact similarity join (PPJoin-style).
+# ---------------------------------------------------------------------------
+# Jaccard threshold t = 3/5, kept as a ratio so every filter is integer
+# arithmetic: prefix length = sz - ceil(t·sz) + 1 with ceil(3·sz/5) =
+# (3·sz + 4) div 5, and the verify is n_inter·5 ≥ 3·(n_a + n_b − n_inter).
+_PP_NUM, _PP_DEN = 3, 5
+
+
+@query(
+    "q152_prefix_filter_simjoin",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, unnest(toks) AS tk FROM d
+),
+df AS (
+  SELECT tk, count(*) AS df FROM tok GROUP BY tk
+),
+ranked AS (
+  SELECT t.doc_id, t.lang, t.tk,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.tk) AS r,
+         count(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM tok t JOIN df ON df.tk = t.tk
+),
+prefix AS (
+  SELECT doc_id, lang, tk FROM ranked
+  WHERE r <= sz - (({_PP_NUM} * sz + {_PP_DEN - 1}) // {_PP_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.tk = b.tk AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(da.toks, db.toks)) AS n_inter,
+         len(da.toks) AS n_a, len(db.toks) AS n_b
+  FROM cand c
+  JOIN d da ON da.doc_id = c.doc_a
+  JOIN d db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_a, n_b, n_inter,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM pairs
+WHERE n_inter * {_PP_DEN} >= {_PP_NUM} * (n_a + n_b - n_inter)
+ORDER BY doc_a, doc_b
+""",
+)
+def q152_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join via prefix filtering (PPJoin,
+    Xiao et al. WWW'08) — the *deterministic* complement to the MinHash
+    families: no probabilistic recall loss, yet never all-pairs. Tokens
+    in each document are ordered rarest-first (global df asc, token asc
+    tie-break); two sets with Jaccard ≥ t must share at least one token
+    in their first (sz − ⌈t·sz⌉ + 1) tokens, so the candidate join is an
+    equi-join on *prefix* tokens only — and prefix tokens are by
+    construction the rare ones, which caps per-token fan-out (the hot
+    stop-word never appears in a prefix). All thresholds are integer
+    ratios (t = 3/5): ceil via (3·sz+4) div 5, verify via cross-multiply
+    — no float enters any filter, so both engines cut identically.
+
+    Scale shape: token explode → (token) df count (word-count shuffle) →
+    per-doc rank window (doc-keyed, bounded by doc length) → prefix
+    self-equi-join → array_intersect verify on the candidate pairs
+    (JVM-side). At 100 TB the df relation is vocabulary-sized and the
+    candidate count is sum over prefix tokens of (occupancy choose 2) —
+    governed by rare-token occupancy, not corpus size squared."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).persist()
+    tok = d.select("doc_id", "lang", F.explode("toks").alias("tk"))
+    df_rel = tok.groupBy("tk").agg(F.count("*").alias("df"))
+    w_rank = W.partitionBy("doc_id").orderBy("df", "tk")
+    ranked = (
+        tok.join(df_rel, "tk")
+        .withColumn("r", F.row_number().over(w_rank))
+        .withColumn("sz", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("sz")
+        - F.expr(f"({_PP_NUM} * sz + {_PP_DEN - 1}) div {_PP_DEN}")
+        + 1
+    ).select("doc_id", "lang", "tk")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "tk"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "tk"
+    )
+    cand = (
+        a.join(b, on="tk")
+        .filter((F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = d.select("doc_id", "toks")
+    pairs = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("ta").alias("n_a"),
+            F.size("tb").alias("n_b"),
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+        )
+    )
+    return (
+        pairs.filter(
+            F.col("n_inter") * _PP_DEN
+            >= _PP_NUM * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -11,12 +11,14 @@ that for bounded state; see tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.queries import query
 from kinesis_sample_spark.sources.files import replay_events_stream, write_stream_fixture
 from kinesis_sample_spark.streaming.envelope import envelope_from_events
@@ -366,3 +368,90 @@ def q131_live_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(agg, "complete").orderBy("partitionKey", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# q153 — LIVE left-outer stream-stream join (outer rows need watermark
+# progress: the only join flavor whose output depends on state EXPIRY).
+# ---------------------------------------------------------------------------
+
+
+def _replay_time_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with files range-partitioned on ts: file k's span precedes
+    file k+1's, so a *finite* watermark delay never drops rows (the
+    round-robin fixture of _replay would interleave old rows into every
+    batch and force the 3650-day delay). A finite delay is what lets the
+    final watermark actually pass event times — the precondition for
+    outer-join state expiry."""
+    out = tempfile.mkdtemp(prefix="kss_live_")
+    events_dir = os.path.join(out, "events_stream")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(events_dir)
+    return replay_events_stream(spark, events_dir)
+
+
+@query(
+    "q153_live_left_outer_join",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+       p.value AS purchase_value
+FROM s JOIN p
+  ON s.user_id = p.user_id AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT s.user_id, s.event_id, NULL, NULL
+FROM s, mx
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = s.user_id
+          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+  AND s.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 1 HOUR
+ORDER BY signup_id, purchase_id
+""",
+)
+def q153_live_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join under the oracle gate. Unlike q106's
+    inner join, the null-padded rows can only be emitted when the
+    watermark proves no matching purchase can still arrive — i.e. when
+    the signup's join window [ts, ts+1h] falls behind the event-time
+    watermark and its state is evicted. The oracle mirrors that
+    semantics exactly: inner matches unconditionally, unmatched signups
+    only where signup_ts + 1h < final_watermark (= max event time − the
+    1-hour delay); signups still inside the final watermark window
+    remain in (discarded) state and must NOT appear — a hash gate on
+    Spark's outer-join eviction rule itself. Time-ordered replay files
+    (4 micro-batches) keep the finite watermark from dropping input."""
+    st = _replay_time_ordered(spark, sf_dir)
+    a = (
+        st.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        st.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = a.join(
+        b,
+        F.expr("a_user = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR"),
+        "leftOuter",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        "purchase_value",
+    )
+    return _run(joined, "append").orderBy("signup_id", "purchase_id")
