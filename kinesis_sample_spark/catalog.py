@@ -87,15 +87,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType
-        # nanoseconds. Lift to TimestampType via floor-division to micros —
-        # the same ns→µs truncation DuckDB applies, so both engines see
-        # identical timestamps.
-        from pyspark.sql.types import LongType
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # version it surfaces either as LongType nanoseconds (older, via
+        # spark.sql.legacy.parquet.nanosAsLong) or as TIMESTAMP_NTZ with
+        # ns→µs truncation (Spark ≥4.1 reads nanos natively). Normalize both
+        # to TimestampType (LTZ): with the session timezone pinned to UTC the
+        # NTZ→LTZ cast is value-preserving, and DuckDB applies the same
+        # ns→µs truncation — both engines see identical timestamps, and
+        # LTZ-only functions (unix_millis etc.) work.
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _RELATION_CACHE[key] = df
     return df
 

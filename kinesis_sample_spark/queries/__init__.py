@@ -48,77 +48,83 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round (CORRECTNESS_r01.json had exactly 50 rows), so iteration order IS
-# the verification budget. Round 1 burned the whole window on the
-# relational/TPC-H families; these 50 names are the round-2 frontier: every
-# family with zero driver-green rows (windows, scalar, stream-batch, dedup,
-# similarity, text, live streaming, capstone, multimodal, extras,
-# corpus-quality) plus the three round-1 failures (q51 hash, q61 no-oracle,
-# q62 canonicalizer err) re-submitted with their fixes. Queries already
-# driver-green in round 1 sort to the back — their evidence is on file.
-# Rotate this list each round toward whatever still lacks a hard green row.
+# round (CORRECTNESS_r01/r02 each have exactly 50 rows), so iteration order
+# IS the verification budget. Rounds 1+2 produced green rows for 94 queries;
+# this is the round-3 frontier: the two round-2 hash failures re-submitted
+# with their HUGEINT-cast fixes (q40, q50 — DuckDB SUM(int)/list_aggregate
+# return HUGEINT, which the driver's pandas canonicalizer renders float64
+# against Spark's int64; same artifact as round-1's q51), then every query
+# added in round 2 that has never received a driver row. Queries already
+# driver-green sort to the back — their evidence is on file. Rotate this
+# list each round toward whatever still lacks a hard green row.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # windows family (q14–q18, q114) — zero driver rows in r01
-    "q14_top_orders_per_customer",
-    "q15_running_order_totals",
-    "q16_moving_avg_events",
-    "q17_trailing_hour_count",
-    "q18_customer_balance_distribution",
-    "q114_revenue_share_window",
-    # scalar family (q19–q22)
-    "q19_payload_scalars",
-    "q20_event_time_parts",
-    "q21_math_scalars",
-    "q22_envelope_roundtrip",
-    # stream-batch family (q23–q28)
-    "q23_tumbling_window",
-    "q24_sliding_window",
-    "q25_session_windows",
-    "q26_first_event_dedup",
-    "q27_asof_purchase_view",
-    "q28_interval_join",
-    # dedup family (q30–q33, q69, q113)
-    "q30_exact_dedup",
-    "q31_minhash_lsh",
-    "q32_simhash_pairs",
-    "q33_chargram_jaccard",
-    "q69_dedup_clusters",
-    "q113_containment_neardup",
-    # similarity family (q34–q38, q83)
-    "q34_cosine_topk",
-    "q35_lsh_ann",
-    "q36_embedding_neardup",
-    "q37_ivf_ann",
-    "q38_kmeans_ivf_ann",
-    "q83_timeseries_similarity",
-    # text family (q40–q43, q63, q64)
+    # round-2 hash failures, re-submitted with oracle-side BIGINT casts
     "q40_token_stats",
-    "q41_langid_scores",
-    "q42_quality_scores",
-    "q43_winnow_fingerprints",
-    "q63_chunk_documents",
-    "q64_vocabulary_stats",
-    # live structured-streaming family (q80–q82, q106, q112)
-    "q80_live_streaming_windows",
-    "q81_live_streaming_dedup",
-    "q82_live_stateful_counts",
-    "q106_live_stream_stream_join",
-    "q112_live_cdc_upsert",
-    # capstone + multimodal UDF paths
-    "q77_training_corpus_pipeline",
     "q50_media_features",
-    "q65_pandas_vector_norm",
-    # extras / corpus-quality with no driver rows yet
-    "q56_edit_distance_neardup",
-    "q57_set_ops_all",
-    "q66_chunk_dedup",
-    "q67_repetition_scores",
-    "q68_pattern_scan",
-    # round-1 failures, re-submitted with fixes
-    "q51_token_counts",
-    "q61_approx_stats",
-    "q62_collect_aggregates",
+    # UDTF / UDF table functions
+    "q151_udtf_user_sessions",
+    # corpus/source analytics
+    "q130_source_overlap_matrix",
+    "q127_canonical_selection",
+    "q138_dedup_rate_per_source",
+    "q140_workspace_manifest",
+    "q152_prefix_filter_simjoin",
+    # array/string built-in surface
+    "q58_array_ops",
+    "q59_string_extras",
+    # stats family
+    "q99_ols_regression",
+    "q100_locf_fill",
+    "q101_bigram_heavy_hitters",
+    "q102_price_histogram",
+    "q103_tfidf_topk",
+    "q104_rolling_zscore",
+    "q105_source_vocab_overlap",
+    "q107_iqr_outliers",
+    "q108_partition_fingerprints",
+    "q128_winsorized_stats",
+    "q132_countmin_heavy_hitters",
+    "q145_covariance_moments",
+    # funnels / sequences
+    "q109_retention_cohorts",
+    "q110_funnel_conversion",
+    "q111_sequence_packing",
+    "q141_transition_mining",
+    # live structured-streaming additions
+    "q126_live_stream_static_enrich",
+    "q131_live_session_windows",
+    "q153_live_left_outer_join",
+    # versioning / temporal
+    "q137_curriculum_bins",
+    "q139_scd2_intervals",
+    "q146_interval_overlap_join",
+    # embedding / quantization
+    "q129_hard_negative_mining",
+    "q142_int8_quantization",
+    # text pipeline additions
+    "q144_bpe_pair_counts",
+    "q148_content_defined_chunks",
+    "q149_top_terms_per_source",
+    # multimodal fan-out
+    "q133_frame_sampling",
+    # pipeline ops (Gopher rules, splits, mixing, rerank, centroids, bloom)
+    "q117_gopher_quality_rules",
+    "q118_train_split",
+    "q119_source_mixing_weights",
+    "q120_multiprobe_rerank",
+    "q121_label_centroids",
+    "q122_bloom_decontamination",
+    # graph
+    "q125_pagerank_part_supplier",
+    "q150_triangle_count",
+    # reweighting / redaction
+    "q123_importance_weights",
+    "q124_pii_redaction",
+    # maintenance (format round-trips q134/q135/q136 defer to round 4 — one
+    # locally-identical family, least novel of the frontier)
+    "q143_snapshot_diff",
+    "q147_join_key_skew_audit",
 )
 
 

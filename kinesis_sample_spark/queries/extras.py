@@ -63,10 +63,12 @@ WITH t AS (
     WHERE a.doc_id < 50
 )
 SELECT doc_a, doc_b,
-       list_sort(list_intersect(ta, tb)) AS common,
+       coalesce(array_to_string(list_sort(list_intersect(ta, tb)), ' '), '') AS common,
        len(list_intersect(ta, tb)) AS n_common,
        len(list_distinct(list_concat(ta, tb))) AS n_union,
-       list_sort(list_filter(ta, x -> NOT list_contains(tb, x))) AS only_a,
+       coalesce(array_to_string(list_sort(list_filter(ta, x -> NOT list_contains(tb, x))),
+                                ' '), '')
+         AS only_a,
        raw_first_a AS first_tok_a,
        len(ta) AS n_ta
 FROM t ORDER BY doc_a
@@ -75,7 +77,9 @@ FROM t ORDER BY doc_a
 def q58_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_intersect/union/except/contains/element_at — result arrays
     are sorted on both sides because Spark and DuckDB produce set results
-    in different internal orders (the *set* is the semantic)."""
+    in different internal orders (the *set* is the semantic), then joined
+    to strings: the driver's pandas canonicalizer cannot sort/hash ndarray
+    cells, so collection results ship as deterministic scalars."""
     docs = load_table(spark, sf_dir, "documents")
     a = docs.filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("doc_a"),
@@ -93,10 +97,10 @@ def q58_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select(
             "doc_a",
             "doc_b",
-            F.array_sort(F.array_intersect("ta", "tb")).alias("common"),
+            F.array_join(F.array_sort(F.array_intersect("ta", "tb")), " ").alias("common"),
             F.size(F.array_intersect("ta", "tb")).alias("n_common"),
             F.size(F.array_distinct(F.concat("ta", "tb"))).alias("n_union"),
-            F.array_sort(F.array_except("ta", "tb")).alias("only_a"),
+            F.array_join(F.array_sort(F.array_except("ta", "tb")), " ").alias("only_a"),
             F.col("raw_first_a").alias("first_tok_a"),
             F.size("ta").alias("n_ta"),
         )

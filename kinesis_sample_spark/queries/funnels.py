@@ -150,9 +150,9 @@ WITH sized AS (
 ),
 offs AS (
     SELECT source, doc_id, tok_len,
-           SUM(tok_len) OVER (PARTITION BY source ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - tok_len AS start_offset
+           CAST(SUM(tok_len) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - tok_len AS BIGINT) AS start_offset
     FROM sized
 )
 SELECT source, doc_id, tok_len, start_offset,

@@ -76,8 +76,9 @@ SELECT doc_id,
        CAST(n_chars % 640 AS INTEGER) AS width,
        CAST(doc_id % 480 AS INTEGER) AS height,
        CAST(length(text) AS INTEGER) AS byte_len,
-       list_aggregate(list_transform(range(1, length(text) + 1),
-                                     i -> ascii(substring(text, i, 1))), 'sum') % 997 AS checksum,
+       CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                                          i -> ascii(substring(text, i, 1))), 'sum')
+            % 997 AS BIGINT) AS checksum,
        lower(to_hex(encode(substring(text, 1, 8)))) AS head_hex
 FROM documents
 ORDER BY doc_id

@@ -179,7 +179,7 @@ WITH s AS (
 SELECT split, source,
        count(*) AS n_docs,
        count(DISTINCT doc_id) AS n_distinct_docs,
-       sum(n_chars_t) AS sum_chars
+       CAST(sum(n_chars_t) AS BIGINT) AS sum_chars
 FROM s GROUP BY split, source ORDER BY split, source
 """,
 )
@@ -409,7 +409,8 @@ _QUANT = 1_000_000
     "q121_label_centroids",
     oracle=f"""
 SELECT label, i AS pos, count(*) AS n_vecs,
-       sum(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_QUANT}) AS BIGINT)) AS sum_q,
+       CAST(sum(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_QUANT}) AS BIGINT)) AS BIGINT)
+         AS sum_q,
        sum(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_QUANT}) AS BIGINT)) / count(*)
          AS mean_q
 FROM embeddings, range(1, 65) t(i)

@@ -382,19 +382,53 @@ def _replay_time_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin fixture of _replay would interleave old rows into every
     batch and force the 3650-day delay). A finite delay is what lets the
     final watermark actually pass event times — the precondition for
-    outer-join state expiry."""
+    outer-join state expiry.
+
+    Two determinism guards, both required on Spark ≥4.1:
+
+    1. The file source orders files by *modification time*, but parallel
+       parquet writes finish in arbitrary order — so the mtimes are
+       explicitly rewritten to ascend with the partition index (range
+       partition i holds ts-range i). Otherwise a late-range file can be
+       read first, jump the watermark, and drop every earlier file's rows
+       as late — a different result every run.
+    The one determinism guard (required on Spark ≥4.1): the file source
+    orders files by *modification time*, but parallel parquet writes
+    finish in arbitrary order — so the mtimes are explicitly rewritten to
+    ascend with the partition index (range partition i holds ts-range i),
+    stamped an hour in the past so no mtime is ever near the query-start
+    instant. Without this, a late-range file can be read first, jump the
+    watermark, and drop every earlier file's rows as late — a different
+    result every run.
+    """
     out = tempfile.mkdtemp(prefix="kss_live_")
     events_dir = os.path.join(out, "events_stream")
-    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
-        "overwrite"
-    ).parquet(events_dir)
+    events = load_table(spark, sf_dir, "events")
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(events_dir)
+
+    def _parts() -> list[str]:
+        return sorted(
+            f for f in os.listdir(events_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+
+    import time
+
+    base = int(time.time()) - 3600
+    for i, fname in enumerate(_parts()):  # part-0000i holds ts-range i
+        os.utime(os.path.join(events_dir, fname), (base + i, base + i))
     return replay_events_stream(spark, events_dir)
 
 
 @query(
     "q153_live_left_outer_join",
     oracle="""
-WITH mx AS (SELECT max(ts) AS m FROM events),
+WITH wm AS (
+  SELECT make_timestamp((epoch_us(least(
+           (SELECT max(ts) FROM events WHERE event_type = 'signup'),
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase'))) // 1000) * 1000)
+         - INTERVAL 1 HOUR AS w
+),
 s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
 p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
 SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
@@ -403,12 +437,12 @@ FROM s JOIN p
   ON s.user_id = p.user_id AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
 UNION ALL
 SELECT s.user_id, s.event_id, NULL, NULL
-FROM s, mx
+FROM s, wm
 WHERE NOT EXISTS (
         SELECT 1 FROM p
         WHERE p.user_id = s.user_id
           AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
-  AND s.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 1 HOUR
+  AND s.ts <= wm.w - INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND
 ORDER BY signup_id, purchase_id
 """,
 )
@@ -417,13 +451,18 @@ def q153_live_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner join, the null-padded rows can only be emitted when the
     watermark proves no matching purchase can still arrive — i.e. when
     the signup's join window [ts, ts+1h] falls behind the event-time
-    watermark and its state is evicted. The oracle mirrors that
-    semantics exactly: inner matches unconditionally, unmatched signups
-    only where signup_ts + 1h < final_watermark (= max event time − the
-    1-hour delay); signups still inside the final watermark window
-    remain in (discarded) state and must NOT appear — a hash gate on
-    Spark's outer-join eviction rule itself. Time-ordered replay files
-    (4 micro-batches) keep the finite watermark from dropping input."""
+    watermark and its state is evicted. The oracle encodes Spark's
+    eviction rule exactly, verified against the executed plan's state
+    cleanup predicate (``a_ts <= eviction_wm − 1h − 1ms``): the global
+    watermark is the MIN across the two branch watermarks (each =
+    ms-floored branch-max event time − the 1-hour delay), and a left row
+    evicts (→ null-padded emit, in availableNow's closing no-data batch)
+    iff its join-window end ``ts + 1h`` is ≤ that watermark − 1ms. Inner
+    matches emit unconditionally. Signups newer than the boundary remain
+    in (discarded) state and must NOT appear — a hash gate on the
+    eviction rule itself. Time-ordered replay files (4 micro-batches,
+    deterministic mtimes) keep the finite watermark from dropping
+    input."""
     st = _replay_time_ordered(spark, sf_dir)
     a = (
         st.withWatermark("ts", "1 hour")

@@ -36,12 +36,12 @@ WITH t AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_types) AS total_types,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_types) AS BIGINT) AS total_types,
        SUM(n_tokens) / COUNT(*) AS avg_tokens,
        SUM(n_types) * 1.0 / SUM(n_tokens) AS type_token_ratio,
-       SUM(n_text_chars) AS total_chars,
-       SUM(n_chars) AS total_meta_chars
+       CAST(SUM(n_text_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_meta_chars
 FROM t
 GROUP BY lang, source
 ORDER BY lang, source
@@ -444,8 +444,8 @@ flag AS (
 ),
 chunked AS (
   SELECT doc_id, i, tok,
-         sum(boundary) OVER (PARTITION BY doc_id ORDER BY i
-                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+         CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
   FROM flag
 ),
 rel AS (
