@@ -1,0 +1,190 @@
+"""Full-text retrieval operators over ``documents`` — the search side of a
+training-data pipeline (quality-scored corpus search, benchmark-query
+retrieval, RAG-ish candidate generation).
+
+Everything is built from explode → filter-early → partial/final aggregation;
+the per-query scoring joins are against *tiny* broadcast relations (the
+fixed query set and the per-term document frequencies), so the only wide
+operation over the corpus is the (doc, term) term-frequency aggregation —
+which Catalyst executes with map-side partial aggregation. At 100 TB the
+shape is unchanged: tf rows for the query vocabulary only (a few dozen
+terms), never the full corpus vocabulary.
+
+Determinism notes (for oracle-hash exactness):
+- every per-document score is a FIXED-ARITY expression (one explicit `+`
+  chain over the query's terms after a pivot), never a float SUM over an
+  unordered row set — so 32 threads, 1000 executors, and DuckDB's serial
+  scan all produce the identical double;
+- `ln` is the one transcendental; both engines take it over identical
+  doubles and the result is rounded to 6 decimals in the emitted score
+  (rank ordering uses the raw double; a tie needs |Δ| < ~1e-15 relative on
+  different inputs, which the fixture cannot produce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# q154 — BM25 top-k retrieval for a fixed query set.
+# ---------------------------------------------------------------------------
+#: the benchmark query set (id → terms). Fixed and tiny — broadcast by
+#: construction; swap for a real query table at deploy time.
+BM25_QUERIES: dict[str, tuple[str, str, str]] = {
+    "q_join": ("join", "hash", "sort"),
+    "q_stream": ("stream", "window", "batch"),
+    "q_scan": ("scan", "table", "query"),
+}
+_K1 = 1.2
+_B = 0.75
+_TOPK = 10
+
+_ALL_TERMS = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+
+
+def _sql_idf(term: str) -> str:
+    """Lucene-BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)); N and df are
+    integer subqueries, so the ln argument is bit-identical on both
+    engines."""
+    return (
+        f"ln(1 + ((SELECT count(*) FROM documents) - df.df_{term} + 0.5)"
+        f" / (df.df_{term} + 0.5))"
+    )
+
+
+def _sql_tfnorm(term: str) -> str:
+    return (
+        f"(tf.tf_{term} * ({_K1} + 1))"
+        f" / (tf.tf_{term} + {_K1} * (1 - {_B} + {_B} * tf.dl / st.avgdl))"
+    )
+
+
+def _build_bm25_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{term}')) AS DOUBLE) AS tf_{term}"
+        for term in _ALL_TERMS
+    )
+    df_cols = ",\n           ".join(
+        f"count(*) FILTER (WHERE tf_{term} > 0) AS df_{term}" for term in _ALL_TERMS
+    )
+    score_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT '{qid}' AS query_id, tf.doc_id,
+         {' + '.join(f'({_sql_idf(t)}) * ({_sql_tfnorm(t)})' for t in terms)} AS score
+  FROM tf, df, st WHERE tf.tf_{terms[0]} > 0 OR tf.tf_{terms[1]} > 0 OR tf.tf_{terms[2]} > 0"""
+        for qid, terms in sorted(BM25_QUERIES.items())
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           {tf_cols}
+  FROM tok
+),
+df AS (
+  SELECT {df_cols} FROM tf
+),
+st AS (
+  SELECT CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl FROM tf
+),
+scored AS (
+{score_selects}
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rnk <= {_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@query("q154_bm25_topk", oracle=_build_bm25_oracle())
+def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Spärck Jones; Lucene idf variant) top-10 per query.
+
+    Spark shape, 100 TB-ready:
+    - per-document term frequencies for the QUERY VOCABULARY ONLY, via one
+      pass of array higher-order functions (no explode, no shuffle of the
+      token stream — `size(filter(tokens, t = term))` per term);
+    - document frequencies + average doc length: one tiny global aggregate,
+      broadcast back via a literal-free cross join (scalar relation);
+    - scores: fixed `+` chain per query (float-order deterministic), then
+      per-query top-k via window row_number — TakeOrdered shape, no global
+      sort of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def _term_eq(term: str):
+        # NB: the lambda must take exactly one argument — PySpark treats a
+        # second parameter as the array index.
+        return lambda t: t == F.lit(term)
+
+    tf = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, _term_eq(term)))
+            .cast("double")
+            .alias(f"tf_{term}")
+            for term in _ALL_TERMS
+        ],
+    )
+    n_docs = docs.count()  # scalar; driver-side by design (one number)
+    stats = tf.agg(
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in _ALL_TERMS
+        ],
+        (F.sum(F.col("dl").cast("bigint")).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    tf_s = tf.crossJoin(F.broadcast(stats))
+
+    def idf(term: str):
+        df_c = F.col(f"df_{term}")
+        return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_c + 0.5) / (df_c + 0.5))
+
+    def tfnorm(term: str):
+        tf_c = F.col(f"tf_{term}")
+        return (tf_c * (_K1 + 1)) / (
+            tf_c + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+
+    per_query = []
+    for qid, terms in sorted(BM25_QUERIES.items()):
+        t1, t2, t3 = terms
+        score = (
+            (idf(t1) * tfnorm(t1)) + (idf(t2) * tfnorm(t2)) + (idf(t3) * tfnorm(t3))
+        )
+        per_query.append(
+            tf_s.filter(
+                (F.col(f"tf_{t1}") > 0)
+                | (F.col(f"tf_{t2}") > 0)
+                | (F.col(f"tf_{t3}") > 0)
+            ).select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                score.alias("score"),
+            )
+        )
+    scored = per_query[0]
+    for other in per_query[1:]:
+        scored = scored.unionByName(other)
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "rnk", "doc_id", F.round("score", 6).alias("score_r"))
+        .orderBy("query_id", "rnk")
+    )

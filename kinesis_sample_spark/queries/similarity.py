@@ -556,3 +556,100 @@ def q142_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — SemDeDup-style semantic dedup (centroid-band keep-one selection).
+# ---------------------------------------------------------------------------
+_SEM_BANDS = 50  # 0.02-wide cosine-to-centroid bands
+
+
+@query(
+    "q158_semantic_dedup",
+    oracle=f"""
+WITH exploded AS (
+    SELECT vec_id, label, unnest(embedding)::DOUBLE AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+dims AS (
+    SELECT label AS c_label, pos,
+           CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(val) AS mean
+    FROM exploded GROUP BY label, pos
+),
+centroids AS (
+    SELECT c_label, list(mean ORDER BY pos) AS cvec FROM dims GROUP BY c_label
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           {sql_cosine('e.embedding', 'c.cvec')} AS cos_c
+    FROM embeddings e JOIN centroids c ON c.c_label = e.label
+),
+banded AS (
+    SELECT vec_id, label, cos_c,
+           CAST(FLOOR(cos_c * {_SEM_BANDS}) AS BIGINT) AS band
+    FROM scored
+)
+SELECT vec_id, label, band,
+       round(cos_c, 6) AS cos_r,
+       min(vec_id) OVER (PARTITION BY label, band) AS keeper_id,
+       vec_id = min(vec_id) OVER (PARTITION BY label, band) AS keep
+FROM banded
+ORDER BY vec_id
+""",
+)
+def q158_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023) made linear: cluster the corpus
+    (labels stand in for the k-means cells — q38 supplies the unlabeled
+    path), score every vector's cosine to its OWN cluster centroid, band
+    the similarity axis into 1/{_SEM_BANDS}-wide bins, and keep exactly
+    one representative (min vec_id) per (cluster, band). The original
+    within-cluster pairwise-cosine prune is O(cell²); banding the
+    one-dimensional centroid-similarity instead is one map pass plus a
+    tiny window — the trade SemDeDup itself motivates (vectors nearly
+    equidistant from the centroid are the duplicate suspects). Centroid
+    build reuses q37's exact-decimal per-dimension means, so every double
+    here is bit-identical across engines; band edges are floors of those
+    identical doubles, never a float-tolerance judgment call.
+
+    Scale: one (cell, dim) exchange for centroids (partial agg first), a
+    broadcast of O(cells·dim) centroids, a map-only scoring pass, and a
+    window over (cell, band) — no pairwise joins anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    dims = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("val")
+        ).alias("mean")
+    )
+    centroids = dims.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s.getField("mean"),
+        ).alias("cvec")
+    )
+    scored = emb.join(
+        F.broadcast(centroids), F.col("c_label") == F.col("label")
+    ).select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("cvec")).alias("cos_c"),
+    )
+    banded = scored.withColumn(
+        "band", F.floor(F.col("cos_c") * _SEM_BANDS).cast("bigint")
+    )
+    w = W.partitionBy("label", "band")
+    return (
+        banded.select(
+            "vec_id",
+            "label",
+            "band",
+            F.round("cos_c", 6).alias("cos_r"),
+            F.min("vec_id").over(w).alias("keeper_id"),
+            (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

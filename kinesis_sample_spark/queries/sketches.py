@@ -1,0 +1,132 @@
+"""Mergeable histogram quantile sketch over lineitem prices.
+
+The scale story for quantiles at 100 TB is a *mergeable sketch*: each task
+summarizes its partition into O(bins) counters, the counters merge
+associatively (map-side partial aggregation — Catalyst's partial/final
+hash aggregate IS the merge), and quantiles interpolate from the merged
+histogram. Spark's built-in ``approx_percentile`` (already gated by q48)
+hides the sketch; this operator exposes one whose every intermediate is
+ENGINE-EXACT — integer bin counts plus deterministic double interpolation
+— so the whole partial→merge→finalize pipeline sits under the value-hash
+gate rather than behind an error bound.
+
+Fixed-width histograms trade adaptivity for exact mergeability (KLL/TDigest
+trade the opposite way); two passes (exact min/max, then binning) buy a
+deterministic bin function at any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.queries import query
+
+_BINS = 128
+_PS = (0.25, 0.5, 0.9, 0.99)
+
+
+@query(
+    "q159_histogram_quantiles",
+    oracle=f"""
+WITH mm AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+         count(*) AS n,
+         (max(l_extendedprice) - min(l_extendedprice)) / {_BINS} AS width
+  FROM lineitem
+),
+binned AS (
+  SELECT least({_BINS - 1},
+               CAST(FLOOR((l_extendedprice - mm.mn) / mm.width) AS BIGINT)) AS bin,
+         count(*) AS cnt
+  FROM lineitem, mm GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt AS cum_before
+  FROM binned
+),
+ps AS (SELECT CAST(unnest([{", ".join(str(p) for p in _PS)}]) AS DOUBLE) AS p),
+tgt AS (
+  SELECT ps.p, CAST(CEIL(ps.p * mm.n) AS BIGINT) AS rank_target FROM ps, mm
+),
+hit AS (
+  SELECT t.p, t.rank_target, min(c.bin) AS bin_idx
+  FROM tgt t JOIN cum c
+    ON CAST(c.cum_before + c.cnt AS BIGINT) >= t.rank_target
+  GROUP BY t.p, t.rank_target
+)
+SELECT h.p, h.rank_target, h.bin_idx,
+       round(mm.mn + mm.width *
+             (h.bin_idx + (h.rank_target - c.cum_before) * 1.0 / c.cnt), 6)
+         AS approx_q
+FROM hit h
+JOIN cum c ON c.bin = h.bin_idx, mm
+ORDER BY h.p
+""",
+)
+def q159_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass histogram quantiles: (1) exact min/max/count (one tiny
+    scalar aggregate, broadcast back); (2) integer bin counts — the
+    mergeable sketch, built by partial+final hash aggregation so every
+    executor contributes O(bins) rows to the shuffle regardless of data
+    size; (3) driver-free finalize: cumulative counts over the ≤128-row
+    histogram relation and linear interpolation inside the hit bin. Every
+    count is an exact integer and the interpolation arithmetic is a fixed
+    expression over identical doubles, so the sketch is bit-reproducible
+    on 32 threads, 1000 executors, or DuckDB's serial scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count("*").alias("n"),
+        ((F.max("l_extendedprice") - F.min("l_extendedprice")) / _BINS).alias(
+            "width"
+        ),
+    )
+    binned = (
+        li.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.lit(_BINS - 1),
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("width")),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = binned.withColumn("cum_before", F.sum("cnt").over(w) - F.col("cnt"))
+    ps = spark.createDataFrame([(p,) for p in _PS], "p double")
+    tgt = ps.crossJoin(F.broadcast(mm)).select(
+        "p", F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("rank_target")
+    )
+    hit = (
+        tgt.join(
+            cum, (F.col("cum_before") + F.col("cnt")).cast("bigint") >= F.col("rank_target")
+        )
+        .groupBy("p", "rank_target")
+        .agg(F.min("bin").alias("bin_idx"))
+    )
+    return (
+        hit.join(cum, F.col("bin") == F.col("bin_idx"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "p",
+            "rank_target",
+            "bin_idx",
+            F.round(
+                F.col("mn")
+                + F.col("width")
+                * (
+                    F.col("bin_idx")
+                    + (F.col("rank_target") - F.col("cum_before")) * 1.0 / F.col("cnt")
+                ),
+                6,
+            ).alias("approx_q"),
+        )
+        .orderBy("p")
+    )
