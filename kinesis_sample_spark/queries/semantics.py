@@ -167,3 +167,68 @@ def q55_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events"))
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — map-type operator gallery.
+# ---------------------------------------------------------------------------
+@query(
+    "q163_map_ops_gallery",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       3 AS n_entries,
+       2 AS n_kept,
+       'disc:' || CAST(l_discount * 100 AS VARCHAR)
+         || ' qty:' || CAST(l_quantity * 100 AS VARCHAR) AS kept_scaled,
+       'price' AS dropped_key,
+       l_quantity + l_extendedprice + l_discount AS value_sum
+FROM lineitem
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q163_map_ops_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface under the gate: build a map from arrays, filter
+    entries by value (price is always the largest of the three, so the
+    kept set is deterministic), scale values with transform_values, fold
+    values with a HOF over map_values, and name the dropped key via
+    map_keys + except. The oracle recomputes the final scalars directly —
+    it gates that the map-op COMPOSITION lands on the right values, while
+    the Spark side proves the ops themselves compose. Canonical output is
+    sorted 'k:v' strings (maps are unordered; driver canonicalizers need
+    scalars). Map columns are per-row structures — map ops are map-only
+    expressions, nothing here shuffles at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price"), F.lit("disc")),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+        ),
+    )
+    kept = F.map_filter(m, lambda k, v: v < F.col("l_extendedprice"))
+    scaled = F.transform_values(kept, lambda k, v: v * 100)
+    kept_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(scaled)),
+            lambda k: F.concat(k, F.lit(":"), F.element_at(scaled, k).cast("string")),
+        ),
+        " ",
+    )
+    dropped = F.array_join(
+        F.array_sort(F.array_except(F.map_keys(m), F.map_keys(kept))), ","
+    )
+    value_sum = F.aggregate(F.map_values(m), F.lit(0.0), lambda a, v: a + v)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.size(m).alias("n_entries"),
+            F.size(kept).alias("n_kept"),
+            kept_str.alias("kept_scaled"),
+            dropped.alias("dropped_key"),
+            value_sum.alias("value_sum"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

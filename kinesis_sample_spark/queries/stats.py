@@ -822,3 +822,48 @@ def q145_covariance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cov_cents", F.expr("(sum_xy - sum_x * sum_y / n) / n"))
         .orderBy("x_col", "y_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — exact grouped percentiles (the non-approx quantile operator).
+# ---------------------------------------------------------------------------
+@query(
+    "q162_exact_percentiles",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       quantile_cont(l_quantity, 0.5) AS qty_p50,
+       quantile_cont(l_quantity, 0.9) AS qty_p90,
+       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+       quantile_cont(l_extendedprice, 0.99) AS price_p99,
+       median(l_discount) AS disc_med
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q162_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (q48 gates the *approx* sketch path;
+    this gates the exact sort-based one). Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation definition
+    q = v[f] + (h − f)·(v[f+1] − v[f]), and the interpolation arithmetic
+    runs over identical doubles, so the hash match is exact — verified
+    including non-integer interpolation points on l_extendedprice.
+
+    Scale: exact percentiles need the group's values together — Spark
+    executes this as partial collection per partition + final merge per
+    group, shuffling only (group, value) pairs. For heavy groups at
+    100 TB prefer q48's approx_percentile (fixed-size sketch); this
+    operator is the calibration baseline (and the right choice for
+    bounded-cardinality groups like these 6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5D)").alias("qty_p50"),
+            F.expr("percentile(l_quantity, 0.9D)").alias("qty_p90"),
+            F.expr("percentile(l_extendedprice, 0.25D)").alias("price_p25"),
+            F.expr("percentile(l_extendedprice, 0.99D)").alias("price_p99"),
+            F.expr("percentile(l_discount, 0.5D)").alias("disc_med"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -391,3 +391,32 @@ def test_q146_interval_join_is_hash_equijoin(spark):
 def test_q147_skew_audit_broadcasts_totals(spark):
     df = REGISTRY["q147_join_key_skew_audit"].fn(spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_q154_bm25_no_explode_and_broadcast_stats(spark):
+    """BM25 must compute query-term tfs via per-row HOFs (no Generate/
+    explode of the token stream) and broadcast the df/avgdl scalar
+    relation."""
+    from kinesis_sample_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q154_bm25_topk"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, "token explode leaked into the BM25 plan"
+    assert has_broadcast_join(df)
+
+
+def test_q158_semantic_dedup_broadcasts_centroids(spark):
+    """SemDeDup's corpus-side pass must join centroids by broadcast (the
+    centroid relation is O(cells·dim)) — never shuffle the embeddings on
+    label for the scoring join."""
+    df = REGISTRY["q158_semantic_dedup"].fn(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q159_sketch_partial_aggregate_and_broadcast(spark):
+    """The histogram sketch's bin counts must merge via partial+final
+    aggregation (that IS the mergeable-sketch property) and the min/max
+    scalar relation must broadcast."""
+    df = REGISTRY["q159_histogram_quantiles"].fn(spark, SF)
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
