@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.queries import query
-from kinesis_sample_spark.sources.files import replay_events_stream, write_stream_fixture
+from kinesis_sample_spark.sources.files import (
+    EVENTS_SCHEMA,
+    replay_events_stream,
+    write_stream_fixture,
+)
 from kinesis_sample_spark.streaming.envelope import envelope_from_events
 from kinesis_sample_spark.streaming.pipeline import streaming_window_counts
 
@@ -494,3 +498,89 @@ def q153_live_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return _run(joined, "append").orderBy("signup_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# q164 — LIVE update-mode aggregation (per-batch incremental emission).
+# ---------------------------------------------------------------------------
+
+
+def _replay_id_sliced(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+    """Replay with files sliced on *event_id* quartiles (not ts ranges):
+    the slice boundaries are pure integer arithmetic on event_id, so the
+    oracle can reconstruct exactly which events each micro-batch carried —
+    the precondition for gating UPDATE-mode emission, whose output is one
+    row per (key, batch-that-changed-it). Ascending past-stamped mtimes
+    (see _replay_time_ordered) make file order — and therefore the batch
+    schedule — deterministic."""
+    out = tempfile.mkdtemp(prefix="kss_live_")
+    events_dir = os.path.join(out, "events_stream")
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    slice_col = F.floor(F.col("event_id") * n_files / F.lit(n)).cast("int")
+    (
+        events.withColumn("slice", F.least(slice_col, F.lit(n_files - 1)))
+        .repartition(1)
+        .sortWithinPartitions("slice", "event_id")
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(events_dir)
+    )
+    import time
+
+    base = int(time.time()) - 3600
+    # one subdirectory per slice; stamp every file under slice=i with base+i
+    for i in range(n_files):
+        sdir = os.path.join(events_dir, f"slice={i}")
+        for fname in os.listdir(sdir):
+            if fname.endswith(".parquet"):
+                os.utime(os.path.join(sdir, fname), (base + i, base + i))
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(events_dir, "slice=*"))
+    )
+
+
+@query(
+    "q164_live_update_mode",
+    oracle="""
+WITH sliced AS (
+  SELECT user_id, ts,
+         least(CAST(event_id * 4 // (SELECT count(*) FROM events) AS INTEGER), 3)
+           AS slice
+  FROM events
+),
+per_batch AS (
+  SELECT date_trunc('hour', ts) AS w_start, user_id, slice,
+         count(*) AS batch_n
+  FROM sliced GROUP BY 1, 2, 3
+)
+SELECT w_start, user_id,
+       CAST(SUM(batch_n) OVER (PARTITION BY w_start, user_id ORDER BY slice
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_records
+FROM per_batch
+ORDER BY w_start, user_id, n_records
+""",
+)
+def q164_live_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode under the hash gate — the third output mode
+    (q80 gates complete, q81/q106/q153 append). Update mode re-emits a
+    key's aggregate every micro-batch in which it changed, so the memory
+    sink accumulates the full *emission history*: one row per (window,
+    user, batch-that-touched-it) holding the running count at that point.
+    Because the replay slices files on integer event_id quartiles, the
+    oracle reconstructs the exact history as a cumulative sum over slices
+    — if Spark ever emitted an unchanged key, skipped a changed one, or
+    sliced batches differently, the hash breaks. Watermark far wider than
+    the fixture span: no state eviction, pure incremental-emission
+    semantics."""
+    st = _replay_id_sliced(spark, sf_dir)
+    agg = (
+        st.withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_records"))
+        .select(F.col("w.start").alias("w_start"), "user_id", "n_records")
+    )
+    return _run(agg, "update").orderBy("w_start", "user_id", "n_records")
