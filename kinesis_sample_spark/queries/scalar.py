@@ -145,3 +145,102 @@ def q21_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — try_* error-tolerant functions (A11/A12's skip-malformed semantics).
+# ---------------------------------------------------------------------------
+@query(
+    "q166_try_functions",
+    oracle="""
+SELECT event_id,
+       TRY_CAST(event_type AS INTEGER) AS bad_int,
+       TRY_CAST(props->>'k' AS INTEGER) AS good_int,
+       CASE WHEN user_id % 3 = 0 THEN NULL ELSE value / (user_id % 3) END AS safe_div,
+       TRY_CAST('2024-' || lpad(CAST(event_id % 20 AS VARCHAR), 2, '0') || '-15'
+                AS DATE) AS maybe_date,
+       CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL THEN 'malformed'
+            ELSE 'ok' END AS decode_status
+FROM events
+ORDER BY event_id
+""",
+)
+def q166_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's malformed-record semantics (NumberFormatException →
+    "does not match sample record format, ignoring", Proc:105-106;
+    CharacterCodingException → malformed-bytes log, Proc:107-108) as
+    declarative expressions: try_cast / try_divide return NULL instead of
+    raising, so the poison rows flow to a status column (→ the DLQ split
+    in streaming/dlq.py) rather than killing the task — Spark's ANSI-mode
+    answer to per-record try/catch. Every probe here is deterministic:
+    event_type never parses, props->k always does, division by
+    user_id%3 is null exactly on multiples of 3."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.col("event_type").try_cast("int").alias("bad_int"),
+            F.get_json_object("props", "$.k").try_cast("int").alias("good_int"),
+            F.try_divide("value", F.col("user_id") % 3).alias("safe_div"),
+            F.try_to_date(
+                F.concat(
+                    F.lit("2024-"),
+                    F.lpad((F.col("event_id") % 20).cast("string"), 2, "0"),
+                    F.lit("-15"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("maybe_date"),
+            F.when(F.col("event_type").try_cast("double").isNull(), "malformed")
+            .otherwise("ok")
+            .alias("decode_status"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — date arithmetic gallery.
+# ---------------------------------------------------------------------------
+@query(
+    "q167_date_arithmetic",
+    oracle="""
+WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+SELECT o_orderkey,
+       last_day(od) AS month_end,
+       CAST(od + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       od + 45 AS plus45d,
+       date_diff('day', od, DATE '2026-01-01') AS days_until_2026,
+       weekofyear(od) AS week_of_year,
+       dayofweek(od) + 1 AS dow_sunday1,
+       CAST(date_trunc('month', od) AS DATE) AS month_start,
+       quarter(od) AS qtr,
+       od + CAST(CASE WHEN (8 - isodow(od)) % 7 = 0 THEN 7
+                      ELSE (8 - isodow(od)) % 7 END AS INTEGER) AS next_monday
+FROM d
+ORDER BY o_orderkey
+""",
+)
+def q167_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic beyond q20's part extraction: last_day, add_months
+    (month-end clamping included), date_add, datediff, weekofyear (ISO on
+    both engines), dayofweek (Spark counts Sunday=1, DuckDB Sunday=0 —
+    the oracle shifts), trunc-to-month, quarter, and next_day (DuckDB has
+    no built-in; the oracle derives it from isodow modular arithmetic).
+    Map-only, codegen'd, zero shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.last_day(od).alias("month_end"),
+            F.add_months(od, 3).alias("plus3m"),
+            F.date_add(od, 45).alias("plus45d"),
+            F.datediff(F.lit("2026-01-01").cast("date"), od).alias("days_until_2026"),
+            F.weekofyear(od).alias("week_of_year"),
+            F.dayofweek(od).alias("dow_sunday1"),
+            F.trunc(od, "month").alias("month_start"),
+            F.quarter(od).alias("qtr"),
+            F.next_day(od, "Mon").alias("next_monday"),
+        )
+        .orderBy("o_orderkey")
+    )
