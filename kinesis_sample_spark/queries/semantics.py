@@ -232,3 +232,45 @@ def q163_map_ops_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — recursive CTE (transitive closure / hierarchy walk).
+# ---------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree AS (
+  SELECT p_partkey, CAST(p_partkey // 4 AS BIGINT) AS parent,
+         0 AS depth,
+         CAST(p_partkey AS STRING) AS path
+  FROM part WHERE p_partkey = 0
+  UNION ALL
+  SELECT c.p_partkey, CAST(c.p_partkey // 4 AS BIGINT) AS parent,
+         t.depth + 1,
+         t.path || '>' || CAST(c.p_partkey AS STRING)
+  FROM part c JOIN tree t ON c.p_partkey // 4 = t.p_partkey
+  WHERE c.p_partkey <> 0
+)
+SELECT p_partkey, parent, depth, path FROM tree
+ORDER BY p_partkey
+"""
+
+
+@query("q168_recursive_cte", oracle=_RECURSIVE_SQL)
+def q168_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark ≥4.0) over a synthetic part hierarchy
+    (parent = partkey // 4, rooted at 0): each part's depth and full
+    ancestor path — the BOM-explosion / org-chart shape. The IDENTICAL
+    SQL text runs on both engines; Spark executes the recursion as an
+    iterative union of DataFrame steps (one join per level, ~log₄ n
+    levels), which is exactly how the engine's hand-built iterative
+    operators (PageRank, connected components) are shaped — this gates
+    the declarative spelling. Depth is O(log n), so the plan stays
+    shallow at any corpus size; each level's join is partkey-equi and
+    AQE-broadcastable."""
+    from kinesis_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "part")
+    # Spark needs integer div spelled `div`; DuckDB uses `//` — keep one
+    # text by using floor division via DIV on both? DuckDB lacks DIV, so
+    # translate just that token for the Spark run.
+    return spark.sql(_RECURSIVE_SQL.replace("//", "div"))

@@ -184,3 +184,31 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:120]
+
+
+def test_producer_datasource_shards_and_payload(spark):
+    """The custom Python DataSource must honor shard/row options: one
+    partition per shard, disjoint round-robin sequence ranges, and the
+    reference's payload format (testData-<ISO millis>)."""
+    from kinesis_sample_spark.sources.producer_source import SOURCE_NAME, register
+
+    register(spark)
+    df = (
+        spark.read.format(SOURCE_NAME)
+        .option("rows", "40")
+        .option("shards", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 40
+    assert sorted(r.sequence_number for r in rows) == list(range(40))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.sequence_number)
+        assert r.data.startswith("testData-")
+        assert r.partition_key.startswith("partitionKey-")
+    assert len(by_shard) == 4
+    for sid, seqs in by_shard.items():
+        shard = int(sid.replace("shardId-", ""))
+        assert sorted(seqs) == list(range(shard, 40, 4))
