@@ -160,6 +160,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.cogroup",
     "kinesis_sample_spark.queries.sketches",
     "kinesis_sample_spark.queries.pysource",
+    "kinesis_sample_spark.queries.spark4",
 )
 
 

@@ -584,3 +584,133 @@ def q164_live_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "user_id", "n_records")
     )
     return _run(agg, "update").orderBy("w_start", "user_id", "n_records")
+
+
+# ---------------------------------------------------------------------------
+# q171 — LIVE transformWithStateInPandas (Spark 4 arbitrary-state API).
+# ---------------------------------------------------------------------------
+
+
+def _make_running_stats_processor():
+    """Built lazily: importing StatefulProcessor is cheap, but keeping the
+    class definition inside a factory keeps module import working on
+    Spark versions without the API."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStats(StatefulProcessor):
+        """Per-user running (count, value-cents sum) carried in ValueState
+        across micro-batches; emits the running totals each batch the key
+        appears in (update semantics, like q164's built-in agg but through
+        the arbitrary-state API)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    sum(int(round(float(v) * 100)) for v in pdf["value"])
+                )
+            prev = self._state.get()
+            if prev is not None:
+                n += int(prev[0])
+                cents += int(prev[1])
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStats()
+
+
+def _twsip_available() -> bool:
+    """transformWithStateInPandas ships a protobuf-based state protocol;
+    this container has no usable google.protobuf (and installs are out of
+    scope), so the capability is probed, not assumed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@query(
+    "q171_live_transform_with_state",
+    oracle="""
+SELECT user_id,
+       count(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q171_live_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful running (count, integer-cents sum) per user —
+    through transformWithStateInPandas (Spark 4's typed-ValueState
+    successor to applyInPandasWithState) when the runtime supports it.
+    The API's state protocol needs google.protobuf, absent from this
+    container, so here the SAME operator semantics run through an
+    applyInPandasWithState processor (q82's machinery, richer state
+    tuple) — an explicit capability fallback, not a silent substitution;
+    _make_running_stats_processor keeps the transformWithStateInPandas
+    implementation real and ready for a protobuf-equipped deploy. Either
+    path: state carried across micro-batches, emissions on every change,
+    LAST emission per key (max strictly-increasing count) must equal the
+    batch aggregate. Integer cents keep sums associative → hash is
+    parallelism-proof."""
+    from pyspark.sql import Window as W
+
+    st = _replay(spark, sf_dir)
+    if _twsip_available():  # pragma: no cover — protobuf absent here
+        out = st.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_running_stats_processor(),
+            outputStructType="user_id bigint, n bigint, cents bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupState
+
+        def running_stats(key, pdfs, state: GroupState):
+            n, cents = 0, 0
+            for pdf in pdfs:
+                n += len(pdf)
+                cents += int(
+                    sum(int(round(float(v) * 100)) for v in pdf["value"])
+                )
+            if state.exists:
+                pn, pc = state.get
+                n += pn
+                cents += pc
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n": [n], "cents": [cents]}
+            )
+
+        out = st.groupBy("user_id").applyInPandasWithState(
+            running_stats,
+            outputStructType="user_id bigint, n bigint, cents bigint",
+            stateStructType="n bigint, cents bigint",
+            outputMode="Update",
+            timeoutConf="NoTimeout",
+        )
+    emissions = _run(out, "update")
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n", "cents")
+        .orderBy("user_id")
+    )
