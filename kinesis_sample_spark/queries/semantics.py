@@ -274,3 +274,81 @@ def q168_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text by using floor division via DIV on both? DuckDB lacks DIV, so
     # translate just that token for the Spark run.
     return spark.sql(_RECURSIVE_SQL.replace("//", "div"))
+
+
+# ---------------------------------------------------------------------------
+# q172 — LATERAL correlated subquery (per-row top-k the SQL way).
+# ---------------------------------------------------------------------------
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("q172_lateral_topk", oracle=_LATERAL_SQL)
+def q172_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per customer spelled as
+    a per-row dependent subquery instead of q14's window rank. The
+    IDENTICAL SQL text runs on both engines. Catalyst decorrelates the
+    LATERAL into a ranked join (no per-row re-execution), so the plan
+    cost matches the window formulation — the gate proves the
+    decorrelation rewrite preserves limit/order semantics, including
+    customers with <2 or 0 orders (dropped, inner-join semantics)."""
+    from kinesis_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q173 — row-value IN subquery (multi-column membership predicate).
+# ---------------------------------------------------------------------------
+_ROW_IN_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+WHERE (o_custkey, o_orderstatus) IN
+      (SELECT c_custkey, 'O' FROM customer WHERE c_acctbal > 5000)
+   OR (o_custkey, o_orderstatus) IN
+      (SELECT c_custkey, 'F' FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+_ROW_IN_ORACLE = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal > 5000
+                AND o_orderstatus = 'O')
+   OR EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal < 0
+                AND o_orderstatus = 'F')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q173_row_value_in", oracle=_ROW_IN_ORACLE)
+def q173_row_value_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column (row-value) IN membership against correlated-free
+    subqueries, disjunctively combined — Catalyst compiles each to a
+    semi-join over a composite key rather than per-row subquery
+    evaluation. DuckDB does not bind multi-column IN subqueries, so the
+    oracle is the EXISTS rewrite of the same predicate — gating the
+    SEMANTICS of Spark's row-value IN, including the disjunction
+    (a row must not double-count when matching both branches).
+    Exact-decimal sums for the value gate."""
+    from kinesis_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_ROW_IN_SQL)
