@@ -241,3 +241,70 @@ def test_stream_static_join_enrichment(spark, events_dir):
     assert out.count() == n_events
     # users 0..149 exist in customer (c_custkey range) — all should enrich
     assert out.filter(F.col("c_mktsegment").isNull()).count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics pinned as Spark actually implements them:
+    the late-record filter of a streaming aggregation uses the watermark
+    as of the PREVIOUS batch (one-batch lag vs the progress-reported
+    eviction watermark), and numRowsDroppedByWatermark counts dropped
+    post-partial-aggregation groups, not raw rows. Three mtime-ordered
+    files: fresh (advances the watermark), late#1 (arrives in the very
+    next batch — still accepted under the lagged filter), late#2
+    (arrives after the watermark has been in force for a full batch —
+    dropped, absent from results)."""
+    import datetime
+    import os
+    import time
+
+    d = str(tmp_path / "late_stream")
+    os.makedirs(d)
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    batches = [
+        [(i, base + datetime.timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(10)],
+        [(100 + i, base - datetime.timedelta(days=2), 2, "click", 1.0, "{}") for i in range(5)],
+        [(200 + i, base - datetime.timedelta(days=3), 3, "click", 1.0, "{}") for i in range(4)],
+    ]
+
+    def _parts():
+        return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+    now = int(time.time()) - 3600
+    seen = set()
+    for j, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+        new = _parts() - seen
+        for f in new:
+            os.utime(os.path.join(d, f), (now + j, now + j))
+        seen |= new
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        st.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert dropped >= 1, "late batch was not filtered by the watermark"
+    out = spark.sql("SELECT * FROM t_late_drop")
+    # late#2 dropped entirely; late#1 accepted (lagged filter); fresh intact
+    assert out.filter(F.col("user_id") == 3).count() == 0, "late rows leaked into results"
+    assert out.filter(F.col("user_id") == 2).agg(F.sum("n")).collect()[0][0] == 5
+    assert out.filter(F.col("user_id") == 1).agg(F.sum("n")).collect()[0][0] == 10
