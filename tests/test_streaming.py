@@ -308,3 +308,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert out.filter(F.col("user_id") == 3).count() == 0, "late rows leaked into results"
     assert out.filter(F.col("user_id") == 2).agg(F.sum("n")).collect()[0][0] == 5
     assert out.filter(F.col("user_id") == 1).agg(F.sum("n")).collect()[0][0] == 10
+
+
+def test_stateful_checkpoint_resume(spark, tmp_path):
+    """A9/A13 for STATE, not just offsets: a running per-user count whose
+    state store must survive a query restart. Phase 1 drains half the
+    events and stops; more files arrive; phase 2 reuses the checkpoint.
+    The last emission per user across both phases must equal the full
+    batch count — if state had restarted from zero, users spanning both
+    halves would undercount."""
+    import os
+
+    d = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(d)
+    events = load_table(spark, SF, "events")
+    h1 = events.filter(F.col("event_id") % 2 == 0)
+    h2 = events.filter(F.col("event_id") % 2 == 1)
+
+    emissions_dir = str(tmp_path / "emissions")
+
+    def run():
+        st = replay_events_stream(spark, d, files_per_trigger=1)
+        agg = (
+            st.withWatermark("ts", "3650 days")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(emissions_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    h1.coalesce(2).write.mode("append").parquet(d)
+    run()
+    h2.coalesce(2).write.mode("append").parquet(d)
+    run()
+
+    merged = spark.read.parquet(emissions_dir)
+    final = merged.groupBy("user_id").agg(F.max("n").alias("n"))
+    expected = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
