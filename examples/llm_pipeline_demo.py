@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Training-data pipeline demo over the synthetic corpus fixtures.
+
+Chains the engine's LLM-data operators the way a real curation run would:
+quality gate → exact + near dedup → semantic dedup → chunking → packing,
+then two retrieval passes (BM25 lexical, cosine top-k dense). Every stage
+is a registry query — the same callables the driver hash-checks — so this
+demo is executable documentation, not a separate code path.
+
+Run: python examples/llm_pipeline_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis_sample_spark.queries import load_registry
+from kinesis_sample_spark.session import get_spark
+
+STAGES = (
+    ("quality gate (Gopher rules)", "q117_gopher_quality_rules"),
+    ("exact dedup", "q30_exact_dedup"),
+    ("near dedup (MinHash+LSH)", "q31_minhash_lsh"),
+    ("semantic dedup (SemDeDup bands)", "q158_semantic_dedup"),
+    ("decontamination (benchmark n-grams)", "q97_benchmark_decontamination"),
+    ("chunking (content-defined)", "q148_content_defined_chunks"),
+    ("sequence packing (2048-token context)", "q111_sequence_packing"),
+    ("lexical retrieval (BM25 top-10)", "q154_bm25_topk"),
+    ("dense retrieval (cosine top-k)", "q34_cosine_topk"),
+    ("corpus capstone (end-to-end)", "q77_training_corpus_pipeline"),
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("llm_pipeline_demo")
+    registry = load_registry()
+    print(f"corpus: {sf_dir}\n")
+    for label, name in STAGES:
+        t0 = time.time()
+        df = registry[name].fn(spark, sf_dir)
+        n = df.count()
+        print(f"{label:42s} {name:32s} {n:7d} rows  {time.time() - t0:5.2f}s")
+    print("\nfirst BM25 hits:")
+    registry["q154_bm25_topk"].fn(spark, sf_dir).show(6, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

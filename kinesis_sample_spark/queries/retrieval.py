@@ -115,11 +115,16 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - per-document term frequencies for the QUERY VOCABULARY ONLY, via one
       pass of array higher-order functions (no explode, no shuffle of the
       token stream — `size(filter(tokens, t = term))` per term);
-    - document frequencies + average doc length: one tiny global aggregate,
-      broadcast back via a literal-free cross join (scalar relation);
-    - scores: fixed `+` chain per query (float-order deterministic), then
-      per-query top-k via window row_number — TakeOrdered shape, no global
-      sort of the corpus.
+    - corpus count, document frequencies and average doc length in ONE
+      tiny global aggregate, broadcast back as a scalar relation — no
+      extra count() scan;
+    - ALL queries scored in the same single pass over the corpus (one
+      score column per query, unpivoted with `stack`) — the corpus is
+      scanned exactly once however many queries run; each score is a
+      fixed `+` chain (float-order deterministic), and score > 0 is
+      exactly "matches ≥1 term" because idf > 0 and tfnorm(0) = 0;
+    - per-query top-k via window row_number — TakeOrdered shape, no
+      global sort of the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -139,7 +144,6 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for term in _ALL_TERMS
         ],
     )
-    n_docs = docs.count()  # scalar; driver-side by design (one number)
     stats = tf.agg(
         *[
             F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
@@ -148,12 +152,15 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("dl").cast("bigint")).cast("double") / F.count("*")).alias(
             "avgdl"
         ),
+        F.count("*").cast("double").alias("n_docs"),
     )
     tf_s = tf.crossJoin(F.broadcast(stats))
 
     def idf(term: str):
         df_c = F.col(f"df_{term}")
-        return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_c + 0.5) / (df_c + 0.5))
+        return F.log(
+            F.lit(1.0) + (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5)
+        )
 
     def tfnorm(term: str):
         tf_c = F.col(f"tf_{term}")
@@ -161,26 +168,22 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             tf_c + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
         )
 
-    per_query = []
-    for qid, terms in sorted(BM25_QUERIES.items()):
+    score_cols = []
+    stack_args: list[str] = []
+    for qi, (qid, terms) in enumerate(sorted(BM25_QUERIES.items())):
         t1, t2, t3 = terms
         score = (
             (idf(t1) * tfnorm(t1)) + (idf(t2) * tfnorm(t2)) + (idf(t3) * tfnorm(t3))
         )
-        per_query.append(
-            tf_s.filter(
-                (F.col(f"tf_{t1}") > 0)
-                | (F.col(f"tf_{t2}") > 0)
-                | (F.col(f"tf_{t3}") > 0)
-            ).select(
-                F.lit(qid).alias("query_id"),
-                "doc_id",
-                score.alias("score"),
-            )
-        )
-    scored = per_query[0]
-    for other in per_query[1:]:
-        scored = scored.unionByName(other)
+        score_cols.append(score.alias(f"s_{qi}"))
+        stack_args.extend([f"'{qid}'", f"s_{qi}"])
+    wide = tf_s.select("doc_id", *score_cols)
+    scored = wide.select(
+        "doc_id",
+        F.expr(
+            f"stack({len(BM25_QUERIES)}, {', '.join(stack_args)}) AS (query_id, score)"
+        ),
+    ).filter(F.col("score") > 0)
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))

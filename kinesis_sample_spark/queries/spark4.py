@@ -98,3 +98,36 @@ def q170_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float-order determinism contract of functions/numeric.py."""
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q174 — SQL sugar: GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT.
+# ---------------------------------------------------------------------------
+#: one template, one differing token: Spark spells column exclusion
+#: `* EXCEPT (c)`, DuckDB `* EXCLUDE (c)` — same semantics.
+_SUGAR_TEMPLATE = """
+SELECT * {EXCLUDE} (max_price)
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+         max(o_totalprice) AS max_price
+  FROM orders
+  GROUP BY ALL
+)
+ORDER BY ALL
+"""
+_SUGAR_SQL = _SUGAR_TEMPLATE.format(EXCLUDE="EXCEPT")
+
+
+@query("q174_sql_sugar", oracle=_SUGAR_TEMPLATE.format(EXCLUDE="EXCLUDE"))
+def q174_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyst-ergonomics sugar shared by both engines, one text: GROUP BY
+    ALL (group on every non-aggregate select item), ORDER BY ALL (sort by
+    every output column left-to-right), SELECT * EXCEPT — DuckDB's
+    EXCLUDE — (project away a
+    column post-aggregation — the column-pruning rule then drops its
+    computation where possible). Sugar desugars in the analyzer; this
+    gates that both engines desugar to the same query."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_SUGAR_SQL)

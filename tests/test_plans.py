@@ -394,14 +394,17 @@ def test_q147_skew_audit_broadcasts_totals(spark):
 
 
 def test_q154_bm25_no_explode_and_broadcast_stats(spark):
-    """BM25 must compute query-term tfs via per-row HOFs (no Generate/
-    explode of the token stream) and broadcast the df/avgdl scalar
-    relation."""
+    """BM25 must compute query-term tfs via per-row HOFs — the token
+    stream is never exploded (the only permitted Generate is the
+    constant-fanout `stack` that unpivots the per-query score columns)
+    — and must broadcast the df/avgdl scalar relation."""
     from kinesis_sample_spark.plans.inspect import formatted_plan
 
     df = REGISTRY["q154_bm25_topk"].fn(spark, SF)
     plan = formatted_plan(df)
-    assert "Generate" not in plan, "token explode leaked into the BM25 plan"
+    assert "explode" not in plan.lower(), "token explode leaked into the BM25 plan"
+    assert plan.count("Generate (") <= 1, "more than one Generate in BM25 plan"
+    assert "stack" in plan, "the single Generate must be the stack unpivot"
     assert has_broadcast_join(df)
 
 
