@@ -11,10 +11,13 @@ index-build step q37 stubs with label means when no labels exist
 Determinism: init = the k lowest-id vectors (``init="first"``) or the k
 vectors with the smallest md5-derived id hash (``init="spread"`` — a
 deterministic uniform sample; see below); assignment tie-break = lowest
-cluster id; means are plain double averages (iteration is a fixpoint
-search — exact-decimal machinery is unnecessary because no oracle
-hash-compares intermediate floats; the unit test checks against a NumPy
-reference with float tolerance).
+cluster id; means accumulate in DECIMAL(18,9) (exact, associative) and
+surface as doubles — so the fitted centroids are bit-identical under ANY
+partitioning (32 threads, 1000 executors, or a serial SQL engine), which
+is what lets q38 carry a full value-hash oracle (the 3-iteration fit
+unrolled in DuckDB SQL) instead of a rows-only check. The 1e-9
+quantization is far below float32 input precision; the unit test still
+checks against a float64 NumPy reference within tolerance.
 
 Why ``spread`` matters at 100 TB: row ids are almost always correlated
 with ingest order, so the k lowest ids typically live in one file /
@@ -77,7 +80,13 @@ def kmeans_fit(
             assigned.join(emb, id_col)
             .select("cluster", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(18,9)"))
+                    .cast("double")
+                    / F.count("val")
+                ).alias("mean")
+            )
             .groupBy("cluster")
             .agg(
                 F.transform(

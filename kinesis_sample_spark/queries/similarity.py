@@ -310,17 +310,110 @@ def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q38 — k-means IVF ANN (unlabeled corpora; rows-only check).
+# q38 — k-means IVF ANN (unlabeled corpora) with an UNROLLED-ITERATION oracle.
 # ---------------------------------------------------------------------------
-@query("q38_kmeans_ivf_ann", oracle=None)
+_KM_K = 8
+_KM_ITER = 3
+
+
+def _sql_kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    """Generate the DuckDB oracle for q38 by unrolling the deterministic
+    Lloyd iterations: operators/kmeans.py accumulates per-(cluster, dim)
+    means in DECIMAL(18,9) and breaks assignment ties toward the lowest
+    cluster id, so every centroid double is bit-identical under any
+    parallelism — which makes each iteration one more CTE block instead
+    of "not expressible in SQL". Seeds = k smallest md5(vec_id) (the
+    'spread' init); squared distances use the same sequential fold both
+    engines share for dot products; the VARCHAR round-trip on the decimal
+    mean matches Spark's correctly-rounded decimal→double cast."""
+    md5 = "(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)"
+
+    def sqdist(e: str, c: str) -> str:
+        diff = f"list_transform(range(1, {DIM + 1}), i -> CAST({e}[i] AS DOUBLE) - {c}[i])"
+        return f"list_dot_product({diff}, {diff})"
+
+    ctes = [
+        (
+            "exploded AS (\n"
+            "  SELECT vec_id, unnest(embedding)::DOUBLE AS val,\n"
+            "         generate_subscripts(embedding, 1) AS pos\n"
+            "  FROM embeddings)"
+        ),
+        (
+            "c0 AS (\n"
+            f"  SELECT (row_number() OVER (ORDER BY {md5}, vec_id)) - 1 AS cluster,\n"
+            "         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec\n"
+            f"  FROM embeddings ORDER BY {md5}, vec_id LIMIT {k})"
+        ),
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"a{i} AS (\n"
+            "  SELECT e.vec_id, c.cluster,\n"
+            "         row_number() OVER (PARTITION BY e.vec_id\n"
+            f"                            ORDER BY {sqdist('e.embedding', 'c.vec')}, c.cluster) AS rn\n"
+            f"  FROM embeddings e CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"m{i} AS (\n"
+            "  SELECT a.cluster, x.pos,\n"
+            "         CAST(CAST(SUM(CAST(x.val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)\n"
+            "           / COUNT(x.val) AS mean\n"
+            f"  FROM (SELECT vec_id, cluster FROM a{i} WHERE rn = 1) a\n"
+            "  JOIN exploded x ON x.vec_id = a.vec_id\n"
+            "  GROUP BY a.cluster, x.pos)"
+        )
+        ctes.append(
+            f"c{i} AS (\n"
+            "  SELECT p.cluster, coalesce(n.vec, p.vec) AS vec\n"
+            f"  FROM {prev} p LEFT JOIN (SELECT cluster, list(mean ORDER BY pos) AS vec\n"
+            f"                            FROM m{i} GROUP BY cluster) n USING (cluster))"
+        )
+    final_c = f"c{n_iter}"
+    ctes.append(
+        "af AS (\n"
+        "  SELECT e.vec_id, c.cluster,\n"
+        "         row_number() OVER (PARTITION BY e.vec_id\n"
+        f"                            ORDER BY {sqdist('e.embedding', 'c.vec')}, c.cluster) AS rn\n"
+        f"  FROM embeddings e CROSS JOIN {final_c} c)"
+    )
+    ctes.append(
+        "cells AS (\n"
+        "  SELECT e.vec_id, e.embedding, a.cluster\n"
+        "  FROM embeddings e JOIN (SELECT vec_id, cluster FROM af WHERE rn = 1) a USING (vec_id))"
+    )
+    ctes.append(
+        f"qs AS (SELECT vec_id AS query_id, embedding AS q_emb, cluster AS q_cell\n"
+        f"       FROM cells WHERE vec_id < {N_QUERIES})"
+    )
+    ctes.append(
+        "scored AS (\n"
+        "  SELECT qs.query_id, c.vec_id AS neighbor_id,\n"
+        f"         {sql_cosine('qs.q_emb', 'c.embedding')} AS cos_sim\n"
+        "  FROM qs JOIN cells c ON c.cluster = qs.q_cell AND c.vec_id <> qs.query_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, neighbor_id, cos_sim, rank FROM (\n"
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+        "                               ORDER BY cos_sim DESC, neighbor_id) AS rank\n"
+        "  FROM scored)\n"
+        f"WHERE rank <= {_IVF_TOPK}\n"
+        "ORDER BY query_id, rank"
+    )
+
+
+@query("q38_kmeans_ivf_ann", oracle=_sql_kmeans_oracle())
 def q38_kmeans_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unlabeled-corpus version of q37: build the coarse quantizer with
     operators.kmeans (deterministic Lloyd iterations, hash-spread seed
     sample; verified against a NumPy reference in tests/test_kmeans.py),
-    then probe the query's cell.
-    No SQL oracle: the iterative fit isn't expressible as one SQL query —
-    the driver records the rows-only check; correctness evidence is the
-    k-means unit test plus q37's oracle for the probe stage."""
+    then probe the query's cell. The oracle UNROLLS the 3 Lloyd
+    iterations into chained SQL CTEs — possible because the fit is
+    bit-deterministic (decimal-exact means, lowest-id tie-breaks,
+    engine-shared distance folds) — so the full iterative index build,
+    not just the probe, sits under the value-hash gate."""
     from kinesis_sample_spark.operators.kmeans import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
