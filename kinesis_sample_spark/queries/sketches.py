@@ -130,3 +130,61 @@ def q159_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — HLL sketch build / merge / estimate (DataSketches surface).
+# ---------------------------------------------------------------------------
+@query(
+    "q177_hll_sketch_merge",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS merge_lossless,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q177_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch laws of the DataSketches HLL surface
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), gated:
+
+    - merge-losslessness: estimating the union of 8 per-bucket sketches
+      must equal estimating one sketch over all rows (sketch insertion is
+      idempotent/commutative, so any partitioning yields the same sketch
+      — the property that makes pre-aggregated sketch columns in a 100 TB
+      rollup table sound);
+    - bounded error: the estimate sits within 5% of the exact distinct
+      count (lgConfigK=12 default ⇒ ~1.6% rse; 5% ≈ 3σ).
+
+    The oracle computes the exact side and pins both law-booleans to
+    TRUE — same pattern as q61's error-bound gate: the approximation
+    itself is checked, not reproduced. Shape: two aggregation passes that
+    shuffle only sketch bytes (fixed KB per group), never rows."""
+    from kinesis_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+WITH per_bucket AS (
+  SELECT event_type, user_id % 8 AS b, hll_sketch_agg(user_id) AS sk
+  FROM events GROUP BY 1, 2
+),
+merged AS (
+  SELECT event_type, hll_sketch_estimate(hll_union_agg(sk)) AS est_merged
+  FROM per_bucket GROUP BY 1
+),
+direct AS (
+  SELECT event_type, hll_sketch_estimate(hll_sketch_agg(user_id)) AS est_direct,
+         count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT d.event_type, d.n_exact,
+       m.est_merged = d.est_direct AS merge_lossless,
+       abs(d.est_direct - d.n_exact) <= 0.05 * d.n_exact AS within_5pct
+FROM direct d JOIN merged m USING (event_type)
+ORDER BY d.event_type
+"""
+    )
