@@ -86,3 +86,76 @@ def q136_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="kss_orc_")
     _events_subset(spark, sf_dir).write.mode("overwrite").orc(out)
     return _agg(spark.read.orc(out))
+
+
+# ---------------------------------------------------------------------------
+# q179 — schema evolution: union across snapshots with differing columns.
+# ---------------------------------------------------------------------------
+@query(
+    "q179_schema_evolution_union",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         NULL AS o_orderpriority, 'v1' AS snapshot
+  FROM v1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 'v2'
+  FROM v2
+)
+SELECT snapshot,
+       count(*) AS n,
+       count(o_orderpriority) AS n_with_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM unioned
+GROUP BY snapshot
+ORDER BY snapshot
+""",
+)
+def q179_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across table snapshots: a v1 snapshot written
+    without ``o_orderpriority`` and a v2 snapshot written with it are
+    combined via ``unionByName(allowMissingColumns=True)`` — v1 rows get
+    NULL for the added column, column order differences are resolved by
+    NAME (the failure mode positional UNION silently corrupts). Both
+    snapshots are real parquet writes + reads, so the evolved read path
+    is exercised, not simulated; the audit counts NULL-backfill
+    explicitly. This is the append-only half of lakehouse schema
+    evolution (the rewrite half is q143's snapshot diff)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="kss_evolve_")
+    v1_path, v2_path = f"{out}/v1", f"{out}/v2"
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(v1_path)
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        # deliberately different column order: name-based union must fix it
+        .select("o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(v2_path)
+    )
+    v1 = spark.read.parquet(v1_path).withColumn("snapshot", F.lit("v1"))
+    v2 = spark.read.parquet(v2_path).withColumn("snapshot", F.lit("v2"))
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        unioned.groupBy("snapshot")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("snapshot")
+    )
