@@ -159,3 +159,55 @@ def q179_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snapshot")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — parquet compression-codec matrix round trip.
+# ---------------------------------------------------------------------------
+_CODECS = ("snappy", "gzip", "zstd", "lz4", "none")
+
+
+@query(
+    "q180_codec_roundtrip",
+    oracle=f"""
+WITH base AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+  FROM orders
+)
+SELECT codec, base.n, base.total
+FROM (SELECT unnest(['{"', '".join(sorted(_CODECS))}']) AS codec), base
+ORDER BY codec
+""",
+)
+def q180_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write→read round trip through every production parquet codec
+    (snappy, gzip, zstd, lz4, uncompressed): each copy must decode to the
+    identical row count and exact-decimal total — codec choice can never
+    change data. At 100 TB codec choice is a real cost lever (zstd ≈
+    30-50% smaller than snappy at similar scan speed); this gate keeps
+    the switch purely physical. One write+read per codec over the same
+    relation; aggregates are tiny."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="kss_codec_")
+    frames = []
+    for codec in sorted(_CODECS):
+        path = f"{out}/{codec}"
+        orders.write.mode("overwrite").option(
+            "compression", codec if codec != "none" else "uncompressed"
+        ).parquet(path)
+        back = spark.read.parquet(path)
+        frames.append(
+            back.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total"),
+            ).select(F.lit(codec).alias("codec"), "n", "total")
+        )
+    result = frames[0]
+    for f in frames[1:]:
+        result = result.unionByName(f)
+    return result.orderBy("codec")

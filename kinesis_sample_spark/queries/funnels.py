@@ -262,3 +262,85 @@ def q141_transition_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "src", "dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — first conversion path per user (ordered sequence assembly).
+# ---------------------------------------------------------------------------
+@query(
+    "q181_first_conversion_path",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id) AS first_purchase_ts
+  FROM events
+),
+pre AS (
+  SELECT user_id, event_type, ts, event_id, first_purchase_ts
+  FROM ordered
+  WHERE first_purchase_ts IS NOT NULL AND ts <= first_purchase_ts
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         count(*) AS path_len,
+         min(ts) AS path_start,
+         max(first_purchase_ts) AS converted_at
+  FROM pre GROUP BY user_id
+)
+SELECT user_id, path, path_len,
+       (epoch_us(converted_at) - epoch_us(path_start)) // 1000000
+         AS seconds_to_convert
+FROM paths
+ORDER BY user_id
+""",
+)
+def q181_first_conversion_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style sequence assembly: for every user who ever
+    purchases, the ORDERED chain of event types from their first event up
+    to (and including) the first purchase, plus time-to-convert. The
+    path string is an order-sensitive aggregation — Spark spells it
+    array_join(array_agg over a sorted window frame), DuckDB
+    string_agg(... ORDER BY) — ties broken by event_id so both engines
+    assemble the identical string. One user_id exchange serves the
+    first-purchase window, the path window, and the final group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(
+            w_user
+        ).alias("first_purchase_ts"),
+    )
+    pre = ordered.filter(
+        F.col("first_purchase_ts").isNotNull()
+        & (F.col("ts") <= F.col("first_purchase_ts"))
+    )
+    w_seq = w_user.orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    with_path = pre.withColumn(
+        "path", F.array_join(F.collect_list("event_type").over(w_seq), ">")
+    )
+    return (
+        with_path.groupBy("user_id")
+        .agg(
+            F.first("path").alias("path"),
+            F.count("*").alias("path_len"),
+            (
+                F.unix_micros(F.max("first_purchase_ts"))
+                - F.unix_micros(F.min("ts"))
+            ).alias("us_to_convert"),
+        )
+        .select(
+            "user_id",
+            "path",
+            "path_len",
+            F.expr("us_to_convert div 1000000").alias("seconds_to_convert"),
+        )
+        .orderBy("user_id")
+    )
