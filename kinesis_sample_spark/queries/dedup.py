@@ -923,3 +923,118 @@ def q152_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — incremental ingest dedup against a persisted signature store.
+# ---------------------------------------------------------------------------
+_INC_SQL_MINHASH = ",\n        ".join(
+    f"list_min(list_transform(shl, x -> {seeded_md5_long_sql('x', s)})) AS m{s}"
+    for s in range(N_HASHES)
+)
+
+
+@query(
+    "q182_incremental_store_dedup",
+    oracle=f"""
+WITH d3 AS (
+    SELECT doc_id, {_SQL_SHL} AS shl FROM documents
+),
+mh AS (
+    SELECT doc_id, {_INC_SQL_MINHASH}
+    FROM d3
+),
+bands AS (
+    SELECT doc_id, 0 AS band_idx,
+           CAST(m0 AS VARCHAR)||'_'||m1||'_'||m2||'_'||m3 AS band_val FROM mh
+    UNION ALL
+    SELECT doc_id, 1, CAST(m4 AS VARCHAR)||'_'||m5||'_'||m6||'_'||m7 FROM mh
+),
+cand AS (
+    SELECT DISTINCT b.doc_id, s.doc_id AS dup_of
+    FROM bands b JOIN bands s
+      ON b.band_idx = s.band_idx AND b.band_val = s.band_val
+    WHERE b.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shl) AS g FROM d3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+jac AS (
+    SELECT c.doc_id, c.dup_of, i.n_inter,
+           i.n_inter / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM cand c
+    JOIN (
+        SELECT c2.doc_id, c2.dup_of, COUNT(*) AS n_inter
+        FROM cand c2
+        JOIN sh sa ON sa.doc_id = c2.doc_id
+        JOIN sh sb ON sb.doc_id = c2.dup_of AND sa.g = sb.g
+        GROUP BY 1, 2
+    ) i ON i.doc_id = c.doc_id AND i.dup_of = c.dup_of
+    JOIN sizes na ON na.doc_id = c.doc_id
+    JOIN sizes nb ON nb.doc_id = c.dup_of
+    WHERE i.n_inter / (na.n + nb.n - i.n_inter) >= 0.8
+),
+best AS (
+    SELECT doc_id, dup_of, jaccard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY jaccard DESC, dup_of) AS rn
+    FROM jac
+)
+SELECT o.doc_id,
+       b.dup_of IS NOT NULL AS is_dup,
+       b.dup_of,
+       round(b.jaccard, 6) AS jac_r,
+       TRUE AS replay_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) o
+LEFT JOIN (SELECT doc_id, dup_of, jaccard FROM best WHERE rn = 1) b
+       ON b.doc_id = o.doc_id
+ORDER BY o.doc_id
+""",
+)
+def q182_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/incremental.py under the driver gate (previously
+    unit-tested only): even doc_ids seed the persisted signature store,
+    odd ids arrive as the ingest batch and are LSH-banded against the
+    STORE (never against each other — O(batch), not O(corpus²)), with
+    exact-jaccard verification and best-match selection. The same batch
+    is then REPLAYED: because accepted signatures were appended, every
+    batch doc must now be flagged duplicate (`replay_dup`) — at-least-once
+    redelivery is idempotent, the property the reference's checkpointing
+    exists to approximate (Proc:117-148). The oracle recomputes
+    signatures, store-side banding, verification, and best-match
+    tie-breaks in SQL; the replay law is pinned TRUE."""
+    import tempfile
+
+    from kinesis_sample_spark.operators.incremental import (
+        dedup_batch_against_store,
+        init_signature_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store_path = tempfile.mkdtemp(prefix="kss_sigstore_") + "/store"
+    init_signature_store(docs.filter(F.col("doc_id") % 2 == 0), store_path)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    dups, _accepted = dedup_batch_against_store(spark, batch, store_path)
+    replay_dups, _ = dedup_batch_against_store(
+        spark, batch, store_path, append_accepted=False
+    )
+    out = (
+        batch.select("doc_id")
+        .join(
+            dups.select("doc_id", "dup_of", F.round("jaccard", 6).alias("jac_r")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            replay_dups.select("doc_id", F.lit(True).alias("replay_dup")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "jac_r",
+            F.coalesce("replay_dup", F.lit(False)).alias("replay_dup"),
+        )
+    )
+    return out.orderBy("doc_id")
