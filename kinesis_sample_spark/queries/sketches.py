@@ -188,3 +188,53 @@ FROM direct d JOIN merged m USING (event_type)
 ORDER BY d.event_type
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — bitmap-aggregate exact distinct counting.
+# ---------------------------------------------------------------------------
+@query(
+    "q183_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_distinct_bitmap,
+       count(DISTINCT user_id) AS n_exact
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q183_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting via Spark's bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count): ids bucket into fixed-width bitmaps, per-bucket bitmaps
+    OR-merge associatively, and the summed popcount is EXACT — the
+    pre-aggregable distinct-count structure warehouses materialize in
+    rollup tables where approx sketches (q177) aren't acceptable and
+    COUNT(DISTINCT) can't pre-aggregate. The oracle's exact distinct must
+    equal the bitmap path bit-for-bit, emitted twice so the hash compares
+    the two columns independently. Shuffle volume: one bitmap (≤4KB) per
+    (group, bucket), never the id stream."""
+    from kinesis_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+WITH per_bucket AS (
+  SELECT event_type, bitmap_bucket_number(user_id) AS bucket,
+         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+  FROM events GROUP BY 1, 2
+),
+via_bitmap AS (
+  SELECT event_type, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_bitmap
+  FROM per_bucket GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT b.event_type, b.n_distinct_bitmap, e.n_exact
+FROM via_bitmap b JOIN exact e USING (event_type)
+ORDER BY b.event_type
+"""
+    )
