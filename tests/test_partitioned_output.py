@@ -38,3 +38,35 @@ def test_partitioned_write_roundtrip_complete(spark, tmp_path):
     )
     ev.write.mode("overwrite").partitionBy("dt").parquet(out)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE a single day without clobbering the table: with
+    partitionOverwriteMode=dynamic, an overwrite write that contains only
+    one partition's rows must replace ONLY that partition's directory —
+    static mode (the default) would truncate the whole table first. The
+    backfill primitive for date-partitioned 100 TB tables."""
+    out = str(tmp_path / "events_dyn")
+    ev = load_table(spark, SF, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("dt").parquet(out)
+    total_before = spark.read.parquet(out).count()
+    day = "2024-01-05"
+    day_rows = ev.filter(F.col("dt") == day)
+    n_day = day_rows.count()
+    assert 0 < n_day < total_before
+
+    # backfill the day with doubled rows under dynamic overwrite
+    patched = day_rows.unionByName(day_rows)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched.write.mode("overwrite").partitionBy("dt").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("dt") == day).count() == 2 * n_day
+    # every OTHER partition untouched
+    assert back.filter(F.col("dt") != day).count() == total_before - n_day

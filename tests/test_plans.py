@@ -423,3 +423,14 @@ def test_q159_sketch_partial_aggregate_and_broadcast(spark):
     df = REGISTRY["q159_histogram_quantiles"].fn(spark, SF)
     assert has_partial_aggregate(df)
     assert has_broadcast_join(df)
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A global orderBy must exchange with RANGE partitioning (sampled
+    boundaries, per-partition sorts) — never a single-partition sort.
+    q03's ordered output is the gate."""
+    from kinesis_sample_spark.plans.inspect import formatted_plan
+
+    df = REGISTRY["q03_shipping_priority"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower() or "TakeOrdered" in plan, plan
