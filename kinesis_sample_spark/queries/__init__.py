@@ -57,6 +57,17 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # added in round 2 that has never received a driver row. Queries already
 # driver-green sort to the back — their evidence is on file. Rotate this
 # list each round toward whatever still lacks a hard green row.
+#
+# ROUND-4 ROTATION QUEUE (never driver-checked after round 3): the format
+# round-trips deferred this round (q134/q135/q136), q38's upgraded
+# kmeans-IVF oracle, and everything added in round 3: q154-q183 (BM25,
+# window/HOF galleries, cogroup, SemDeDup, histogram sketch, Python
+# DataSource, update-mode, exact percentiles, map gallery, regex, try_*,
+# date arithmetic, recursive CTE, VARIANT, pipe syntax, stateful-API
+# fallback, LATERAL, row-value IN, SQL sugar, TWAP, sequence continuity,
+# HLL laws, media resize, schema evolution, codec matrix, conversion
+# paths, incremental-store dedup, bitmap distinct) — 32 queries, well
+# inside one 50-slot window.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
     # round-2 hash failures, re-submitted with oracle-side BIGINT casts
