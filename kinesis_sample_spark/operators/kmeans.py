@@ -82,7 +82,14 @@ def kmeans_fit(
             .groupBy("cluster", "pos")
             .agg(
                 (
-                    F.sum(F.col("val").cast("double").cast("decimal(18,9)"))
+                    # round(.., 9) BEFORE the decimal cast: both Spark and
+                    # DuckDB round half-away-from-zero in round(), whereas
+                    # the bare double→decimal cast's rounding mode is
+                    # engine-internal — a dyadic value ending exactly in
+                    # '5' at the 10th decimal (e.g. 1/1024) could
+                    # otherwise quantize differently per engine. With the
+                    # explicit round the cast is exact by construction.
+                    F.sum(F.round(F.col("val").cast("double"), 9).cast("decimal(18,9)"))
                     .cast("double")
                     / F.count("val")
                 ).alias("mean")

@@ -48,94 +48,84 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round (CORRECTNESS_r01/r02 each have exactly 50 rows), so iteration order
-# IS the verification budget. Rounds 1+2 produced green rows for 94 queries;
-# this is the round-3 frontier: the two round-2 hash failures re-submitted
-# with their HUGEINT-cast fixes (q40, q50 — DuckDB SUM(int)/list_aggregate
-# return HUGEINT, which the driver's pandas canonicalizer renders float64
-# against Spark's int64; same artifact as round-1's q51), then every query
-# added in round 2 that has never received a driver row. Queries already
-# driver-green sort to the back — their evidence is on file. Rotate this
-# list each round toward whatever still lacks a hard green row.
+# round, so iteration order IS the verification budget. Rounds 1-3 produced
+# green rows for 144 of 177 queries (r03 was 50/50). This round-4 window
+# closes the evidence gap: every query that has NEVER had a green driver
+# row goes first — q38_kmeans_ivf_ann leads (the only ever-red row, r02
+# hash fail; its oracle was rebuilt in round 3 as fully-unrolled Lloyd
+# iterations and has now had its decimal rounding pinned on both sides),
+# then the q134-q136 format round-trips deferred from round 3, then the
+# round-3 additions q154-q183, then q184 (new this round: the A11
+# bounded-retry + DLQ operator under a live driver gate).
 #
-# ROUND-4 ROTATION QUEUE (never driver-checked after round 3): the format
-# round-trips deferred this round (q134/q135/q136), q38's upgraded
-# kmeans-IVF oracle, and everything added in round 3: q154-q183 (BM25,
-# window/HOF galleries, cogroup, SemDeDup, histogram sketch, Python
-# DataSource, update-mode, exact percentiles, map gallery, regex, try_*,
-# date arithmetic, recursive CTE, VARIANT, pipe syntax, stateful-API
-# fallback, LATERAL, row-value IN, SQL sugar, TWAP, sequence continuity,
-# HLL laws, media resize, schema evolution, codec matrix, conversion
-# paths, incremental-store dedup, bitmap distinct) — 32 queries, well
-# inside one 50-slot window.
+# That is 34 slots; the remaining 16 re-confirm once-green queries whose
+# evidence is most load-bearing: the 9 frozen bench queries (their
+# correctness underwrites every BENCH_r*.json number) and 7 float- or
+# state-heavy singles (approx sketches, percentiles, decimal rollups,
+# live stateful/CDC paths, q38's labeled sibling q37).
+#
+# test_registry_hygiene.py enforces this mechanically: while never-green
+# queries exist, the window MUST contain all of them (so a q38 can never
+# be deferred again), and no slot may re-verify a twice-green query.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-2 hash failures, re-submitted with oracle-side BIGINT casts
-    "q40_token_stats",
-    "q50_media_features",
-    # UDTF / UDF table functions
-    "q151_udtf_user_sessions",
-    # corpus/source analytics
-    "q130_source_overlap_matrix",
-    "q127_canonical_selection",
-    "q138_dedup_rate_per_source",
-    "q140_workspace_manifest",
-    "q152_prefix_filter_simjoin",
-    # array/string built-in surface
-    "q58_array_ops",
-    "q59_string_extras",
-    # stats family
-    "q99_ols_regression",
-    "q100_locf_fill",
-    "q101_bigram_heavy_hitters",
-    "q102_price_histogram",
-    "q103_tfidf_topk",
-    "q104_rolling_zscore",
-    "q105_source_vocab_overlap",
-    "q107_iqr_outliers",
-    "q108_partition_fingerprints",
-    "q128_winsorized_stats",
-    "q132_countmin_heavy_hitters",
-    "q145_covariance_moments",
-    # funnels / sequences
-    "q109_retention_cohorts",
-    "q110_funnel_conversion",
-    "q111_sequence_packing",
-    "q141_transition_mining",
-    # live structured-streaming additions
-    "q126_live_stream_static_enrich",
-    "q131_live_session_windows",
-    "q153_live_left_outer_join",
-    # versioning / temporal
-    "q137_curriculum_bins",
-    "q139_scd2_intervals",
-    "q146_interval_overlap_join",
-    # embedding / quantization
-    "q129_hard_negative_mining",
-    "q142_int8_quantization",
-    # text pipeline additions
-    "q144_bpe_pair_counts",
-    "q148_content_defined_chunks",
-    "q149_top_terms_per_source",
-    # multimodal fan-out
-    "q133_frame_sampling",
-    # pipeline ops (Gopher rules, splits, mixing, rerank, centroids, bloom)
-    "q117_gopher_quality_rules",
-    "q118_train_split",
-    "q119_source_mixing_weights",
-    "q120_multiprobe_rerank",
-    "q121_label_centroids",
-    "q122_bloom_decontamination",
-    # graph
-    "q125_pagerank_part_supplier",
-    "q150_triangle_count",
-    # reweighting / redaction
-    "q123_importance_weights",
-    "q124_pii_redaction",
-    # maintenance (format round-trips q134/q135/q136 defer to round 4 — one
-    # locally-identical family, least novel of the frontier)
-    "q143_snapshot_diff",
-    "q147_join_key_skew_audit",
+    # -- the only driver row ever to fail (r02): rebuilt oracle, pinned
+    #    rounding — lands its green first this round
+    "q38_kmeans_ivf_ann",
+    # -- format round-trips deferred from round 3
+    "q134_json_roundtrip_agg",
+    "q135_csv_roundtrip_agg",
+    "q136_orc_roundtrip_agg",
+    # -- round-3 additions, never driver-checked
+    "q154_bm25_topk",
+    "q155_window_frame_gallery",
+    "q156_hof_gallery",
+    "q157_cogroup_reconcile",
+    "q158_semantic_dedup",
+    "q159_histogram_quantiles",
+    "q160_producer_source_scan",
+    "q162_exact_percentiles",
+    "q163_map_ops_gallery",
+    "q164_live_update_mode",
+    "q165_regex_gallery",
+    "q166_try_functions",
+    "q167_date_arithmetic",
+    "q168_recursive_cte",
+    "q169_variant_payload",
+    "q170_pipe_syntax",
+    "q171_live_transform_with_state",
+    "q172_lateral_topk",
+    "q173_row_value_in",
+    "q174_sql_sugar",
+    "q175_time_weighted_avg",
+    "q176_sequence_continuity",
+    "q177_hll_sketch_merge",
+    "q178_media_resize",
+    "q179_schema_evolution_union",
+    "q180_codec_roundtrip",
+    "q181_first_conversion_path",
+    "q182_incremental_store_dedup",
+    "q183_bitmap_distinct",
+    # -- new this round: A11 bounded-retry + poison-DLQ, live-gated
+    "q184_live_retry_dlq",
+    # -- re-confirmations: the 9 frozen bench queries ...
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q14_top_orders_per_customer",
+    "q23_tumbling_window",
+    "q27_asof_purchase_view",
+    "q31_minhash_lsh",
+    "q34_cosine_topk",
+    "q92_waiting_suppliers",
+    # -- ... and 7 float-/state-heavy once-green singles
+    "q37_ivf_ann",
+    "q48_quantity_percentiles",
+    "q61_approx_stats",
+    "q77_training_corpus_pipeline",
+    "q82_live_stateful_counts",
+    "q96_hypertable_rollup",
+    "q112_live_cdc_upsert",
 )
 
 

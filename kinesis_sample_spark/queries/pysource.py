@@ -63,12 +63,15 @@ def q160_producer_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("shards", str(_SHARDS))
         .load()
     )
+    # Default-pattern try_to_timestamp, not a fixed "…ss.SSS" format: the
+    # reference's LocalDateTime.toString() drops the fraction entirely at
+    # nanos == 0 and otherwise emits 1-9 digits, so a fixed 3-digit
+    # pattern would NULL out real reference payloads. Spark's default
+    # parser accepts the optional fraction at any width — one decode path
+    # covers both the deterministic replay and the reference's output.
     decoded = raw.withColumn(
         "event_ts",
-        F.to_timestamp(
-            F.regexp_extract("data", r"^testData-(.+)$", 1),
-            "yyyy-MM-dd'T'HH:mm:ss.SSS",
-        ),
+        F.try_to_timestamp(F.regexp_extract("data", r"^testData-(.+)$", 1)),
     )
     return (
         decoded.groupBy("shard_id")

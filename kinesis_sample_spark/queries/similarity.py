@@ -214,7 +214,7 @@ WITH exploded AS (
 ),
 dims AS (
     SELECT label AS c_label, pos,
-           CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(val) AS mean
+           CAST(CAST(SUM(CAST(round(val, 9) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(val) AS mean
     FROM exploded GROUP BY label, pos
 ),
 centroids AS (
@@ -258,7 +258,9 @@ def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy(F.col("label").alias("c_label"), "pos")
         .agg(
             (
-                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                # explicit round-half-away before the decimal cast — same
+                # engine-independent quantization pin as operators/kmeans.py
+                F.sum(F.round(F.col("val").cast("double"), 9).cast("decimal(18,9)")).cast("double")
                 / F.count("val")
             ).alias("mean")
         )
@@ -358,7 +360,7 @@ def _sql_kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
         ctes.append(
             f"m{i} AS (\n"
             "  SELECT a.cluster, x.pos,\n"
-            "         CAST(CAST(SUM(CAST(x.val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)\n"
+            "         CAST(CAST(SUM(CAST(round(x.val, 9) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)\n"
             "           / COUNT(x.val) AS mean\n"
             f"  FROM (SELECT vec_id, cluster FROM a{i} WHERE rn = 1) a\n"
             "  JOIN exploded x ON x.vec_id = a.vec_id\n"
@@ -667,7 +669,7 @@ WITH exploded AS (
 ),
 dims AS (
     SELECT label AS c_label, pos,
-           CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(val) AS mean
+           CAST(CAST(SUM(CAST(round(val, 9) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(val) AS mean
     FROM exploded GROUP BY label, pos
 ),
 centroids AS (
@@ -714,7 +716,8 @@ def q158_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
         (
-            F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+            # same engine-independent quantization pin as operators/kmeans.py
+            F.sum(F.round(F.col("val").cast("double"), 9).cast("decimal(18,9)")).cast("double")
             / F.count("val")
         ).alias("mean")
     )

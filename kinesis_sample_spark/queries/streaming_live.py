@@ -388,14 +388,6 @@ def _replay_time_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     final watermark actually pass event times — the precondition for
     outer-join state expiry.
 
-    Two determinism guards, both required on Spark ≥4.1:
-
-    1. The file source orders files by *modification time*, but parallel
-       parquet writes finish in arbitrary order — so the mtimes are
-       explicitly rewritten to ascend with the partition index (range
-       partition i holds ts-range i). Otherwise a late-range file can be
-       read first, jump the watermark, and drop every earlier file's rows
-       as late — a different result every run.
     The one determinism guard (required on Spark ≥4.1): the file source
     orders files by *modification time*, but parallel parquet writes
     finish in arbitrary order — so the mtimes are explicitly rewritten to

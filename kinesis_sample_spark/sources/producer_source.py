@@ -34,7 +34,18 @@ DEFAULT_SHARDS = 2  # Prod:94-96 createStream(..., 2)
 
 
 def _payload(epoch_ms: int) -> str:
-    """``testData-<ISO local datetime with millis>`` (README.md:14)."""
+    """``testData-<ISO datetime with millis>`` (README.md:14).
+
+    Known divergence from the reference, on purpose: Java's
+    ``LocalDateTime.now().toString()`` (Prod:128-129) emits *local* time
+    and **omits the fractional seconds entirely when nanos == 0** (and
+    otherwise prints 3/6/9 digits, never zero-padded to exactly three).
+    This deterministic replay always emits UTC with exactly 3-digit
+    millis so the record stream is reproducible byte-for-byte; consumers
+    must therefore decode with optional-fraction tolerance (as
+    queries/pysource.py does via default-pattern ``try_to_timestamp``) so
+    the same decode path would also accept real reference payloads like
+    ``testData-2018-05-30T19:40:48`` or ``...T19:40:48.1``."""
     import datetime
 
     dt = datetime.datetime.fromtimestamp(epoch_ms / 1000.0, tz=datetime.timezone.utc)

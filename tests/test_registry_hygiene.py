@@ -75,6 +75,31 @@ def test_window_excludes_twice_green_queries():
     assert not stale, f"window wastes slots on twice-green queries: {sorted(stale)}"
 
 
+def test_window_contains_every_never_green_query():
+    """The rotation queue as a mechanical invariant (round-3 verdict item
+    7): while any registry query has never received a green driver row,
+    the window MUST contain all of them — deferring an unproven query
+    (the way q38 sat red from round 2 to round 4) is a test failure, not
+    a judgment call. If the never-green set ever outgrows the window,
+    every slot must go to never-green queries."""
+    greens = _green_sets_by_round()
+    ever_green: set[str] = set()
+    for g in greens.values():
+        ever_green |= g
+    never_green = set(REGISTRY) - ever_green
+    if len(never_green) <= WINDOW_SIZE:
+        deferred = never_green - set(DRIVER_WINDOW)
+        assert not deferred, (
+            f"never-driver-green queries left out of the window: {sorted(deferred)}"
+        )
+    else:
+        wasted = set(DRIVER_WINDOW) - never_green
+        assert not wasted, (
+            f"never-green backlog exceeds the window, yet slots re-verify "
+            f"green queries: {sorted(wasted)}"
+        )
+
+
 def test_no_degenerate_zero_row_oracles():
     """A 0-row result passes the hash gate trivially (empty == empty), so
     a query that silently filters everything out would look green while
