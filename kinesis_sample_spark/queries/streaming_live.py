@@ -706,3 +706,70 @@ def q171_live_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         .select("user_id", "n", "cents")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — LIVE bounded per-record retry + poison DLQ (the reference's A11).
+# ---------------------------------------------------------------------------
+_RETRY_BOUND = 3000  # records under the gate — keeps ~3k state keys per run
+_RETRY_MAX_ATTEMPTS = 5
+_POISON_MOD = 37  # every 37th record is a permanent failure
+_FLAKY_MOD = 3  # others fail transiently on their first (seq % 3) attempts
+
+
+def _flaky_process(payload: str, attempt: int) -> str:
+    """Deterministic stand-in for the reference's processSingleRecord
+    (Proc:99-110): record ``seq % 37 == 0`` is poison (every attempt
+    raises — the reference's skip-after-10 path, Proc:85-89), every other
+    record fails its first ``seq % 3`` attempts and then succeeds — so the
+    surfaced attempt count exercises 1, 2 and 3-attempt successes, not
+    just the happy path."""
+    seq = int(payload)
+    if seq % _POISON_MOD == 0:
+        raise RuntimeError("poison")
+    if attempt <= seq % _FLAKY_MOD:
+        raise ValueError("transient")
+    return f"processed:{seq}"
+
+
+@query(
+    "q184_live_retry_dlq",
+    oracle=f"""
+SELECT CAST(event_id AS VARCHAR) AS sequenceNumber,
+       CASE WHEN event_id % {_POISON_MOD} = 0 THEN NULL
+            ELSE 'processed:' || CAST(event_id AS VARCHAR) END AS result,
+       (event_id % {_POISON_MOD} <> 0) AS ok,
+       CAST(CASE WHEN event_id % {_POISON_MOD} = 0 THEN {_RETRY_MAX_ATTEMPTS}
+                 ELSE (event_id % {_FLAKY_MOD}) + 1 END AS INTEGER) AS attempts,
+       CASE WHEN event_id % {_POISON_MOD} = 0
+            THEN 'RuntimeError: poison' END AS dlq_reason
+FROM events
+WHERE event_id < {_RETRY_BOUND}
+ORDER BY sequenceNumber
+""",
+)
+def q184_live_retry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — the reference's semantic core (per-record bounded retry with
+    backoff, then skip; Proc:63-91) — under the live driver gate: the
+    replayed record stream runs through streaming/stateful.py's
+    ``retry_process`` (applyInPandasWithState keyed by sequenceNumber)
+    with a deterministic flaky processor, and the emitted table surfaces
+    at-least-once delivery, the per-record attempt count, AND the
+    explicit DLQ row for poison records (ok = false, attempts =
+    max_attempts, last error as dlq_reason) in one value-hashed result —
+    the upgrade over the reference's silent skip. The oracle re-derives
+    every attempt count arithmetically from the poison/flaky moduli.
+
+    Scale: state is per in-flight/poison record and removed on success
+    (retry_process docstring); keys partition with the stream, so a
+    1000-executor run shards the retry bookkeeping exactly like the
+    KCL's per-shard processors — no coordination beyond the state store."""
+    from kinesis_sample_spark.streaming.stateful import retry_process
+
+    stream = _replay(spark, sf_dir).filter(F.col("event_id") < _RETRY_BOUND)
+    env = stream.select(
+        F.encode(F.col("event_id").cast("string"), "UTF-8").alias("data"),
+        F.col("event_id").cast("string").alias("sequenceNumber"),
+    )
+    out = retry_process(env, _flaky_process, max_attempts=_RETRY_MAX_ATTEMPTS)
+    return _run(out, "update").orderBy("sequenceNumber")

@@ -30,36 +30,52 @@ WAIT_TIMEOUT_S = 600  # 10-min deadline (Prod:144-146)
 POLL_INTERVAL_S = 10
 
 
-def _require_boto3() -> None:
+def _resolve_client(region: str, client=None):
+    """Return the injected client or build a real boto3 one.
+
+    Injection is what makes A3-A6 unit-testable without AWS (SURVEY §7:
+    no AWS in CI): tests pass a stub with the same call surface
+    (describe_stream / create_stream / list_streams + an ``exceptions``
+    namespace), while production callers omit it and get boto3."""
+    if client is not None:
+        return client
     if not HAVE_BOTO3:
         raise RuntimeError(
             "boto3 is not installed in this environment; Kinesis admin "
             "operations are only available where AWS connectivity exists"
         )
+    return boto3.client("kinesis", region_name=region)
 
 
-def ensure_stream(name: str, region: str, shards: int = DEFAULT_SHARDS) -> None:
+def ensure_stream(
+    name: str, region: str, shards: int = DEFAULT_SHARDS, *, client=None
+) -> None:
     """A3+A4: describe; create with ``shards`` if missing; error if the
     stream is DELETING (Prod:68-101)."""
-    _require_boto3()
-    client = boto3.client("kinesis", region_name=region)
+    client = _resolve_client(region, client)
     try:
         desc = client.describe_stream(StreamName=name)
         status = desc["StreamDescription"]["StreamStatus"]
         if status == "DELETING":
             raise RuntimeError(f"stream {name} is being deleted")
         if status != "ACTIVE":
-            wait_for_active(name, region)
+            wait_for_active(name, region, client=client)
         return
     except client.exceptions.ResourceNotFoundException:
         client.create_stream(StreamName=name, ShardCount=shards)
-        wait_for_active(name, region)
+        wait_for_active(name, region, client=client)
 
 
-def wait_for_active(name: str, region: str, timeout_s: int = WAIT_TIMEOUT_S) -> None:
+def wait_for_active(
+    name: str,
+    region: str,
+    timeout_s: int = WAIT_TIMEOUT_S,
+    *,
+    poll_interval_s: float = POLL_INTERVAL_S,
+    client=None,
+) -> None:
     """A5: bounded poll until ACTIVE (Prod:140-167)."""
-    _require_boto3()
-    client = boto3.client("kinesis", region_name=region)
+    client = _resolve_client(region, client)
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         try:
@@ -68,14 +84,14 @@ def wait_for_active(name: str, region: str, timeout_s: int = WAIT_TIMEOUT_S) -> 
                 return
         except client.exceptions.ResourceNotFoundException:
             pass
-        time.sleep(POLL_INTERVAL_S)
+        time.sleep(poll_interval_s)
     raise TimeoutError(f"stream {name} never went active within {timeout_s}s")
 
 
-def list_streams(region: str, page_size: int = 10) -> list[str]:
-    """A6: paginated catalog listing (Prod:103-120)."""
-    _require_boto3()
-    client = boto3.client("kinesis", region_name=region)
+def list_streams(region: str, page_size: int = 10, *, client=None) -> list[str]:
+    """A6: paginated catalog listing — the reference walks pages of 10 via
+    the exclusiveStartStreamName cursor (Prod:103-120); same loop here."""
+    client = _resolve_client(region, client)
     names: list[str] = []
     kwargs = {"Limit": page_size}
     while True:

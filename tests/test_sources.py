@@ -212,3 +212,115 @@ def test_producer_datasource_shards_and_payload(spark):
     for sid, seqs in by_shard.items():
         shard = int(sid.replace("shardId-", ""))
         assert sorted(seqs) == list(range(shard, 40, 4))
+
+
+# ---------------------------------------------------------------------------
+# A3-A6 admin surface, exercised WITHOUT AWS via an injected stub client —
+# the one reference behavior family that previously had zero execution
+# evidence in CI (the env-gated smoke above stays as the real-AWS path).
+# ---------------------------------------------------------------------------
+class _NotFound(Exception):
+    pass
+
+
+class _Exceptions:
+    ResourceNotFoundException = _NotFound
+
+
+class _StubKinesisClient:
+    """Minimal call-compatible stand-in for boto3's kinesis client: an
+    in-memory stream table plus scripted status transitions, recording
+    every call so tests can assert the exact control-plane conversation
+    the reference has (Prod:68-120)."""
+
+    exceptions = _Exceptions
+
+    def __init__(self, streams=None, status_script=None):
+        # streams: {name: status}; status_script: {name: [status, ...]}
+        # each describe pops the next scripted status (last one sticks).
+        self.streams = dict(streams or {})
+        self.status_script = {k: list(v) for k, v in (status_script or {}).items()}
+        self.calls: list[tuple] = []
+
+    def describe_stream(self, StreamName):
+        self.calls.append(("describe_stream", StreamName))
+        script = self.status_script.get(StreamName)
+        if script:
+            self.streams[StreamName] = script.pop(0) if len(script) > 1 else script[0]
+        if StreamName not in self.streams:
+            raise _NotFound(StreamName)
+        return {"StreamDescription": {"StreamStatus": self.streams[StreamName]}}
+
+    def create_stream(self, StreamName, ShardCount):
+        self.calls.append(("create_stream", StreamName, ShardCount))
+        self.status_script.setdefault(StreamName, ["CREATING", "ACTIVE"])
+        self.streams[StreamName] = "CREATING"
+
+    def list_streams(self, Limit, ExclusiveStartStreamName=None):
+        self.calls.append(("list_streams", Limit, ExclusiveStartStreamName))
+        names = sorted(self.streams)
+        if ExclusiveStartStreamName is not None:
+            names = [n for n in names if n > ExclusiveStartStreamName]
+        page, rest = names[:Limit], names[Limit:]
+        return {"StreamNames": page, "HasMoreStreams": bool(rest)}
+
+
+def test_admin_ensure_stream_active_is_a_single_describe():
+    from kinesis_sample_spark.sources.kinesis import ensure_stream
+
+    c = _StubKinesisClient(streams={"s1": "ACTIVE"})
+    ensure_stream("s1", "us-west-2", client=c)
+    assert c.calls == [("describe_stream", "s1")]
+
+
+def test_admin_ensure_stream_rejects_deleting():
+    import pytest
+
+    from kinesis_sample_spark.sources.kinesis import ensure_stream
+
+    c = _StubKinesisClient(streams={"s1": "DELETING"})
+    with pytest.raises(RuntimeError, match="deleted"):
+        ensure_stream("s1", "us-west-2", client=c)
+
+
+def test_admin_ensure_stream_creates_missing_and_waits_active(monkeypatch):
+    """The reference's missing-stream branch (Prod:87-101): describe →
+    ResourceNotFound → createStream(name, 2) → poll until ACTIVE."""
+    from kinesis_sample_spark.sources import kinesis as k
+
+    monkeypatch.setattr(k.time, "sleep", lambda s: None)
+    c = _StubKinesisClient()
+    k.ensure_stream("fresh", "us-west-2", client=c)
+    assert ("create_stream", "fresh", k.DEFAULT_SHARDS) in c.calls
+    # the scripted CREATING→ACTIVE transition must have been polled through
+    describes = [x for x in c.calls if x[0] == "describe_stream"]
+    assert len(describes) >= 3  # initial miss + >=1 CREATING + ACTIVE
+    assert c.streams["fresh"] == "ACTIVE"
+
+
+def test_admin_wait_for_active_times_out(monkeypatch):
+    import pytest
+
+    from kinesis_sample_spark.sources import kinesis as k
+
+    monkeypatch.setattr(k.time, "sleep", lambda s: None)
+    c = _StubKinesisClient(streams={"stuck": "CREATING"})
+    with pytest.raises(TimeoutError, match="never went active"):
+        k.wait_for_active("stuck", "us-west-2", timeout_s=0, client=c)
+
+
+def test_admin_list_streams_walks_the_pagination_cursor():
+    """A6 (Prod:103-120): limit=10 pages joined via the
+    exclusiveStartStreamName cursor — all names, no duplicates, and the
+    cursor of each follow-up request is the last name of the prior page."""
+    from kinesis_sample_spark.sources.kinesis import list_streams
+
+    names = {f"stream-{i:03d}": "ACTIVE" for i in range(27)}
+    c = _StubKinesisClient(streams=names)
+    got = list_streams("us-west-2", page_size=10, client=c)
+    assert got == sorted(names)
+    pages = [x for x in c.calls if x[0] == "list_streams"]
+    assert len(pages) == 3
+    assert pages[0][2] is None
+    assert pages[1][2] == "stream-009"
+    assert pages[2][2] == "stream-019"
