@@ -25,11 +25,12 @@ from pyspark.sql import functions as F
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.queries import query
 
-try:  # real decoders, if ever present in the image
-    from PIL import Image  # noqa: F401
+try:  # capability probe — the stub self-upgrades when a decoder exists
+    from PIL import Image
 
     HAVE_PIL = True
 except ImportError:
+    Image = None
     HAVE_PIL = False
 
 FEATURE_SCHEMA = (
@@ -39,16 +40,30 @@ FEATURE_SCHEMA = (
 
 
 def decode_media(data: bytes, fmt: str) -> dict:
-    """Stub decoder. With a real imaging lib this would open ``data`` and
-    return pixel-level features; here it computes deterministic byte-level
-    features so the pipeline is testable end-to-end."""
-    if HAVE_PIL and fmt.startswith("image/"):  # pragma: no cover — not in container
-        raise NotImplementedError("real image decode not wired in this environment")
-    return {
+    """Capability-gated decoder (same pattern as sources/table_formats.py):
+    byte-level features are always computed (deterministic, SQL-checkable —
+    the q50 oracle path); for ``image/*`` payloads the function *also*
+    decodes pixels when PIL is importable, and raises a clearly-marked
+    ``NotImplementedError`` ONLY when no decoder exists in the
+    environment — so dropping Pillow into the image upgrades the pipeline
+    with zero code change."""
+    feats = {
         "byte_len": len(data),
         "checksum": sum(data) % 997,
         "head_hex": data[:8].hex(),
     }
+    if fmt.startswith("image/"):
+        if not HAVE_PIL:
+            raise NotImplementedError(
+                "no image decoder in this environment (pip install pillow "
+                "to enable real pixel decode); byte-level features remain "
+                "available for non-image formats"
+            )
+        import io
+
+        with Image.open(io.BytesIO(data)) as im:  # pragma: no cover — PIL absent in CI image
+            feats.update(px_width=im.width, px_height=im.height, px_mode=im.mode)
+    return feats
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

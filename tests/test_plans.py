@@ -434,3 +434,15 @@ def test_global_sort_uses_range_partitioning(spark):
     df = REGISTRY["q03_shipping_priority"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "rangepartitioning" in plan.lower() or "TakeOrdered" in plan, plan
+
+
+def test_q181_single_user_exchange(spark):
+    """First-conversion-path (funnels.py): the first-purchase window, the
+    ordered path window, and the per-user group-by must all ride ONE
+    user_id hash exchange — the same exchange-reuse contract q139/q146/q27
+    carry; only the final presentation orderBy may add its range exchange."""
+    from kinesis_sample_spark.plans.inspect import exchange_count, formatted_plan
+
+    df = REGISTRY["q181_first_conversion_path"].fn(spark, SF)
+    assert exchange_count(df) <= 2, exchange_count(df)
+    assert "CartesianProduct" not in formatted_plan(df)
