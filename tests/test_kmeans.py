@@ -75,3 +75,69 @@ def test_kmeans_spread_init_matches_numpy_reference(spark):
     assert len(set(got.values())) > 1
     # seeds from a hash-uniform draw, not the first file: seed ids spread
     assert sorted(ids[i] for i in seed_idx) != sorted(ids[:K])
+
+
+def test_dyadic_quantization_agrees_with_duckdb(spark):
+    """The round-3 advisor's trap, pinned as a regression test: a dyadic
+    double like 1/1024 = 0.0009765625 ends exactly in '5' at the 10th
+    decimal, where an engine-internal double→DECIMAL(18,9) cast could
+    round half-up vs half-even and silently flip a centroid bit. The
+    operators now round(.., 9) explicitly BEFORE the decimal cast on both
+    sides — this test runs the exact mean pipeline both engines use over
+    adversarial dyadic values and requires bit-identical doubles."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    # dyadic values whose 10th decimal digit is exactly 5, both signs,
+    # plus a couple of non-boundary controls
+    vals = [
+        1 / 1024,          # 0.0009765625
+        -1 / 1024,
+        3 / 2048,          # 0.00146484375
+        5 / 4096,          # 0.001220703125
+        -7 / 8192,
+        0.123456789,
+        -0.5,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, val double")
+    spark_means = (
+        df.groupBy((F.col("i") % 2).alias("g"))
+        .agg(
+            (
+                F.sum(F.round(F.col("val").cast("double"), 9).cast("decimal(18,9)"))
+                .cast("double")
+                / F.count("val")
+            ).alias("mean")
+        )
+        .orderBy("g")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, val DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    duck_means = con.execute(
+        """
+        SELECT i % 2 AS g,
+               CAST(CAST(SUM(CAST(round(val, 9) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(val) AS mean
+        FROM t GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert [(r["g"], r["mean"]) for r in spark_means] == duck_means
+    # and the single-value quantization itself is identical per input
+    per_spark = [
+        r["q"]
+        for r in df.select(
+            F.round(F.col("val"), 9).cast("decimal(18,9)").cast("string").alias("q")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    per_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(CAST(round(val, 9) AS DECIMAL(18,9)) AS VARCHAR) FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert [float(a) for a in per_spark] == [float(b) for b in per_duck]

@@ -446,3 +446,26 @@ def test_q181_single_user_exchange(spark):
     df = REGISTRY["q181_first_conversion_path"].fn(spark, SF)
     assert exchange_count(df) <= 2, exchange_count(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_sketch_family_aggregates_partially(spark):
+    """The sketch queries' scale claim is 'per-partition partial counters
+    merged by partial+final aggregation — shuffle volume is bins/buckets ×
+    tasks, independent of row count'. Pin that the physical plans really
+    carry a partial aggregate (map-side combine) and stay within their
+    expected exchange budgets, so a refactor can't silently turn a sketch
+    into a full-row shuffle."""
+    from kinesis_sample_spark.plans.inspect import exchange_count, has_partial_aggregate
+
+    budgets = {
+        "q132_countmin_heavy_hitters": 4,
+        "q159_histogram_quantiles": 10,
+        "q177_hll_sketch_merge": 5,
+        "q183_bitmap_distinct": 5,
+    }
+    for name, max_exchanges in budgets.items():
+        df = REGISTRY[name].fn(spark, SF)
+        assert has_partial_aggregate(df), f"{name}: no partial aggregate in plan"
+        assert exchange_count(df) <= max_exchanges, (
+            f"{name}: {exchange_count(df)} exchanges > budget {max_exchanges}"
+        )
