@@ -137,3 +137,69 @@ def test_retry_process_bounded_attempts_then_dlq(spark, tmp_path):
         if not r["ok"]:
             continue
         assert r["attempts"] == (2 if r["result"].endswith("1") else 1)
+
+
+def test_retry_process_redelivery_short_circuits(spark, tmp_path):
+    """The state-store half of A11 (q184 covers single delivery): after a
+    poison record exhausts its attempts, a REDELIVERY in a later
+    micro-batch (the A14 lease-lost replay) must short-circuit straight
+    to a DLQ row — ``exhausted:redelivered`` with the prior attempt
+    count — instead of burning another max_attempts executions."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from kinesis_sample_spark.streaming.stateful import retry_process
+
+    events_dir = write_stream_fixture(spark, SF, str(tmp_path), n_files=2)
+    # duplicate every file with a LATER mtime: the file source orders by
+    # modification time, so the copies arrive as later micro-batches —
+    # a replayed delivery of every record after state already exists
+    parts = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    now = _t.time()
+    for i, p in enumerate(parts):
+        dup = os.path.join(events_dir, f"redelivered_{i}.parquet")
+        shutil.copy(p, dup)
+        os.utime(p, (now - 3600 + i, now - 3600 + i))
+        os.utime(dup, (now - 1800 + i, now - 1800 + i))
+
+    env = envelope_from_events(
+        replay_events_stream(spark, events_dir, files_per_trigger=1)
+    )
+
+    def process(payload: str, attempt: int) -> str:
+        if payload.endswith("0"):  # permanent poison
+            raise ValueError(payload)
+        return payload
+
+    q = (
+        retry_process(env, process, max_attempts=3)
+        .writeStream.format("memory")
+        .queryName("t_retry_redeliver")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_retry_redeliver").collect()
+
+    by_seq: dict[str, list] = {}
+    for r in rows:
+        by_seq.setdefault(r["sequenceNumber"], []).append(r)
+    poison_seqs = {s for s, rs in by_seq.items() if any(not r["ok"] for r in rs)}
+    assert poison_seqs, "fixture should contain payloads ending in '0'"
+    redelivered_total = 0
+    for s in poison_seqs:
+        reasons = sorted(r["dlq_reason"] for r in by_seq[s])
+        # first delivery exhausts (ValueError recorded), replay short-circuits
+        assert any(x.startswith("ValueError") for x in reasons), reasons
+        short = [r for r in by_seq[s] if r["dlq_reason"] == "exhausted:redelivered"]
+        redelivered_total += len(short)
+        for r in short:
+            assert not r["ok"]
+            assert r["attempts"] == 3  # prior count surfaced, NOT re-executed
+    assert redelivered_total > 0, "no redelivery ever hit the short-circuit path"
+    # healthy records simply process again on redelivery (at-least-once)
+    healthy = [s for s, rs in by_seq.items() if all(r["ok"] for r in rs)]
+    assert healthy and all(len(by_seq[s]) == 2 for s in healthy)
