@@ -110,3 +110,25 @@ def test_lsh_recall_vs_brute_force_ground_truth(spark):
     }
     assert truth <= got, f"LSH missed true pairs: {sorted(truth - got)}"
     assert got <= truth, f"LSH emitted false pairs: {sorted(got - truth)}"
+
+
+def test_kmeans_centroids_invariant_to_partitioning(spark):
+    """The premise that lets q38 carry a full value-hash oracle: the
+    fitted centroids are bit-identical under ANY partitioning (decimal-
+    exact mean accumulation + explicit round-before-decimal-cast +
+    lowest-cluster tie-breaks). Fit on the natural layout, a single
+    partition (sequential), and 64 salted partitions (maximal reorder) —
+    the doubles must be EXACTLY equal, not allclose."""
+    from kinesis_sample_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, SF, "embeddings")
+    base, _ = kmeans_fit(emb, k=4, n_iter=2, init="spread")
+    seq, _ = kmeans_fit(emb.repartition(1), k=4, n_iter=2, init="spread")
+    wide, _ = kmeans_fit(
+        emb.repartition(64, F.pmod(F.hash("vec_id"), F.lit(64))),
+        k=4,
+        n_iter=2,
+        init="spread",
+    )
+    assert base == seq
+    assert base == wide
