@@ -157,8 +157,8 @@ SELECT event_id,
        TRY_CAST(event_type AS INTEGER) AS bad_int,
        TRY_CAST(props->>'k' AS INTEGER) AS good_int,
        CASE WHEN user_id % 3 = 0 THEN NULL ELSE value / (user_id % 3) END AS safe_div,
-       TRY_CAST('2024-' || lpad(CAST(event_id % 20 AS VARCHAR), 2, '0') || '-15'
-                AS DATE) AS maybe_date,
+       CAST(TRY_CAST('2024-' || lpad(CAST(event_id % 20 AS VARCHAR), 2, '0') || '-15'
+                     AS DATE) AS TIMESTAMP) AS maybe_date,
        CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL THEN 'malformed'
             ELSE 'ok' END AS decode_status
 FROM events
@@ -182,6 +182,12 @@ def q166_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").try_cast("int").alias("bad_int"),
             F.get_json_object("props", "$.k").try_cast("int").alias("good_int"),
             F.try_divide("value", F.col("user_id") % 3).alias("safe_div"),
+            # surfaced as midnight TIMESTAMP, not DATE: Spark DateType
+            # reaches pandas as object(datetime.date) while DuckDB DATE
+            # arrives as datetime64 — an unproven pair under the driver's
+            # pandas canonicalizer (the r01/r02 hash-artifact class).
+            # Timestamp-vs-timestamp is the pair every green temporal
+            # query already uses (q20/q55/q139).
             F.try_to_date(
                 F.concat(
                     F.lit("2024-"),
@@ -189,7 +195,7 @@ def q166_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("-15"),
                 ),
                 "yyyy-MM-dd",
-            ).alias("maybe_date"),
+            ).cast("timestamp").alias("maybe_date"),
             F.when(F.col("event_type").try_cast("double").isNull(), "malformed")
             .otherwise("ok")
             .alias("decode_status"),
@@ -206,16 +212,17 @@ def q166_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
 SELECT o_orderkey,
-       last_day(od) AS month_end,
-       CAST(od + INTERVAL 3 MONTH AS DATE) AS plus3m,
-       od + 45 AS plus45d,
+       CAST(last_day(od) AS TIMESTAMP) AS month_end,
+       CAST(od + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+       CAST(od + 45 AS TIMESTAMP) AS plus45d,
        date_diff('day', od, DATE '2026-01-01') AS days_until_2026,
        weekofyear(od) AS week_of_year,
        dayofweek(od) + 1 AS dow_sunday1,
-       CAST(date_trunc('month', od) AS DATE) AS month_start,
+       date_trunc('month', od)::TIMESTAMP AS month_start,
        quarter(od) AS qtr,
-       od + CAST(CASE WHEN (8 - isodow(od)) % 7 = 0 THEN 7
-                      ELSE (8 - isodow(od)) % 7 END AS INTEGER) AS next_monday
+       CAST(od + CAST(CASE WHEN (8 - isodow(od)) % 7 = 0 THEN 7
+                           ELSE (8 - isodow(od)) % 7 END AS INTEGER)
+            AS TIMESTAMP) AS next_monday
 FROM d
 ORDER BY o_orderkey
 """,
@@ -229,18 +236,23 @@ def q167_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only, codegen'd, zero shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     od = F.col("o_orderdate").cast("date")
+    # every date-valued output is surfaced as a midnight TIMESTAMP: the
+    # DateType→pandas-object vs DuckDB-DATE→datetime64 pair has never
+    # been through the driver's canonicalizer, while timestamp-vs-
+    # timestamp is green in three rounds (q20/q55/q139) — same fix class
+    # as q166's maybe_date.
     return (
         orders.select(
             "o_orderkey",
-            F.last_day(od).alias("month_end"),
-            F.add_months(od, 3).alias("plus3m"),
-            F.date_add(od, 45).alias("plus45d"),
+            F.last_day(od).cast("timestamp").alias("month_end"),
+            F.add_months(od, 3).cast("timestamp").alias("plus3m"),
+            F.date_add(od, 45).cast("timestamp").alias("plus45d"),
             F.datediff(F.lit("2026-01-01").cast("date"), od).alias("days_until_2026"),
             F.weekofyear(od).alias("week_of_year"),
             F.dayofweek(od).alias("dow_sunday1"),
-            F.trunc(od, "month").alias("month_start"),
+            F.trunc(od, "month").cast("timestamp").alias("month_start"),
             F.quarter(od).alias("qtr"),
-            F.next_day(od, "Mon").alias("next_monday"),
+            F.next_day(od, "Mon").cast("timestamp").alias("next_monday"),
         )
         .orderBy("o_orderkey")
     )

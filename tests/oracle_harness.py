@@ -60,12 +60,66 @@ class Comparison:
     spark_cols: list[str]
     oracle_cols: list[str]
     detail: str = ""
+    dtype_flags: tuple[str, ...] = ()
 
     @property
     def ok(self) -> bool:
         return (
-            self.spark_rows == self.oracle_rows and self.columns_match and self.hash_match
+            self.spark_rows == self.oracle_rows
+            and self.columns_match
+            and self.hash_match
+            and not self.dtype_flags
         )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-canonicalizer dtype gate.
+#
+# The driver compares results AFTER converting both sides to pandas, so a
+# value-identical pair can still hash-mismatch when the two frames land in
+# different dtype families (the r01 q51 / r02 q40+q50 failures: DuckDB
+# HUGEINT → float64 "5.0" vs Spark int64 "5"). The local fetchall() path
+# above is blind to that, so this gate compares dtype KINDS the way the
+# driver will see them: Spark's from its schema, DuckDB's from a LIMIT-0
+# pandas frame (dtype conversion without row promotion). Only pairs proven
+# green across rounds 1-3 are allowed — notably Spark DateType reaches
+# pandas as object(datetime.date) while DuckDB DATE arrives datetime64,
+# an UNPROVEN pair, so date-typed outputs are rejected outright (surface
+# them as midnight timestamps instead; see q166/q167).
+# ---------------------------------------------------------------------------
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "M"
+    if isinstance(dt, T.DateType):
+        return "date!"  # never matches — unproven under the driver
+    if isinstance(dt, T.DecimalType):
+        return "decimal!"  # surface as double via sql_double instead
+    return "O"
+
+
+def dtype_flags(spark_df, con, sql) -> tuple[str, ...]:
+    try:
+        odt = con.execute(
+            f"SELECT * FROM ({sql.rstrip().rstrip(';')}) LIMIT 0"
+        ).df().dtypes
+    except duckdb.Error:
+        return ()  # non-wrappable dialect (e.g. pipe syntax) — skip gate
+    flags = []
+    for field in spark_df.schema.fields:
+        if field.name not in odt.index:
+            continue  # column mismatch is reported separately
+        sk, ok_ = _spark_kind(field.dataType), odt[field.name].kind
+        if sk != ok_:
+            flags.append(f"{field.name}: spark={sk} oracle={ok_}")
+    return tuple(flags)
 
 
 def compare(name, spark_df, con, sql) -> Comparison:
@@ -99,4 +153,5 @@ def compare(name, spark_df, con, sql) -> Comparison:
         spark_cols=s_cols,
         oracle_cols=o_cols,
         detail=detail,
+        dtype_flags=dtype_flags(spark_df, con, sql),
     )

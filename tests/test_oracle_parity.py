@@ -30,7 +30,8 @@ def test_oracle_parity(name, spark, oracle_sf_dir, duck):
     assert cmp.ok, (
         f"{name}: rows {cmp.spark_rows} vs {cmp.oracle_rows}, "
         f"cols_match={cmp.columns_match} ({cmp.spark_cols} vs {cmp.oracle_cols}), "
-        f"hash_match={cmp.hash_match} {cmp.detail}"
+        f"hash_match={cmp.hash_match} {cmp.detail} "
+        f"dtype_flags={list(cmp.dtype_flags)}"
     )
 
 
