@@ -67,6 +67,19 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # test_registry_hygiene.py enforces this mechanically: while never-green
 # queries exist, the window MUST contain all of them (so a q38 can never
 # be deferred again), and no slot may re-verify a twice-green query.
+#
+# ROUND-5 ROTATION QUEUE (assuming CORRECTNESS_r04 lands green): the
+# never-green set is then EMPTY — every registry query has a hard driver
+# row. Round 5's window should (a) re-enter any r04 failure first
+# (mandatory, hygiene-enforced), then (b) re-confirm once-green queries
+# by OLDEST evidence: the round-1 greens not re-confirmed this round
+# (q04, q06-q13, q15-q18, q44-q49, q51-q55, q70-q76, q84-q91, q93-q98,
+# q114-q116), float-/state-sensitive ones first (q46/q90 decimal
+# revenue, q61 approx already re-confirmed here, q83 cosine profiles,
+# q80/q81/q106 live). Two consecutive green rounds settle a query
+# permanently (the twice-green exclusion then locks it out of future
+# windows), so rotating ~50 once-green names per round converges the
+# whole registry to settled in ~3 rounds.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- the only driver row ever to fail (r02): rebuilt oracle, pinned
