@@ -48,80 +48,99 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round, so iteration order IS the verification budget. Rounds 1-3 produced
-# green rows for 144 of 177 queries (r03 was 50/50). This round-4 window
-# closes the evidence gap: every query that has NEVER had a green driver
-# row goes first — q38_kmeans_ivf_ann leads (the only ever-red row, r02
-# hash fail; its oracle was rebuilt in round 3 as fully-unrolled Lloyd
-# iterations and has now had its decimal rounding pinned on both sides),
-# then the q134-q136 format round-trips deferred from round 3, then the
-# round-3 additions q154-q183, then q184 (new this round: the A11
-# bounded-retry + DLQ operator under a live driver gate).
+# round, so iteration order IS the verification budget. After round 4 the
+# never-green set is EMPTY (CORRECTNESS_r04 landed 50/50; all 178 prior
+# queries have at least one hard driver row), so the budget shifts from
+# frontier-proving to SETTLEMENT: two consecutive green rounds settle a
+# query permanently (the twice-green exclusion in test_registry_hygiene
+# then locks it out of future windows).
 #
-# That is 34 slots; the remaining 16 re-confirm once-green queries whose
-# evidence is most load-bearing: the 9 frozen bench queries (their
-# correctness underwrites every BENCH_r*.json number) and 7 float- or
-# state-heavy singles (approx sketches, percentiles, decimal rollups,
-# live stateful/CDC paths, q38's labeled sibling q37).
+# This round-5 window executes the rotation queue the round-4 comment
+# documented, slot by slot:
+#   1 slot  — q185_live_checkpoint_restart, NEW this round (A9 shard
+#             initialize/resume lifted to a live driver gate, the way q184
+#             lifted A11; round-4 verdict item 5). Never-green → mandatory.
+#   40 slots — once-green queries with the OLDEST evidence: every
+#             remaining round-1 green except q09_set_ops (41 exist; q09 —
+#             pure integer set-op semantics, the least float/state
+#             sensitive — defers one round). These greens predate the
+#             heaviest refactors (md5 hashing family, decimal policy), so
+#             their single observation is the least trustworthy in the
+#             registry. Float-/decimal-/state-sensitive first.
+#   9 slots — the frozen bench queries, green in r04 (and r01/r02):
+#             re-confirming them in the round immediately after makes
+#             them the registry's FIRST settled queries and permanently
+#             frees their slots; their correctness also underwrites every
+#             BENCH_r*.json number.
 #
-# test_registry_hygiene.py enforces this mechanically: while never-green
-# queries exist, the window MUST contain all of them (so a q38 can never
-# be deferred again), and no slot may re-verify a twice-green query.
+# test_registry_hygiene.py enforces the queue mechanically: never-green
+# queries must all be in the window; no slot may re-verify a settled
+# (twice-consecutive-green) query; and every other slot must go either to
+# a settlement-eligible query (green in the latest round — one more green
+# settles it) or to a minimum-evidence query (no strictly-less-evidenced
+# query may sit outside the window).
 #
-# ROUND-5 ROTATION QUEUE (assuming CORRECTNESS_r04 lands green): the
-# never-green set is then EMPTY — every registry query has a hard driver
-# row. Round 5's window should (a) re-enter any r04 failure first
-# (mandatory, hygiene-enforced), then (b) re-confirm once-green queries
-# by OLDEST evidence: the round-1 greens not re-confirmed this round
-# (q04, q06-q13, q15-q18, q44-q49, q51-q55, q70-q76, q84-q91, q93-q98,
-# q114-q116), float-/state-sensitive ones first (q46/q90 decimal
-# revenue, q61 approx already re-confirmed here, q83 cosine profiles,
-# q80/q81/q106 live). Two consecutive green rounds settle a query
-# permanently (the twice-green exclusion then locks it out of future
-# windows), so rotating ~50 once-green names per round converges the
-# whole registry to settled in ~3 rounds.
+# ROUND-6 ROTATION QUEUE (assuming CORRECTNESS_r05 lands green): bench 9
+# settle out. Window = any r05 failure first (mandatory), then the 40
+# r05-re-confirmed round-1 greens again IF slots allow (settling them) —
+# otherwise prefer: q09_set_ops + the round-2 once-greens (q15-q22,
+# q24-q26, q28, q30, q32/q33, q35/q36, q41-q43, q51, q56/q57, q62-q69,
+# q80/q81/q83, q106, q113/q114), float-/state-sensitive first (q83
+# cosine profiles, q80/q81/q106 live, q62 collect aggs). Steady state:
+# each round settles the previous round's fresh greens and back-fills
+# with the oldest remaining evidence; the registry converges to fully
+# settled in ~4 rounds.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the only driver row ever to fail (r02): rebuilt oracle, pinned
-    #    rounding — lands its green first this round
-    "q38_kmeans_ivf_ann",
-    # -- format round-trips deferred from round 3
-    "q134_json_roundtrip_agg",
-    "q135_csv_roundtrip_agg",
-    "q136_orc_roundtrip_agg",
-    # -- round-3 additions, never driver-checked
-    "q154_bm25_topk",
-    "q155_window_frame_gallery",
-    "q156_hof_gallery",
-    "q157_cogroup_reconcile",
-    "q158_semantic_dedup",
-    "q159_histogram_quantiles",
-    "q160_producer_source_scan",
-    "q162_exact_percentiles",
-    "q163_map_ops_gallery",
-    "q164_live_update_mode",
-    "q165_regex_gallery",
-    "q166_try_functions",
-    "q167_date_arithmetic",
-    "q168_recursive_cte",
-    "q169_variant_payload",
-    "q170_pipe_syntax",
-    "q171_live_transform_with_state",
-    "q172_lateral_topk",
-    "q173_row_value_in",
-    "q174_sql_sugar",
-    "q175_time_weighted_avg",
-    "q176_sequence_continuity",
-    "q177_hll_sketch_merge",
-    "q178_media_resize",
-    "q179_schema_evolution_union",
-    "q180_codec_roundtrip",
-    "q181_first_conversion_path",
-    "q182_incremental_store_dedup",
-    "q183_bitmap_distinct",
-    # -- new this round: A11 bounded-retry + poison-DLQ, live-gated
-    "q184_live_retry_dlq",
-    # -- re-confirmations: the 9 frozen bench queries ...
+    # -- new this round: A9 checkpoint-restart resume, live-gated
+    "q185_live_checkpoint_restart",
+    # -- oldest-evidence re-confirmations (round-1 greens), float-/
+    #    decimal-/state-sensitive first: decimal revenue aggregates ...
+    "q46_small_quantity_revenue",
+    "q90_small_quantity_revenue",
+    "q06_forecast_revenue",
+    "q72_promo_share",
+    "q74_disjunctive_revenue",
+    "q84_market_share",
+    "q85_profit_by_nation_year",
+    "q70_volume_shipping",
+    # -- ... stateful pandas/UDTF paths ...
+    "q60_pandas_order_seq",
+    "q115_pandas_group_range",
+    "q116_udtf_fixed_chunks",
+    # -- ... hash-determinism-sensitive sampling ...
+    "q54_hash_sample",
+    "q93_stratified_sample",
+    "q94_per_stratum_bottom_k",
+    "q95_weighted_sample",
+    # -- ... and the remaining round-1 greens in registry order
+    "q04_order_priority",
+    "q07_inactive_customers",
+    "q08_customer_order_counts",
+    "q10_distinct_counts",
+    "q11_rollup",
+    "q12_cube",
+    "q13_band_join",
+    "q44_pivot_status",
+    "q45_grouping_sets",
+    "q47_full_outer_activity",
+    "q49_unpivot_balances",
+    "q52_null_semantics",
+    "q53_props_map_explode",
+    "q55_gap_fill_daily",
+    "q71_returned_items",
+    "q73_large_orders",
+    "q75_best_supplier_per_part",
+    "q76_rich_inactive_customers",
+    "q86_ship_delay_priority",
+    "q87_customer_distribution",
+    "q88_top_supplier",
+    "q89_parts_supplier_counts",
+    "q91_promotion_suppliers",
+    "q97_benchmark_decontamination",
+    "q98_rare_token_ratio",
+    # -- settlement: the 9 frozen bench queries, green r04 — one more
+    #    green row makes them the first permanently-settled queries
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
@@ -131,14 +150,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q31_minhash_lsh",
     "q34_cosine_topk",
     "q92_waiting_suppliers",
-    # -- ... and 7 float-/state-heavy once-green singles
-    "q37_ivf_ann",
-    "q48_quantity_percentiles",
-    "q61_approx_stats",
-    "q77_training_corpus_pipeline",
-    "q82_live_stateful_counts",
-    "q96_hypertable_rollup",
-    "q112_live_cdc_upsert",
 )
 
 

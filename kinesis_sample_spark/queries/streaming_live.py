@@ -773,3 +773,93 @@ def q184_live_retry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = retry_process(env, _flaky_process, max_attempts=_RETRY_MAX_ATTEMPTS)
     return _run(out, "update").orderBy("sequenceNumber")
+
+
+# ---------------------------------------------------------------------------
+# q185 — LIVE checkpoint-restart resume (the reference's A9).
+# ---------------------------------------------------------------------------
+@query(
+    "q185_live_checkpoint_restart",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_records,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q185_live_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — shard initialize / resume from checkpoint (Proc:151-159: a new
+    processor resumes its shard at the checkpointed extendedSequenceNumber)
+    — under the live driver gate, the way q184 lifted A11. Two separate
+    streaming query *incarnations* share one checkpointLocation: phase 1
+    drains the even-event_id half of the fixture and stops (A16's
+    graceful-stop path); the odd half then lands in the source directory;
+    phase 2 starts a NEW query from the same checkpoint. The sink is an
+    append-only parquet emission log (update-mode foreachBatch), and the
+    returned table keeps each user's LAST emission (max running count —
+    update mode only re-emits a key when new events arrived, so ``n``
+    strictly increases per user).
+
+    Both failure directions break the value hash: if phase 2 re-read
+    phase-1 files (offset resume broken), running counts overshoot the
+    batch aggregate; if the state store restarted empty (state resume
+    broken), every user spanning both halves undercounts. Matching the
+    plain batch GROUP BY therefore proves offsets AND agg state survived
+    the restart. Integer-cents sum keeps values associative → the hash is
+    parallelism-proof (same quantization as q171).
+
+    Scale: checkpoint WAL + state store are per-partition, exactly the
+    KCL's per-shard DynamoDB lease rows (SURVEY §1.2) — a 1000-executor
+    restart re-plans from the driver-side offset log with no per-record
+    coordination."""
+    base = tempfile.mkdtemp(prefix="kss_a9_")
+    src = os.path.join(base, "in")
+    ck = os.path.join(base, "ck")
+    emissions = os.path.join(base, "emissions")
+    os.makedirs(src)
+
+    events = load_table(spark, sf_dir, "events")
+    halves = (
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    )
+
+    def run_incarnation() -> None:
+        st = replay_events_stream(spark, src, files_per_trigger=1)
+        agg = (
+            st.withWatermark("ts", "3650 days")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_records"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            )
+        )
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(emissions)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for half in halves:
+        half.coalesce(2).write.mode("append").parquet(src)
+        run_incarnation()
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_records").desc())
+    return (
+        spark.read.parquet(emissions)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_records", "cents")
+        .orderBy("user_id")
+    )

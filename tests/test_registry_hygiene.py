@@ -100,6 +100,58 @@ def test_window_contains_every_never_green_query():
         )
 
 
+def test_window_prioritizes_minimum_evidence():
+    """Settlement-progress invariant (round-4 verdict item 3): the
+    mechanical form of the rotation-queue comment on ``DRIVER_WINDOW``.
+
+    Beyond the never-green entries (mandatory, previous test) every slot
+    must be spent on one of exactly two legitimate things:
+
+    - a *settlement-eligible* query — green in the latest recorded round
+      and not yet settled, so one more green row settles it permanently
+      (buying a freed slot every future round), or
+    - a *minimum-evidence* query — re-confirming the registry's least
+      trustworthy evidence, where evidence is ordered by (ever-green
+      count ascending, last-green round ascending).
+
+    Concretely: no query outside the window may carry strictly less
+    evidence than a non-eligible query inside it. This is what stops a
+    round-6+ window from drifting back to re-verifying fresh greens
+    while round-1/2 observations age unrechecked."""
+    greens = _green_sets_by_round()
+    if not greens:
+        return
+    latest = max(greens)
+    settled: set[str] = set()
+    for r in sorted(greens):
+        if r - 1 in greens:
+            settled |= greens[r] & greens[r - 1]
+    hist = {q: [r for r in sorted(greens) if q in greens[r]] for q in REGISTRY}
+    never = {q for q, rs in hist.items() if not rs}
+    eligible = greens[latest] - settled
+
+    def evidence(q: str) -> tuple[int, int]:
+        return (len(hist[q]), hist[q][-1])
+
+    rotational = [q for q in DRIVER_WINDOW if q not in never and q not in eligible]
+    outside = [
+        q
+        for q in REGISTRY
+        if q not in set(DRIVER_WINDOW)
+        and q not in settled
+        and q not in never
+        and q not in eligible
+    ]
+    if not rotational or not outside:
+        return
+    worst_in = max(evidence(q) for q in rotational)
+    starved = sorted(q for q in outside if evidence(q) < worst_in)
+    assert not starved, (
+        f"window re-verifies evidence {worst_in} while strictly less-"
+        f"evidenced queries sit outside it: {starved}"
+    )
+
+
 def test_no_degenerate_zero_row_oracles():
     """A 0-row result passes the hash gate trivially (empty == empty), so
     a query that silently filters everything out would look green while
