@@ -82,13 +82,17 @@ def kmeans_fit(
             .groupBy("cluster", "pos")
             .agg(
                 (
-                    # round(.., 9) BEFORE the decimal cast: both Spark and
-                    # DuckDB round half-away-from-zero in round(), whereas
-                    # the bare double→decimal cast's rounding mode is
+                    # round(.., 9) BEFORE the decimal cast: the bare
+                    # double→decimal cast's rounding mode is
                     # engine-internal — a dyadic value ending exactly in
                     # '5' at the 10th decimal (e.g. 1/1024) could
-                    # otherwise quantize differently per engine. With the
-                    # explicit round the cast is exact by construction.
+                    # otherwise quantize differently per engine. The
+                    # explicit round removes that cast ambiguity; Spark
+                    # (BigDecimal.valueOf, HALF_UP on the shortest repr)
+                    # and DuckDB (double-arithmetic round) still differ
+                    # internally, so cross-engine agreement is empirical —
+                    # verified by test_dyadic_quantization_agrees_with_duckdb
+                    # — not provable for all doubles.
                     F.sum(F.round(F.col("val").cast("double"), 9).cast("decimal(18,9)"))
                     .cast("double")
                     / F.count("val")

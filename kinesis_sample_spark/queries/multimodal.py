@@ -39,14 +39,19 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_media(data: bytes, fmt: str) -> dict:
+def decode_media(data: bytes, fmt: str, strict: bool = True) -> dict:
     """Capability-gated decoder (same pattern as sources/table_formats.py):
     byte-level features are always computed (deterministic, SQL-checkable —
     the q50 oracle path); for ``image/*`` payloads the function *also*
     decodes pixels when PIL is importable, and raises a clearly-marked
     ``NotImplementedError`` ONLY when no decoder exists in the
     environment — so dropping Pillow into the image upgrades the pipeline
-    with zero code change."""
+    with zero code change.
+
+    ``strict=False`` restores the pre-round-4 compatibility behavior for
+    external callers: an image payload with no decoder present degrades
+    to byte-only features instead of raising (the caller sees the missing
+    ``px_*`` keys and can branch on that)."""
     feats = {
         "byte_len": len(data),
         "checksum": sum(data) % 997,
@@ -54,10 +59,13 @@ def decode_media(data: bytes, fmt: str) -> dict:
     }
     if fmt.startswith("image/"):
         if not HAVE_PIL:
+            if not strict:
+                return feats
             raise NotImplementedError(
                 "no image decoder in this environment (pip install pillow "
                 "to enable real pixel decode); byte-level features remain "
-                "available for non-image formats"
+                "available for non-image formats, or pass strict=False to "
+                "degrade to byte-only features"
             )
         import io
 

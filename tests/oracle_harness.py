@@ -105,13 +105,23 @@ def _spark_kind(dt) -> str:
     return "O"
 
 
-def dtype_flags(spark_df, con, sql) -> tuple[str, ...]:
+def dtype_flags(spark_df, con, sql) -> tuple[str, ...] | None:
+    """Returns the mismatching (column, kind) pairs, () when the gate ran
+    clean, or ``None`` when the oracle can't be wrapped as a subquery
+    (e.g. pipe-syntax dialect) so the gate could not run at all — the
+    caller records that skip visibly in ``Comparison.detail`` rather than
+    letting a silently-disabled gate look like a clean pass."""
     try:
         odt = con.execute(
             f"SELECT * FROM ({sql.rstrip().rstrip(';')}) LIMIT 0"
         ).df().dtypes
     except duckdb.Error:
-        return ()  # non-wrappable dialect (e.g. pipe syntax) — skip gate
+        return None  # non-wrappable dialect — caller marks the skip
+    if not odt.index.is_unique:
+        # odt[name] would be a Series (no .kind); duplicate labels are a
+        # real defect in the oracle projection — flag, don't crash
+        dupes = sorted(odt.index[odt.index.duplicated()].unique())
+        return tuple(f"duplicate oracle column label: {d}" for d in dupes)
     flags = []
     for field in spark_df.schema.fields:
         if field.name not in odt.index:
@@ -144,6 +154,10 @@ def compare(name, spark_df, con, sql) -> Comparison:
                 break
         else:
             detail = f"len spark={len(proj_s)} oracle={len(proj_o)}"
+    flags = dtype_flags(spark_df, con, sql)
+    if flags is None:
+        detail = (detail + " dtype_gate=skipped(non-wrappable oracle)").strip()
+        flags = ()
     return Comparison(
         name=name,
         spark_rows=len(s_rows),
@@ -153,5 +167,5 @@ def compare(name, spark_df, con, sql) -> Comparison:
         spark_cols=s_cols,
         oracle_cols=o_cols,
         detail=detail,
-        dtype_flags=dtype_flags(spark_df, con, sql),
+        dtype_flags=flags,
     )

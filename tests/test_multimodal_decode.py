@@ -30,6 +30,15 @@ def test_image_without_decoder_raises_documented_stub(monkeypatch):
     assert multimodal.decode_media(b"xy", "audio/wav")["byte_len"] == 2
 
 
+def test_image_without_decoder_degrades_when_not_strict(monkeypatch):
+    """strict=False: external-caller compatibility path — image payloads
+    fall back to byte-only features (no px_* keys) instead of raising."""
+    monkeypatch.setattr(multimodal, "HAVE_PIL", False)
+    feats = multimodal.decode_media(b"\x89PNG....", "image/png", strict=False)
+    assert feats["byte_len"] == 8
+    assert not any(k.startswith("px_") for k in feats)
+
+
 class _FakeImage:
     width, height, mode = 640, 480, "RGB"
 

@@ -12,11 +12,17 @@ hash-gated oracle rests on:
 
 ``derandomize=True`` keeps the example stream fixed — a future failure
 means a code change broke parity, never hypothesis drawing a fresh seed.
+The quick CI lane runs 8 deterministic examples per property; export
+``SPARK_GRAFT_PROPERTY_EXAMPLES=64`` (or higher) for the deep lane — the
+stream stays derandomized, so a bigger budget is a strict prefix-superset
+of the quick run, and any failure it finds is replayable at the same
+budget.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import duckdb
 import numpy as np
@@ -42,6 +48,9 @@ texts_strategy = st.lists(
 )
 
 
+MAX_EXAMPLES = int(os.environ.get("SPARK_GRAFT_PROPERTY_EXAMPLES", "8"))
+
+
 def _py_md5_60bit(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
@@ -49,7 +58,7 @@ def _py_md5_60bit(s: str) -> int:
 @pytest.mark.slow
 @given(texts=texts_strategy)
 @settings(
-    max_examples=8,
+    max_examples=MAX_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -104,7 +113,7 @@ vecs_strategy = st.integers(min_value=1, max_value=12).flatmap(
 @pytest.mark.slow
 @given(pairs=vecs_strategy)
 @settings(
-    max_examples=8,
+    max_examples=MAX_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
