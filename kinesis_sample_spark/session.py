@@ -46,6 +46,18 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- local-mode memory; harmless on a cluster ---
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Throughput collector for the single local JVM: G1 (the JVM
+        # default) interleaves concurrent cycles with the 32 executor
+        # threads and stalls whichever query they land on — measured
+        # A/B on the frozen bench set: G1 8.99-10.98 s total with
+        # per-query spikes up to +60%, ParallelGC 7.86-8.03 s with a
+        # flat tail. Batch analytics wants max throughput, not pause
+        # bounds, so ParallelGC is the right local default; a cluster
+        # deploy sets its own executor JVM opts.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         # managed tables (bucketing) land in tmp, never in the repo; static
         # conf — must be set before the session exists
