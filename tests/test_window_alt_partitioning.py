@@ -1,0 +1,59 @@
+"""Settlement de-risk: the driver-window queries re-checked under a
+DIFFERENT physical layout.
+
+The parity suite (test_oracle_parity.py) runs every query once, at the
+session's default ``spark.sql.shuffle.partitions`` (= test CPU count).
+A query whose result depends on partition count — the classic
+float-accumulation-order hazard, plus anything leaning on task layout
+(collect_list order, per-partition sampling, state-store sharding) —
+could hash-match under that one layout and still break under the
+driver's, or under a future cluster's. Since the whole point of this
+round's window is to SETTLE its queries (two consecutive driver greens
+lock them out of future verification), each window slot gets a second
+local check here at a deliberately awkward prime partition count. AQE
+coalescing stays on, so this also exercises different coalesced shapes.
+
+Only the current ``DRIVER_WINDOW`` is swept (not all 179) to keep suite
+runtime proportional to what each round actually stakes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_sample_spark.queries import DRIVER_WINDOW, load_registry
+from tests.oracle_harness import compare, duck_connection
+
+REGISTRY = load_registry()
+ALT_PARTITIONS = "7"
+
+WINDOW_WITH_ORACLE = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is not None]
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture()
+def alt_shuffle(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", ALT_PARTITIONS)
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", WINDOW_WITH_ORACLE)
+def test_window_query_alt_partitioning(name, alt_shuffle, oracle_sf_dir, duck):
+    q = REGISTRY[name]
+    df = q.fn(alt_shuffle, oracle_sf_dir)
+    cmp = compare(name, df, duck, q.oracle)
+    assert cmp.ok, (
+        f"{name} diverges at shuffle.partitions={ALT_PARTITIONS}: "
+        f"rows {cmp.spark_rows} vs {cmp.oracle_rows}, "
+        f"cols_match={cmp.columns_match}, hash_match={cmp.hash_match} "
+        f"{cmp.detail} dtype_flags={list(cmp.dtype_flags)}"
+    )
