@@ -89,7 +89,12 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # cosine profiles, q80/q81/q106 live, q62 collect aggs). Steady state:
 # each round settles the previous round's fresh greens and back-fills
 # with the oldest remaining evidence; the registry converges to fully
-# settled in ~4 rounds.
+# settled in ~4 rounds. Round-6 surface candidate (the one A-side
+# behavior still expressible as a query): lift A17 observability to a
+# live gate — run a replay under ``df.observe`` + a QueryListener and
+# hash the accumulated observed metrics (per-batch counts/sums are
+# deterministic once summed across batches) against batch SQL; register
+# it only in round 6 so it doesn't displace a settlement slot here.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- new this round: A9 checkpoint-restart resume, live-gated
