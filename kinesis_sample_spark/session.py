@@ -54,9 +54,12 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         # flat tail. Batch analytics wants max throughput, not pause
         # bounds, so ParallelGC is the right local default; a cluster
         # deploy sets its own executor JVM opts.
+        # -Xms pre-sizes the heap so the first heavy queries don't pay
+        # heap-growth pauses (A/B'd alongside the collector; -Xmx comes
+        # from spark.driver.memory as Spark requires)
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC -Xms16g"),
         )
         .config("spark.ui.enabled", "false")
         # managed tables (bucketing) land in tmp, never in the repo; static
