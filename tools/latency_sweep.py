@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Full-registry latency sweep: run EVERY registry query at the given SF
+through the same noop-sink execution bench.py uses, one timed attempt
+each, and append one JSON line per query to the output file.
+
+Where bench.py answers "how fast are the frozen headline 9", this
+answers "does anything in the registry fall off a cliff at sf0.1" —
+the long-tail scale check. Resumable: already-recorded queries are
+skipped, so an interrupted sweep continues where it stopped.
+
+Usage: python tools/latency_sweep.py [sf_dir] [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis_sample_spark.queries import load_registry
+from kinesis_sample_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/latency_sweep.jsonl"
+    done: set[str] = set()
+    if os.path.exists(out):
+        with open(out) as f:
+            done = {json.loads(line)["query"] for line in f if line.strip()}
+
+    spark = get_spark("latency-sweep")
+    registry = load_registry()
+    todo = [n for n in registry if n not in done]
+    print(f"sweep {len(todo)} queries (skipping {len(done)} done) at {sf_dir}")
+    for n in todo:
+        t0 = time.perf_counter()
+        try:
+            registry[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            rec = {"query": n, "sec": round(time.perf_counter() - t0, 3)}
+        except Exception as e:  # record, keep sweeping
+            rec = {"query": n, "sec": None, "err": str(e)[:200]}
+        with open(out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
+
+
+if __name__ == "__main__":
+    main()
