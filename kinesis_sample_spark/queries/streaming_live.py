@@ -847,11 +847,28 @@ def q185_live_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a still-running incarnation would contend with the next
+            # phase's start() on the same checkpoint (or let the final
+            # read observe a half-written sink) — fail loudly instead of
+            # surfacing as an inexplicable hash mismatch
+            q.stop()
+            raise RuntimeError("q185 incarnation did not drain within 300 s")
 
-    for half in halves:
-        half.coalesce(2).write.mode("append").parquet(src)
-        run_incarnation()
+    try:
+        for half in halves:
+            half.coalesce(2).write.mode("append").parquet(src)
+            run_incarnation()
+    finally:
+        # the source fixture and checkpoint are only needed while the
+        # incarnations run; drop them so repeated runs don't accumulate
+        # 100k-event parquet + state-store files in /tmp. The (small)
+        # emissions log must outlive this call — the returned DataFrame
+        # reads it lazily.
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
 
     from pyspark.sql import Window as W
 

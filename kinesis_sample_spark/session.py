@@ -22,6 +22,37 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _driver_memory() -> str:
+    return os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+
+
+def _memory_mb(size: str) -> int:
+    """Parse a JVM memory size ('48g', '512m', '8G') to MiB; 0 if unparseable."""
+    s = size.strip().lower()
+    try:
+        if s.endswith("g"):
+            return int(float(s[:-1]) * 1024)
+        if s.endswith("m"):
+            return int(float(s[:-1]))
+        if s.endswith("k"):
+            return int(float(s[:-1]) / 1024)
+        return int(int(s) / (1024 * 1024))
+    except ValueError:
+        return 0
+
+
+def _default_java_opts() -> str:
+    """ParallelGC always (throughput collector — A/B evidence in
+    SCALING.md); pre-size the heap with -Xms16g only when the -Xmx the
+    user chose via SPARK_DRIVER_MEMORY can accommodate it, otherwise the
+    JVM refuses to start ('Initial heap size set to a larger value than
+    the maximum heap size')."""
+    opts = "-XX:+UseParallelGC"
+    if _memory_mb(_driver_memory()) >= 16 * 1024:
+        opts += " -Xms16g"
+    return opts
+
+
 def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -45,7 +76,7 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         # --- python exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- local-mode memory; harmless on a cluster ---
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", _driver_memory())
         # Throughput collector for the single local JVM: G1 (the JVM
         # default) interleaves concurrent cycles with the 32 executor
         # threads and stalls whichever query they land on — measured
@@ -53,13 +84,12 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         # per-query spikes up to +60%, ParallelGC 7.86-8.03 s with a
         # flat tail. Batch analytics wants max throughput, not pause
         # bounds, so ParallelGC is the right local default; a cluster
-        # deploy sets its own executor JVM opts.
-        # -Xms pre-sizes the heap so the first heavy queries don't pay
-        # heap-growth pauses (A/B'd alongside the collector; -Xmx comes
-        # from spark.driver.memory as Spark requires)
+        # deploy sets its own executor JVM opts. The pre-sized heap
+        # (-Xms) additionally avoids heap-growth pauses; see
+        # _default_java_opts for the -Xmx guard.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC -Xms16g"),
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", _default_java_opts()),
         )
         .config("spark.ui.enabled", "false")
         # managed tables (bucketing) land in tmp, never in the repo; static

@@ -1,0 +1,65 @@
+"""Settlement policy — the single definition of driver-evidence state.
+
+Both the hygiene tests (tests/test_registry_hygiene.py, which REJECT a
+bad DRIVER_WINDOW) and the planning tool (tools/settlement_report.py,
+which PROPOSES the next one) interpret the accumulated
+``CORRECTNESS_r*.json`` rounds. Keeping the green-gate definition, the
+settled fold, and the evidence ordering here means a change to any of
+them (say, a fourth gate key in the driver's report) cannot desynchronize
+the enforcer from the planner.
+
+Definitions:
+
+- **green**: a driver row with all three gates true
+  (rows_match ∧ schema_match ∧ hash_match).
+- **settled**: green in two CONSECUTIVE rounds — permanently excluded
+  from future windows (one green can be luck; two in a row is evidence).
+- **evidence key**: (ever-green count ascending, last-green round
+  ascending) — the re-verification priority for unsettled queries.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def green_sets_by_round(repo: pathlib.Path = REPO) -> dict[int, set[str]]:
+    """Queries with all three gates true, per CORRECTNESS_r{N}.json round."""
+    out: dict[int, set[str]] = {}
+    for p in repo.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rows = json.loads(p.read_text())
+        out[int(m.group(1))] = {
+            n
+            for n, r in rows.items()
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+        }
+    return out
+
+
+def settled_set(greens: dict[int, set[str]]) -> set[str]:
+    """Queries green in two consecutive rounds."""
+    settled: set[str] = set()
+    for r in sorted(greens):
+        if r - 1 in greens:
+            settled |= greens[r] & greens[r - 1]
+    return settled
+
+
+def histories(
+    greens: dict[int, set[str]], names: "list[str] | dict"
+) -> dict[str, list[int]]:
+    """Per-query sorted list of green rounds (empty = never green)."""
+    return {q: [r for r in sorted(greens) if q in greens[r]] for q in names}
+
+
+def evidence_key(hist: dict[str, list[int]], q: str) -> tuple[int, int]:
+    """(ever-green count, last green round); (0, 0) for never-green."""
+    rs = hist[q]
+    return (len(rs), rs[-1] if rs else 0)

@@ -27,3 +27,14 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def oracle_sf_dir():
     return SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    """Per-module DuckDB connection with the fixture tables as views —
+    shared by every oracle-comparison test module."""
+    from tests.oracle_harness import duck_connection
+
+    con = duck_connection(oracle_sf_dir)
+    yield con
+    con.close()

@@ -117,11 +117,10 @@ def dtype_flags(spark_df, con, sql) -> tuple[str, ...] | None:
         ).df().dtypes
     except duckdb.Error:
         return None  # non-wrappable dialect — caller marks the skip
-    if not odt.index.is_unique:
-        # odt[name] would be a Series (no .kind); duplicate labels are a
-        # real defect in the oracle projection — flag, don't crash
-        dupes = sorted(odt.index[odt.index.duplicated()].unique())
-        return tuple(f"duplicate oracle column label: {d}" for d in dupes)
+    # duplicate oracle projection labels can't reach here as duplicates:
+    # duckdb's .df() renames them ('a', 'a_1', ...), so odt[name] is
+    # always a scalar dtype, the renamed column fails the membership
+    # test below, and compare()'s cols_match reports the name mismatch
     flags = []
     for field in spark_df.schema.fields:
         if field.name not in odt.index:

@@ -8,18 +8,11 @@ from __future__ import annotations
 import pytest
 
 from kinesis_sample_spark.queries import load_registry
-from tests.oracle_harness import compare, duck_connection
+from tests.oracle_harness import compare
 
 REGISTRY = load_registry()
 WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
-
-
-@pytest.fixture(scope="module")
-def duck(oracle_sf_dir):
-    con = duck_connection(oracle_sf_dir)
-    yield con
-    con.close()
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)

@@ -15,13 +15,14 @@ two invariants that protect it:
 
 from __future__ import annotations
 
-import json
-import pathlib
-import re
-
 from kinesis_sample_spark.queries import DRIVER_WINDOW, load_registry
+from kinesis_sample_spark.settlement import (
+    evidence_key,
+    green_sets_by_round,
+    histories,
+    settled_set,
+)
 
-REPO = pathlib.Path(__file__).resolve().parent.parent
 REGISTRY = load_registry()
 
 WINDOW_SIZE = 50
@@ -46,31 +47,11 @@ def test_every_entry_has_oracle_or_documented_rationale():
     )
 
 
-def _green_sets_by_round() -> dict[int, set[str]]:
-    """Queries with all three gates true, per CORRECTNESS_r{N}.json round."""
-    out: dict[int, set[str]] = {}
-    for p in REPO.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"r(\d+)", p.name)
-        if not m:
-            continue
-        rows = json.loads(p.read_text())
-        out[int(m.group(1))] = {
-            n
-            for n, r in rows.items()
-            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-        }
-    return out
-
-
 def test_window_excludes_twice_green_queries():
     """No slot in the 50-entry window may be spent on a query whose
     correctness is already settled by green rows in two consecutive
     driver rounds (one green row can be luck; two in a row is evidence)."""
-    greens = _green_sets_by_round()
-    settled: set[str] = set()
-    for r in sorted(greens):
-        if r - 1 in greens:
-            settled |= greens[r] & greens[r - 1]
+    settled = settled_set(green_sets_by_round())
     stale = settled & set(DRIVER_WINDOW)
     assert not stale, f"window wastes slots on twice-green queries: {sorted(stale)}"
 
@@ -82,7 +63,7 @@ def test_window_contains_every_never_green_query():
     (the way q38 sat red from round 2 to round 4) is a test failure, not
     a judgment call. If the never-green set ever outgrows the window,
     every slot must go to never-green queries."""
-    greens = _green_sets_by_round()
+    greens = green_sets_by_round()
     ever_green: set[str] = set()
     for g in greens.values():
         ever_green |= g
@@ -118,20 +99,17 @@ def test_window_prioritizes_minimum_evidence():
     evidence than a non-eligible query inside it. This is what stops a
     round-6+ window from drifting back to re-verifying fresh greens
     while round-1/2 observations age unrechecked."""
-    greens = _green_sets_by_round()
+    greens = green_sets_by_round()
     if not greens:
         return
     latest = max(greens)
-    settled: set[str] = set()
-    for r in sorted(greens):
-        if r - 1 in greens:
-            settled |= greens[r] & greens[r - 1]
-    hist = {q: [r for r in sorted(greens) if q in greens[r]] for q in REGISTRY}
+    settled = settled_set(greens)
+    hist = histories(greens, REGISTRY)
     never = {q for q, rs in hist.items() if not rs}
     eligible = greens[latest] - settled
 
     def evidence(q: str) -> tuple[int, int]:
-        return (len(hist[q]), hist[q][-1])
+        return evidence_key(hist, q)
 
     rotational = [q for q in DRIVER_WINDOW if q not in never and q not in eligible]
     outside = [

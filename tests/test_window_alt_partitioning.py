@@ -25,19 +25,12 @@ from __future__ import annotations
 import pytest
 
 from kinesis_sample_spark.queries import DRIVER_WINDOW, load_registry
-from tests.oracle_harness import compare, duck_connection
+from tests.oracle_harness import compare
 
 REGISTRY = load_registry()
 ALT_PARTITIONS = "7"
 
 WINDOW_WITH_ORACLE = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is not None]
-
-
-@pytest.fixture(scope="module")
-def duck(oracle_sf_dir):
-    con = duck_connection(oracle_sf_dir)
-    yield con
-    con.close()
 
 
 @pytest.fixture()

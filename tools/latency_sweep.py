@@ -30,7 +30,15 @@ def main() -> None:
     done: set[str] = set()
     if os.path.exists(out):
         with open(out) as f:
-            done = {json.loads(line)["query"] for line in f if line.strip()}
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # truncated trailing line from a killed run
+                if rec.get("sec") is not None:
+                    done.add(rec["query"])  # errored queries retry on resume
 
     spark = get_spark("latency-sweep")
     registry = load_registry()

@@ -33,32 +33,18 @@ Usage: python tools/settlement_report.py [--window-size 50]
 from __future__ import annotations
 
 import argparse
-import json
 import os
-import pathlib
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_sample_spark.queries import DRIVER_WINDOW, load_registry
-
-REPO = pathlib.Path(__file__).resolve().parent.parent
-
-
-def green_sets_by_round() -> dict[int, set[str]]:
-    out: dict[int, set[str]] = {}
-    for p in REPO.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"r(\d+)", p.name)
-        if not m:
-            continue
-        rows = json.loads(p.read_text())
-        out[int(m.group(1))] = {
-            n
-            for n, r in rows.items()
-            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-        }
-    return out
+from kinesis_sample_spark.settlement import (
+    evidence_key,
+    green_sets_by_round,
+    histories,
+    settled_set,
+)
 
 
 def main() -> None:
@@ -70,17 +56,13 @@ def main() -> None:
     greens = green_sets_by_round()
     latest = max(greens) if greens else 0
 
-    hist = {q: [r for r in sorted(greens) if q in greens[r]] for q in registry}
-    settled = set()
-    for r in sorted(greens):
-        if r - 1 in greens:
-            settled |= greens[r] & greens[r - 1]
+    hist = histories(greens, registry)
+    settled = settled_set(greens)
     never = {q for q, rs in hist.items() if not rs}
     eligible = (greens.get(latest, set()) - settled) if greens else set()
 
     def evidence(q: str) -> tuple[int, int]:
-        rs = hist[q]
-        return (len(rs), rs[-1] if rs else 0)
+        return evidence_key(hist, q)
 
     print(f"rounds recorded: {sorted(greens)}   registry: {len(registry)}")
     print(
