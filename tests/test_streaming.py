@@ -159,6 +159,48 @@ def test_graceful_stop_and_listener(spark, events_dir):
         spark.streams.removeListener(listener)
 
 
+def test_observed_metrics_accumulate_to_batch_aggregate(spark, events_dir):
+    """A17 as a *checkable* metric surface: ``df.observe`` counts/sums
+    accumulated across micro-batches must equal the same aggregate over
+    the bounded input — the additivity law the round-6 A17 live-gate
+    candidate rests on (see ObservedMetricsListener.totals)."""
+    import time
+
+    from kinesis_sample_spark.streaming.observe import ObservedMetricsListener
+
+    listener = ObservedMetricsListener("a17")
+    spark.streams.addListener(listener)
+    try:
+        st = replay_events_stream(spark, events_dir)
+        obs = st.observe(
+            "a17",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        q = (
+            obs.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        events = load_table(spark, SF, "events")
+        expected_n = events.count()
+        expected_cents = events.select(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        ).collect()[0][0]
+        # listener delivery is async — poll briefly for the tail batches
+        totals: dict = {}
+        for _ in range(40):
+            totals = listener.totals()
+            if totals.get("n_rows", 0) >= expected_n:
+                break
+            time.sleep(0.25)
+        assert totals["n_rows"] == expected_n
+        assert totals["cents"] == expected_cents
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_rate_producer_envelope(spark):
     """A1/A2: the producer simulation emits schema-correct envelopes."""
     env = rate_producer(spark, rows_per_second=50)
