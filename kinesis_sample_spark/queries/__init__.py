@@ -48,78 +48,57 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round, so iteration order IS the verification budget. After round 4 the
-# never-green set is EMPTY (CORRECTNESS_r04 landed 50/50; all 178 prior
-# queries have at least one hard driver row), so the budget shifts from
-# frontier-proving to SETTLEMENT: two consecutive green rounds settle a
-# query permanently (the twice-green exclusion in test_registry_hygiene
-# then locks it out of future windows).
-#
-# This round-5 window executes the rotation queue the round-4 comment
-# documented, slot by slot:
-#   1 slot  — q185_live_checkpoint_restart, NEW this round (A9 shard
-#             initialize/resume lifted to a live driver gate, the way q184
-#             lifted A11; round-4 verdict item 5). Never-green → mandatory.
-#   40 slots — once-green queries with the OLDEST evidence: every
-#             remaining round-1 green except q09_set_ops (41 exist; q09 —
-#             pure integer set-op semantics, the least float/state
-#             sensitive — defers one round). These greens predate the
-#             heaviest refactors (md5 hashing family, decimal policy), so
-#             their single observation is the least trustworthy in the
-#             registry. Float-/decimal-/state-sensitive first.
-#   9 slots — the frozen bench queries, green in r04 (and r01/r02):
-#             re-confirming them in the round immediately after makes
-#             them the registry's FIRST settled queries and permanently
-#             frees their slots; their correctness also underwrites every
-#             BENCH_r*.json number.
+# round, so iteration order IS the verification budget. Round 5 landed
+# 50/50 green and produced the registry's first 9 permanently settled
+# queries (the frozen bench set, green r04+r05). The budget therefore
+# stays in SETTLEMENT mode, executing the rotation queue the round-5
+# comment documented — this window is exactly the one
+# tools/settlement_report.py computes from CORRECTNESS_r01–r05, plus the
+# one planned surface addition:
+#   1 slot  — q186_live_observed_metrics, NEW this round (A17
+#             observability lifted to a live driver gate: per-batch
+#             ``df.observe`` partials + progress numInputRows accumulated
+#             across micro-batches and hash-checked against batch SQL —
+#             the last reference behavior expressible as a query;
+#             round-5 verdict item 2). Never-green → mandatory.
+#   42 slots — q185 + the 41 round-5 greens that are settlement-eligible
+#             (green r05, unsettled): one more green row settles each
+#             permanently, freeing all 42 slots for the remaining
+#             long tail from round 7 on.
+#   8 slots — minimum-evidence backfill, oldest evidence first per the
+#             settlement module's evidence key: q09_set_ops (deferred
+#             from round 5, last green r01) then the oldest round-2
+#             once-greens (q106 live stream-stream join, q113/q114,
+#             q15–q18). q19 carries evidence (1, r02) identical to
+#             q15–q18's and rotates in next round — dropping it is what
+#             funds q186's slot without starving anything strictly less
+#             evidenced (test_window_prioritizes_minimum_evidence).
 #
 # test_registry_hygiene.py enforces the queue mechanically: never-green
 # queries must all be in the window; no slot may re-verify a settled
 # (twice-consecutive-green) query; and every other slot must go either to
-# a settlement-eligible query (green in the latest round — one more green
-# settles it) or to a minimum-evidence query (no strictly-less-evidenced
-# query may sit outside the window).
+# a settlement-eligible query or to a minimum-evidence query (no
+# strictly-less-evidenced query may sit outside the window).
 #
-# ROUND-6 ROTATION QUEUE (assuming CORRECTNESS_r05 lands green): bench 9
-# settle out. Window = any r05 failure first (mandatory), then the 40
-# r05-re-confirmed round-1 greens again IF slots allow (settling them) —
-# otherwise prefer: q09_set_ops + the round-2 once-greens (q15-q22,
-# q24-q26, q28, q30, q32/q33, q35/q36, q41-q43, q51, q56/q57, q62-q69,
-# q80/q81/q83, q106, q113/q114), float-/state-sensitive first (q83
-# cosine profiles, q80/q81/q106 live, q62 collect aggs). Steady state:
-# each round settles the previous round's fresh greens and back-fills
-# with the oldest remaining evidence; the registry converges to fully
-# settled in ~4 rounds. Round-6 surface candidate (the one A-side
-# behavior still expressible as a query): lift A17 observability to a
-# live gate — run a replay under ``df.observe`` + a QueryListener and
-# hash the accumulated observed metrics (per-batch counts/sums are
-# deterministic once summed across batches) against batch SQL; register
-# it only in round 6 so it doesn't displace a settlement slot here.
+# ROUND-7 ROTATION QUEUE (assuming CORRECTNESS_r06 lands green): the 42
+# settlement slots free up (settled count reaches 51) and q186 becomes
+# settlement-eligible. Window = any r06 failure first (mandatory), then
+# q186 + the 8 backfills again (settling them), then ~41 slots of
+# round-2 once-greens in evidence order (q19, q20–q22, q24–q26,
+# q28, q30, q32/q33, q35/q36, q41–q43, q51, q56/q57, q62–q69,
+# q80/q81/q83, …) — float-/state-sensitive first (q83 cosine profiles,
+# q80/q81 live, q62 collect aggs). Steady state settles the previous
+# round's fresh greens and back-fills with the oldest remaining
+# evidence; the registry converges to fully settled around round 9.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- new this round: A9 checkpoint-restart resume, live-gated
+    # -- new this round: A17 observability, live-gated
+    "q186_live_observed_metrics",
+    # -- settlement: q185 + the 41 settlement-eligible round-5 greens —
+    #    one more green row settles each permanently
     "q185_live_checkpoint_restart",
-    # -- oldest-evidence re-confirmations (round-1 greens), float-/
-    #    decimal-/state-sensitive first: decimal revenue aggregates ...
-    "q46_small_quantity_revenue",
-    "q90_small_quantity_revenue",
-    "q06_forecast_revenue",
-    "q72_promo_share",
-    "q74_disjunctive_revenue",
-    "q84_market_share",
-    "q85_profit_by_nation_year",
-    "q70_volume_shipping",
-    # -- ... stateful pandas/UDTF paths ...
-    "q60_pandas_order_seq",
-    "q115_pandas_group_range",
-    "q116_udtf_fixed_chunks",
-    # -- ... hash-determinism-sensitive sampling ...
-    "q54_hash_sample",
-    "q93_stratified_sample",
-    "q94_per_stratum_bottom_k",
-    "q95_weighted_sample",
-    # -- ... and the remaining round-1 greens in registry order
     "q04_order_priority",
+    "q06_forecast_revenue",
     "q07_inactive_customers",
     "q08_customer_order_counts",
     "q10_distinct_counts",
@@ -128,33 +107,45 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q13_band_join",
     "q44_pivot_status",
     "q45_grouping_sets",
+    "q46_small_quantity_revenue",
     "q47_full_outer_activity",
     "q49_unpivot_balances",
     "q52_null_semantics",
     "q53_props_map_explode",
+    "q54_hash_sample",
     "q55_gap_fill_daily",
+    "q60_pandas_order_seq",
+    "q70_volume_shipping",
     "q71_returned_items",
+    "q72_promo_share",
     "q73_large_orders",
+    "q74_disjunctive_revenue",
     "q75_best_supplier_per_part",
     "q76_rich_inactive_customers",
+    "q84_market_share",
+    "q85_profit_by_nation_year",
     "q86_ship_delay_priority",
     "q87_customer_distribution",
     "q88_top_supplier",
     "q89_parts_supplier_counts",
+    "q90_small_quantity_revenue",
     "q91_promotion_suppliers",
+    "q93_stratified_sample",
+    "q94_per_stratum_bottom_k",
+    "q95_weighted_sample",
     "q97_benchmark_decontamination",
     "q98_rare_token_ratio",
-    # -- settlement: the 9 frozen bench queries, green r04 — one more
-    #    green row makes them the first permanently-settled queries
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q14_top_orders_per_customer",
-    "q23_tumbling_window",
-    "q27_asof_purchase_view",
-    "q31_minhash_lsh",
-    "q34_cosine_topk",
-    "q92_waiting_suppliers",
+    "q115_pandas_group_range",
+    "q116_udtf_fixed_chunks",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q09_set_ops",
+    "q106_live_stream_stream_join",
+    "q113_containment_neardup",
+    "q114_revenue_share_window",
+    "q15_running_order_totals",
+    "q16_moving_avg_events",
+    "q17_trailing_hour_count",
+    "q18_customer_balance_distribution",
 )
 
 

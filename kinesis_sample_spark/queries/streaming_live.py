@@ -855,28 +855,160 @@ def q185_live_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise RuntimeError("q185 incarnation did not drain within 300 s")
 
+    import shutil
+
     try:
         for half in halves:
             half.coalesce(2).write.mode("append").parquet(src)
             run_incarnation()
+
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.col("n_records").desc())
+        last = (
+            spark.read.parquet(emissions)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_records", "cents")
+            .orderBy("user_id")
+        )
+        # materialize the (per-user, small) result on the driver so the
+        # WHOLE /tmp base — emissions log included — can be removed in
+        # the finally block; repeated sweeps used to accumulate one
+        # kss_a9_* dir per run (round-5 ADVICE)
+        rows = last.collect()
+        return spark.createDataFrame(rows, last.schema).orderBy("user_id")
     finally:
-        # the source fixture and checkpoint are only needed while the
-        # incarnations run; drop them so repeated runs don't accumulate
-        # 100k-event parquet + state-store files in /tmp. The (small)
-        # emissions log must outlive this call — the returned DataFrame
-        # reads it lazily.
-        import shutil
+        # the fixture, checkpoint and emissions log are all scoped to
+        # this call — drop the base so repeated runs don't accumulate
+        # 100k-event parquet + state-store files in /tmp
+        shutil.rmtree(base, ignore_errors=True)
 
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ck, ignore_errors=True)
 
-    from pyspark.sql import Window as W
+# ---------------------------------------------------------------------------
+# q186 — LIVE observed-metrics surface (the reference's A17).
+# ---------------------------------------------------------------------------
+_OBS_BUCKETS = 4
 
-    w = W.partitionBy("user_id").orderBy(F.col("n_records").desc())
-    return (
-        spark.read.parquet(emissions)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "n_records", "cents")
-        .orderBy("user_id")
+
+@query(
+    "q186_live_observed_metrics",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN user_id % {_OBS_BUCKETS} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket0_n,
+         CAST(SUM(CASE WHEN user_id % {_OBS_BUCKETS} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bucket1_n,
+         CAST(SUM(CASE WHEN user_id % {_OBS_BUCKETS} = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bucket2_n,
+         CAST(SUM(CASE WHEN user_id % {_OBS_BUCKETS} = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket3_n
+  FROM events
+)
+SELECT 'bucket0_n' AS metric, bucket0_n AS value FROM m
+UNION ALL SELECT 'bucket1_n', bucket1_n FROM m
+UNION ALL SELECT 'bucket2_n', bucket2_n FROM m
+UNION ALL SELECT 'bucket3_n', bucket3_n FROM m
+UNION ALL SELECT 'cents', cents FROM m
+UNION ALL SELECT 'n_records', n_records FROM m
+UNION ALL SELECT 'progress_input_rows', n_records FROM m
+ORDER BY metric
+""",
+)
+def q186_live_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — observability — under the live driver gate, completing the
+    A-side crossover that q184 (A11) and q185 (A9) started. The reference
+    surfaces two observability channels: per-record-processor CloudWatch
+    metrics via the KCL's metricsConfig (Cons:72,:80) and the per-batch
+    "Processing N records" slf4j log line (Proc:167). Spark's equivalents
+    are ``df.observe`` (metrics computed INSIDE the query plan, delivered
+    per micro-batch through StreamingQueryListener.observedMetrics) and
+    the listener's per-batch ``numInputRows`` progress field. This query
+    runs a live replay with BOTH channels attached and returns the
+    accumulated metric totals as a (metric, value) table — so the driver's
+    DuckDB hash gate checks the observability surface itself, not the
+    query result it describes.
+
+    Correctness law (pinned by test_observed_metrics_accumulate_to_batch_
+    aggregate): per-batch observed rows are partial aggregates over
+    exactly that batch's input, so additive metrics (counts, integer
+    sums) summed across batches equal the same aggregate over the whole
+    bounded input. Any broken seam — a dropped batch's metrics, a batch
+    observed twice, partials computed on post-filter rows — shifts a
+    total and breaks the value hash. ``progress_input_rows`` pins the
+    second channel: the sum of per-batch numInputRows must equal the
+    true record count (the reference's N values, summed).
+
+    Scale: ``observe`` aggregates ride the existing per-batch plan
+    (map-side partials, one tiny merged row per batch to the driver) —
+    exactly the KCL's per-shard metric emission folded into per-stream
+    CloudWatch sums; no extra shuffle, state, or driver loop. The
+    listener holds one dict per batch, not per record."""
+    import shutil
+    import time
+
+    from kinesis_sample_spark.streaming.observe import (
+        CollectingListener,
+        ObservedMetricsListener,
     )
+
+    base = tempfile.mkdtemp(prefix="kss_a17_")
+    metric_name = f"a17_{uuid.uuid4().hex[:8]}"  # isolate from other queries
+    obs_listener = ObservedMetricsListener(metric_name)
+    log_listener = CollectingListener()
+    spark.streams.addListener(obs_listener)
+    spark.streams.addListener(log_listener)
+    try:
+        events_dir = write_stream_fixture(spark, sf_dir, base, n_files=4)
+        # bounded input ⇒ the expected record count is known up front (one
+        # metadata-scale action); the poll below waits for the async
+        # listener bus to deliver the final batch's events
+        expected_n = load_table(spark, sf_dir, "events").count()
+
+        st = replay_events_stream(spark, events_dir)
+        metrics = [
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        ]
+        for b in range(_OBS_BUCKETS):
+            metrics.append(
+                F.sum((F.col("user_id") % _OBS_BUCKETS == b).cast("bigint")).alias(
+                    f"bucket{b}_n"
+                )
+            )
+        q = (
+            st.observe(metric_name, *metrics)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q186 replay did not drain within 300 s")
+
+        qid = str(q.id)
+        deadline = time.monotonic() + 60
+        totals: dict = {}
+        progress_rows = -1
+        while time.monotonic() < deadline:
+            totals = obs_listener.totals()
+            progress_rows = sum(
+                p.num_input_rows for p in log_listener.progress if p.query_id == qid
+            )
+            if totals.get("n_records", 0) >= expected_n and progress_rows >= expected_n:
+                break
+            time.sleep(0.25)
+
+        rows = sorted(
+            [
+                ("n_records", totals.get("n_records")),
+                ("cents", totals.get("cents")),
+                ("progress_input_rows", progress_rows),
+            ]
+            + [(f"bucket{b}_n", totals.get(f"bucket{b}_n")) for b in range(_OBS_BUCKETS)]
+        )
+        return spark.createDataFrame(
+            rows, "metric string, value bigint"
+        ).orderBy("metric")
+    finally:
+        spark.streams.removeListener(obs_listener)
+        spark.streams.removeListener(log_listener)
+        shutil.rmtree(base, ignore_errors=True)

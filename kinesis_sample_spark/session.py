@@ -30,14 +30,19 @@ def _memory_mb(size: str) -> int:
     """Parse a JVM memory size ('48g', '512m', '8G') to MiB; 0 if unparseable."""
     s = size.strip().lower()
     try:
+        if s.endswith("t"):
+            return int(float(s[:-1]) * 1024 * 1024)
         if s.endswith("g"):
             return int(float(s[:-1]) * 1024)
         if s.endswith("m"):
             return int(float(s[:-1]))
         if s.endswith("k"):
             return int(float(s[:-1]) / 1024)
-        return int(int(s) / (1024 * 1024))
+        return int(int(s) / (1024 * 1024))  # JVM convention: bare number = bytes
     except ValueError:
+        # unknown form (hex, locale separators …): log rather than silently
+        # dropping the -Xms pre-size decision on a possibly-huge heap
+        print(f"[session] unparseable SPARK_DRIVER_MEMORY {size!r}; skipping -Xms pre-size")
         return 0
 
 

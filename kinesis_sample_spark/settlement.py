@@ -43,6 +43,27 @@ def green_sets_by_round(repo: pathlib.Path = REPO) -> dict[int, set[str]]:
     return out
 
 
+def latest_round_failures(repo: pathlib.Path = REPO) -> set[str]:
+    """Queries with a NON-green row in the most recent round's report —
+    the driver saw them and at least one gate (rows/schema/hash) failed.
+    These re-enter the next window immediately: a failure is the
+    strongest possible evidence-staleness signal, stronger than any
+    (count, last-green-round) ordering can express."""
+    latest: tuple[int, pathlib.Path] | None = None
+    for p in repo.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if m and (latest is None or int(m.group(1)) > latest[0]):
+            latest = (int(m.group(1)), p)
+    if latest is None:
+        return set()
+    rows = json.loads(latest[1].read_text())
+    return {
+        n
+        for n, r in rows.items()
+        if not (r.get("rows_match") and r.get("schema_match") and r.get("hash_match"))
+    }
+
+
 def settled_set(greens: dict[int, set[str]]) -> set[str]:
     """Queries green in two consecutive rounds."""
     settled: set[str] = set()

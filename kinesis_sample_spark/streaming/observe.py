@@ -15,6 +15,7 @@ class ProgressRecord:
     batch_id: int
     num_input_rows: int
     sink_description: str
+    query_id: str = ""  # lets a shared-session consumer filter to one query
 
 
 class CollectingListener(StreamingQueryListener):
@@ -37,6 +38,7 @@ class CollectingListener(StreamingQueryListener):
                 batch_id=p.batchId,
                 num_input_rows=p.numInputRows,
                 sink_description=p.sink.description,
+                query_id=str(p.id),
             )
         )
 

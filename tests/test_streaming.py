@@ -149,7 +149,7 @@ def test_graceful_stop_and_listener(spark, events_dir):
         import time
 
         total = 0
-        for _ in range(40):
+        for _ in range(240):  # up to 60 s — listener bus delivery is async
             total = sum(p.num_input_rows for p in listener.progress)
             if total >= n_events:
                 break
@@ -190,7 +190,7 @@ def test_observed_metrics_accumulate_to_batch_aggregate(spark, events_dir):
         ).collect()[0][0]
         # listener delivery is async — poll briefly for the tail batches
         totals: dict = {}
-        for _ in range(40):
+        for _ in range(240):  # up to 60 s — listener bus delivery is async
             totals = listener.totals()
             if totals.get("n_rows", 0) >= expected_n:
                 break

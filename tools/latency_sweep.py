@@ -37,7 +37,10 @@ def main() -> None:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # truncated trailing line from a killed run
-                if rec.get("sec") is not None:
+                # skip only records timed at THIS sf_dir — resuming against
+                # a different scale factor must re-time everything, not mix
+                # SFs in one artifact (round-5 ADVICE)
+                if rec.get("sec") is not None and rec.get("sf_dir", sf_dir) == sf_dir:
                     done.add(rec["query"])  # errored queries retry on resume
 
     spark = get_spark("latency-sweep")
@@ -48,9 +51,9 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             registry[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            rec = {"query": n, "sec": round(time.perf_counter() - t0, 3)}
+            rec = {"query": n, "sec": round(time.perf_counter() - t0, 3), "sf_dir": sf_dir}
         except Exception as e:  # record, keep sweeping
-            rec = {"query": n, "sec": None, "err": str(e)[:200]}
+            rec = {"query": n, "sec": None, "err": str(e)[:200], "sf_dir": sf_dir}
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec, flush=True)

@@ -8,10 +8,10 @@ round's 50-slot window under the same policy the hygiene tests enforce
 (tests/test_registry_hygiene.py):
 
 1. every never-green query (mandatory),
-2. any latest-round failure (re-enter immediately — it is never-green
-   under the all-three-gates definition only if it has no OTHER green
-   row; a once-green query that just failed re-enters via class 3 with
-   its stale evidence),
+2. any latest-round failure (re-enters immediately: queries with a
+   non-green row in the newest CORRECTNESS report get their own queue
+   slot right after the never-green class, ahead of the generic
+   evidence ordering — settlement.latest_round_failures),
 3. settlement-eligible queries — green in the latest round, not yet
    settled; one more green row settles them permanently,
 4. minimum-evidence back-fill — (ever-green count ascending, last-green
@@ -43,6 +43,7 @@ from kinesis_sample_spark.settlement import (
     evidence_key,
     green_sets_by_round,
     histories,
+    latest_round_failures,
     settled_set,
 )
 
@@ -70,12 +71,21 @@ def main() -> None:
         f"settlement-eligible (green r{latest:02d}, unsettled): {len(eligible)}"
     )
 
-    # proposed next window
+    # proposed next window: never-green, then latest-round failures
+    # (explicit class-2 slot — a just-failed once-green query must not
+    # lose its place to the generic evidence ordering), then eligible,
+    # then minimum-evidence backfill
+    failed = latest_round_failures() & set(registry) - never - settled
     queue: list[str] = []
     queue += sorted(never)
+    queue += sorted(failed - eligible, key=lambda q: (evidence(q), q))
     queue += sorted(eligible, key=lambda q: (evidence(q), q))
     backfill = sorted(
-        (q for q in registry if q not in settled and q not in never and q not in eligible),
+        (
+            q
+            for q in registry
+            if q not in settled and q not in never and q not in eligible and q not in failed
+        ),
         key=lambda q: (evidence(q), q),
     )
     queue += backfill
@@ -86,6 +96,7 @@ def main() -> None:
     for q in proposal:
         cls = (
             "never-green" if q in never
+            else f"FAILED r{latest:02d} (re-enter)" if q in failed and q not in eligible
             else f"settle (green r{hist[q][-1]:02d})" if q in eligible
             else f"evidence {evidence(q)}"
         )
