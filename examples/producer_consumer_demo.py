@@ -27,14 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_sample_spark.session import get_spark
 from kinesis_sample_spark.streaming.envelope import rate_producer
-from kinesis_sample_spark.streaming.observe import CollectingListener
+from kinesis_sample_spark.streaming.observe import (
+    CollectingListener,
+    ObservedMetricsListener,
+)
 from kinesis_sample_spark.streaming.pipeline import stop_query
 
 
 def main(run_seconds: float = 5.0) -> None:
     spark = get_spark("demo", cpus=4)
     listener = CollectingListener()
+    metrics_listener = ObservedMetricsListener("demo_metrics")
     spark.streams.addListener(listener)
+    spark.streams.addListener(metrics_listener)
     work = tempfile.mkdtemp(prefix="kss_demo_")
 
     # --- producer (A1/A2) → consumer decode/DLQ (A11/A12), live with a
@@ -44,8 +49,17 @@ def main(run_seconds: float = 5.0) -> None:
     from kinesis_sample_spark.streaming.envelope import decode_envelope
     from kinesis_sample_spark.streaming.dlq import split_dlq
 
+    from pyspark.sql import functions as F
+
     decoded = decode_envelope(rate_producer(spark, rows_per_second=200))
     good, _ = split_dlq(decoded, "event_ts")
+    # A17's in-plan metric channel (the KCL metricsConfig analog, q186):
+    # per-batch partial aggregates delivered through the listener bus
+    good = good.observe(
+        "demo_metrics",
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+    )
     live = (
         good.writeStream.format("memory")
         .queryName("live")
@@ -61,7 +75,9 @@ def main(run_seconds: float = 5.0) -> None:
     print(f"consumed {n} records in ~{run_seconds:.0f}s (≈{rate:.0f} rec/s; reference: ~2 rec/s)")
     for p in listener.progress[-3:]:
         print(f"  batch {p.batch_id}: {p.num_input_rows} rows -> {p.sink_description[:60]}")
+    print(f"observed metric totals across batches: {metrics_listener.totals()}")
     spark.streams.removeListener(listener)
+    spark.streams.removeListener(metrics_listener)
 
 
 if __name__ == "__main__":

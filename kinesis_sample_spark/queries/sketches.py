@@ -140,8 +140,10 @@ def q159_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(DISTINCT user_id) AS n_exact,
-       TRUE AS merge_lossless,
-       TRUE AS within_5pct
+       TRUE AS merged8_within_5pct,
+       TRUE AS merged3_within_5pct,
+       TRUE AS direct_within_5pct,
+       TRUE AS merge_paths_agree_5pct
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -149,32 +151,51 @@ ORDER BY event_type
 )
 def q177_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch laws of the DataSketches HLL surface
-    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), gated:
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), gated as
+    error-bound booleans — the guarantees the sketch actually makes:
 
-    - merge-losslessness: estimating the union of 8 per-bucket sketches
-      must equal estimating one sketch over all rows (sketch insertion is
-      idempotent/commutative, so any partitioning yields the same sketch
-      — the property that makes pre-aggregated sketch columns in a 100 TB
-      rollup table sound);
-    - bounded error: the estimate sits within 5% of the exact distinct
-      count (lgConfigK=12 default ⇒ ~1.6% rse; 5% ≈ 3σ).
+    - bounded error on EVERY merge path: the direct sketch, an 8-way
+      bucketed union, and a 3-way bucketed union must each estimate
+      within 5% of the exact distinct count (lgConfigK=12 default ⇒
+      ~1.6% rse; 5% ≈ 3σ), and the two union paths must agree with each
+      other to the same tolerance — the property that makes
+      pre-aggregated sketch columns in a 100 TB rollup table sound.
 
-    The oracle computes the exact side and pins both law-booleans to
-    TRUE — same pattern as q61's error-bound gate: the approximation
-    itself is checked, not reproduced. Shape: two aggregation passes that
+    Estimate EQUALITY across paths is deliberately not gated: it is not
+    a law. Spark's sketch aggregate merges per-partition partial
+    sketches through the HLL_4/HLL_8 gadget, whose dense-mode estimate
+    depends on the merge structure — at sf0.1 the same 1500-distinct id
+    set yields 1480-1500 depending on which rows shared a partition
+    (sparse mode masked this at sf0.01, where insertion is exact; found
+    by the round-6 sf0.1 parity sweep). Hashing an estimate, or an
+    equality between two estimates, would make the result depend on
+    file layout and shuffle partitioning. The bounds hold at ~3 sigma
+    regardless of layout.
+
+    The oracle computes the exact side and pins the four law-booleans
+    to TRUE — same pattern as q61's error-bound gate: the approximation
+    itself is checked, not reproduced. Shape: aggregation passes that
     shuffle only sketch bytes (fixed KB per group), never rows."""
     from kinesis_sample_spark.catalog import register_views
 
     register_views(spark, sf_dir, "events")
     return spark.sql(
         """
-WITH per_bucket AS (
+WITH per_b8 AS (
   SELECT event_type, user_id % 8 AS b, hll_sketch_agg(user_id) AS sk
   FROM events GROUP BY 1, 2
 ),
-merged AS (
-  SELECT event_type, hll_sketch_estimate(hll_union_agg(sk)) AS est_merged
-  FROM per_bucket GROUP BY 1
+per_b3 AS (
+  SELECT event_type, user_id % 3 AS b, hll_sketch_agg(user_id) AS sk
+  FROM events GROUP BY 1, 2
+),
+m8 AS (
+  SELECT event_type, hll_sketch_estimate(hll_union_agg(sk)) AS est8
+  FROM per_b8 GROUP BY 1
+),
+m3 AS (
+  SELECT event_type, hll_sketch_estimate(hll_union_agg(sk)) AS est3
+  FROM per_b3 GROUP BY 1
 ),
 direct AS (
   SELECT event_type, hll_sketch_estimate(hll_sketch_agg(user_id)) AS est_direct,
@@ -182,9 +203,11 @@ direct AS (
   FROM events GROUP BY 1
 )
 SELECT d.event_type, d.n_exact,
-       m.est_merged = d.est_direct AS merge_lossless,
-       abs(d.est_direct - d.n_exact) <= 0.05 * d.n_exact AS within_5pct
-FROM direct d JOIN merged m USING (event_type)
+       abs(m8.est8 - d.n_exact) <= 0.05 * d.n_exact AS merged8_within_5pct,
+       abs(m3.est3 - d.n_exact) <= 0.05 * d.n_exact AS merged3_within_5pct,
+       abs(d.est_direct - d.n_exact) <= 0.05 * d.n_exact AS direct_within_5pct,
+       abs(m8.est8 - m3.est3) <= 0.05 * d.n_exact AS merge_paths_agree_5pct
+FROM direct d JOIN m8 USING (event_type) JOIN m3 USING (event_type)
 ORDER BY d.event_type
 """
     )

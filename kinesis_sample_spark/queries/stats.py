@@ -769,9 +769,14 @@ def _int_cents(col: str) -> str:
         + " FROM q) SELECT x_col, y_col, n, sum_x, sum_y, sum_xy, "
         "(sum_xy - sum_x * sum_y / n) / n AS cov_cents FROM ("
         + " UNION ALL ".join(
+            # sql_double (VARCHAR round-trip): the product sums cross the
+            # int64 boundary around sf0.1, where DuckDB's direct
+            # HUGEINT→DOUBLE cast double-rounds and drifts 1 ulp from
+            # Spark's correctly-rounded DECIMAL(38,0)→DOUBLE (found by
+            # the round-6 sf0.1 parity sweep; sf0.01 sums still fit int64)
             f"SELECT '{_COV_COLS[a]}' AS x_col, '{_COV_COLS[b]}' AS y_col, "
-            f"CAST(n AS DOUBLE) AS n, CAST(s{a} AS DOUBLE) AS sum_x, "
-            f"CAST(s{b} AS DOUBLE) AS sum_y, CAST(s{a}_{b} AS DOUBLE) AS sum_xy "
+            f"CAST(n AS DOUBLE) AS n, {sql_double(f's{a}')} AS sum_x, "
+            f"{sql_double(f's{b}')} AS sum_y, {sql_double(f's{a}_{b}')} AS sum_xy "
             "FROM m"
             for a in range(len(_COV_COLS))
             for b in range(a, len(_COV_COLS))

@@ -460,7 +460,10 @@ def test_sketch_family_aggregates_partially(spark):
     budgets = {
         "q132_countmin_heavy_hitters": 4,
         "q159_histogram_quantiles": 10,
-        "q177_hll_sketch_merge": 5,
+        # 7 since the round-6 law rework: a third merge path (3-way union)
+        # joined the 8-way union and the direct sketch — two more groupBys
+        # whose shuffle payload is still fixed-KB sketch bytes per group
+        "q177_hll_sketch_merge": 7,
         "q183_bitmap_distinct": 5,
     }
     for name, max_exchanges in budgets.items():
