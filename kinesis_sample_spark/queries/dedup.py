@@ -32,6 +32,7 @@ from kinesis_sample_spark.functions.hashing import (
 )
 from kinesis_sample_spark.functions.shingles import shingle_array
 from kinesis_sample_spark.queries import query
+from kinesis_sample_spark.scratch import scratch_dir
 
 N_HASHES = 8  # minhash signature length
 BAND_SIZE = 4  # 2 bands of 4 → candidates at jaccard ≳ 0.5
@@ -777,11 +778,10 @@ def q140_workspace_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the release manifest. The oracle recomputes the whole chain
     serially — so the materialization seams (write → _SUCCESS → re-read)
     are value-checked, not just the in-memory logic."""
-    import tempfile
 
     from kinesis_sample_spark.operators.workspace import prepare_corpus
 
-    ws = tempfile.mkdtemp(prefix="kss_ws_")
+    ws = scratch_dir(prefix="kss_ws_")
     stages = prepare_corpus(spark, sf_dir, ws)
     return stages["manifest"].orderBy("source")
 
@@ -1002,7 +1002,6 @@ def q182_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to approximate (Proc:117-148). The oracle recomputes
     signatures, store-side banding, verification, and best-match
     tie-breaks in SQL; the replay law is pinned TRUE."""
-    import tempfile
 
     from kinesis_sample_spark.operators.incremental import (
         dedup_batch_against_store,
@@ -1010,7 +1009,7 @@ def q182_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    store_path = tempfile.mkdtemp(prefix="kss_sigstore_") + "/store"
+    store_path = scratch_dir(prefix="kss_sigstore_") + "/store"
     init_signature_store(docs.filter(F.col("doc_id") % 2 == 0), store_path)
     batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
     dups, _accepted = dedup_batch_against_store(spark, batch, store_path)

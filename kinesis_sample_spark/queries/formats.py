@@ -20,7 +20,6 @@ set). Aggregations are partial+final as everywhere.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +27,7 @@ from pyspark.sql import functions as F
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.functions.numeric import sql_double
 from kinesis_sample_spark.queries import query
+from kinesis_sample_spark.scratch import scratch_dir
 
 _SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
 
@@ -65,7 +65,7 @@ def q134_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON lines on disk → schema-pinned read-back → aggregate;
     oracle reads the original parquet. Gates the JSON writer/reader pair
     end-to-end (double text precision included)."""
-    out = tempfile.mkdtemp(prefix="kss_json_")
+    out = scratch_dir(prefix="kss_json_")
     _events_subset(spark, sf_dir).write.mode("overwrite").json(out)
     return _agg(spark.read.schema(_SCHEMA).json(out))
 
@@ -74,7 +74,7 @@ def q134_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q135_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same gate through the CSV writer/reader (headered, schema-pinned —
     CSV's untyped text is where quoting/precision bugs live)."""
-    out = tempfile.mkdtemp(prefix="kss_csv_")
+    out = scratch_dir(prefix="kss_csv_")
     _events_subset(spark, sf_dir).write.mode("overwrite").option("header", True).csv(out)
     return _agg(spark.read.schema(_SCHEMA).option("header", True).csv(out))
 
@@ -83,7 +83,7 @@ def q135_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q136_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same gate through ORC (binary columnar — the second warehouse
     format next to parquet)."""
-    out = tempfile.mkdtemp(prefix="kss_orc_")
+    out = scratch_dir(prefix="kss_orc_")
     _events_subset(spark, sf_dir).write.mode("overwrite").orc(out)
     return _agg(spark.read.orc(out))
 
@@ -130,7 +130,7 @@ def q179_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly. This is the append-only half of lakehouse schema
     evolution (the rewrite half is q143's snapshot diff)."""
     orders = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="kss_evolve_")
+    out = scratch_dir(prefix="kss_evolve_")
     v1_path, v2_path = f"{out}/v1", f"{out}/v2"
     (
         orders.filter(F.col("o_orderkey") % 2 == 0)
@@ -191,7 +191,7 @@ def q180_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="kss_codec_")
+    out = scratch_dir(prefix="kss_codec_")
     frames = []
     for codec in sorted(_CODECS):
         path = f"{out}/{codec}"

@@ -12,7 +12,6 @@ that for bounded state; see tests/test_streaming.py).
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.queries import query
+from kinesis_sample_spark.scratch import scratch_dir
 from kinesis_sample_spark.sources.files import (
     EVENTS_SCHEMA,
     replay_events_stream,
@@ -30,7 +30,7 @@ from kinesis_sample_spark.streaming.pipeline import streaming_window_counts
 
 
 def _replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="kss_live_")
+    out = scratch_dir(prefix="kss_live_")
     events_dir = write_stream_fixture(spark, sf_dir, out, n_files=4)
     return replay_events_stream(spark, events_dir)
 
@@ -129,7 +129,7 @@ def q82_live_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_sample_spark.streaming.stateful import stateful_key_counts
 
-    out = tempfile.mkdtemp(prefix="kss_live_")
+    out = scratch_dir(prefix="kss_live_")
     events_dir = write_stream_fixture(spark, sf_dir, out, n_files=4)
     env = envelope_from_events(
         replay_events_stream(spark, events_dir, files_per_trigger=1)
@@ -237,7 +237,7 @@ def q112_live_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_stream_fixture,
     )
 
-    out = tempfile.mkdtemp(prefix="kss_live_")
+    out = scratch_dir(prefix="kss_live_")
     events_dir = write_stream_fixture(spark, sf_dir, out, n_files=4)
     table_path = os.path.join(out, "cdc_table")
     stream = replay_events_stream(spark, events_dir, files_per_trigger=1)
@@ -397,7 +397,7 @@ def _replay_time_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, and drop every earlier file's rows as late — a different
     result every run.
     """
-    out = tempfile.mkdtemp(prefix="kss_live_")
+    out = scratch_dir(prefix="kss_live_")
     events_dir = os.path.join(out, "events_stream")
     events = load_table(spark, sf_dir, "events")
     events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(events_dir)
@@ -505,7 +505,7 @@ def _replay_id_sliced(spark: SparkSession, sf_dir: str, n_files: int = 4) -> Dat
     row per (key, batch-that-changed-it). Ascending past-stamped mtimes
     (see _replay_time_ordered) make file order — and therefore the batch
     schedule — deterministic."""
-    out = tempfile.mkdtemp(prefix="kss_live_")
+    out = scratch_dir(prefix="kss_live_")
     events_dir = os.path.join(out, "events_stream")
     events = load_table(spark, sf_dir, "events")
     n = events.count()
@@ -814,7 +814,7 @@ def q185_live_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     KCL's per-shard DynamoDB lease rows (SURVEY §1.2) — a 1000-executor
     restart re-plans from the driver-side offset log with no per-record
     coordination."""
-    base = tempfile.mkdtemp(prefix="kss_a9_")
+    base = scratch_dir(prefix="kss_a9_")
     src = os.path.join(base, "in")
     ck = os.path.join(base, "ck")
     emissions = os.path.join(base, "emissions")
@@ -950,7 +950,7 @@ def q186_live_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ObservedMetricsListener,
     )
 
-    base = tempfile.mkdtemp(prefix="kss_a17_")
+    base = scratch_dir(prefix="kss_a17_")
     metric_name = f"a17_{uuid.uuid4().hex[:8]}"  # isolate from other queries
     obs_listener = ObservedMetricsListener(metric_name)
     log_listener = CollectingListener()
