@@ -61,10 +61,10 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #             across micro-batches and hash-checked against batch SQL —
 #             the last reference behavior expressible as a query;
 #             round-5 verdict item 2). Never-green → mandatory.
-#   42 slots — q185 + the 41 round-5 greens that are settlement-eligible
-#             (green r05, unsettled): one more green row settles each
-#             permanently, freeing all 42 slots for the remaining
-#             long tail from round 7 on.
+#   41 slots — the settlement-eligible set (green r05, unsettled):
+#             q185 plus the 40 re-confirmed round-1 greens. One more
+#             green row settles each permanently, freeing all 41 slots
+#             for the remaining long tail from round 7 on.
 #   8 slots — minimum-evidence backfill, oldest evidence first per the
 #             settlement module's evidence key: q09_set_ops (deferred
 #             from round 5, last green r01) then the oldest round-2
@@ -80,8 +80,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
 #
-# ROUND-7 ROTATION QUEUE (assuming CORRECTNESS_r06 lands green): the 42
-# settlement slots free up (settled count reaches 51) and q186 becomes
+# ROUND-7 ROTATION QUEUE (assuming CORRECTNESS_r06 lands green): the 41
+# settlement slots free up (settled count reaches 50) and q186 becomes
 # settlement-eligible. Window = any r06 failure first (mandatory), then
 # q186 + the 8 backfills again (settling them), then ~41 slots of
 # round-2 once-greens in evidence order (q19, q20–q22, q24–q26,
@@ -94,8 +94,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- new this round: A17 observability, live-gated
     "q186_live_observed_metrics",
-    # -- settlement: q185 + the 41 settlement-eligible round-5 greens —
-    #    one more green row settles each permanently
+    # -- settlement: the 41 eligible (q185 + 40 round-5 greens) — one
+    #    more green row settles each permanently
     "q185_live_checkpoint_restart",
     "q04_order_priority",
     "q06_forecast_revenue",

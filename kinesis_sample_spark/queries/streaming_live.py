@@ -988,13 +988,23 @@ def q186_live_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = time.monotonic() + 60
         totals: dict = {}
         progress_rows = -1
-        while time.monotonic() < deadline:
+        while True:
             totals = obs_listener.totals()
             progress_rows = sum(
                 p.num_input_rows for p in log_listener.progress if p.query_id == qid
             )
             if totals.get("n_records", 0) >= expected_n and progress_rows >= expected_n:
                 break
+            if time.monotonic() >= deadline:
+                # fail loudly, same policy as q185's drain timeout:
+                # returning partial totals would surface as an
+                # inexplicable hash mismatch instead of naming the
+                # listener bus as the culprit
+                raise RuntimeError(
+                    f"q186 listener delivery incomplete after 60 s: observed "
+                    f"{totals.get('n_records', 0)}/{expected_n} rows, progress "
+                    f"{progress_rows}/{expected_n}"
+                )
             time.sleep(0.25)
 
         rows = sorted(

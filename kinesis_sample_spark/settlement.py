@@ -27,20 +27,28 @@ import re
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def green_sets_by_round(repo: pathlib.Path = REPO) -> dict[int, set[str]]:
-    """Queries with all three gates true, per CORRECTNESS_r{N}.json round."""
-    out: dict[int, set[str]] = {}
+def _round_files(repo: pathlib.Path = REPO) -> dict[int, pathlib.Path]:
+    """The one definition of CORRECTNESS report discovery (round → path),
+    shared by every reader below so the glob/round-number rule cannot
+    drift between the green fold and the failure class."""
+    out: dict[int, pathlib.Path] = {}
     for p in repo.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", p.name)
-        if not m:
-            continue
-        rows = json.loads(p.read_text())
-        out[int(m.group(1))] = {
-            n
-            for n, r in rows.items()
-            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-        }
+        if m:
+            out[int(m.group(1))] = p
     return out
+
+
+def _is_green(row: dict) -> bool:
+    return bool(row.get("rows_match") and row.get("schema_match") and row.get("hash_match"))
+
+
+def green_sets_by_round(repo: pathlib.Path = REPO) -> dict[int, set[str]]:
+    """Queries with all three gates true, per CORRECTNESS_r{N}.json round."""
+    return {
+        rnd: {n for n, r in json.loads(p.read_text()).items() if _is_green(r)}
+        for rnd, p in _round_files(repo).items()
+    }
 
 
 def latest_round_failures(repo: pathlib.Path = REPO) -> set[str]:
@@ -49,19 +57,11 @@ def latest_round_failures(repo: pathlib.Path = REPO) -> set[str]:
     These re-enter the next window immediately: a failure is the
     strongest possible evidence-staleness signal, stronger than any
     (count, last-green-round) ordering can express."""
-    latest: tuple[int, pathlib.Path] | None = None
-    for p in repo.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"r(\d+)", p.name)
-        if m and (latest is None or int(m.group(1)) > latest[0]):
-            latest = (int(m.group(1)), p)
-    if latest is None:
+    files = _round_files(repo)
+    if not files:
         return set()
-    rows = json.loads(latest[1].read_text())
-    return {
-        n
-        for n, r in rows.items()
-        if not (r.get("rows_match") and r.get("schema_match") and r.get("hash_match"))
-    }
+    rows = json.loads(files[max(files)].read_text())
+    return {n for n, r in rows.items() if not _is_green(r)}
 
 
 def settled_set(greens: dict[int, set[str]]) -> set[str]:

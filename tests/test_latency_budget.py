@@ -2,9 +2,9 @@
 tail the frozen 9-query bench can't see (round-5 verdict item 6).
 
 Every *batch* registry query runs once at sf0.01 under a generous
-per-query ceiling derived from the committed round-5 full-registry sweep
-(LATENCY_r05.json, measured at sf0.1): ceiling = max(FLOOR, 3x the
-sf0.1 number). Since sf0.01 is 10x smaller than the calibration scale,
+per-query ceiling derived from the newest committed full-registry sweep
+(highest-numbered LATENCY_r*.json, measured at sf0.1): ceiling =
+max(FLOOR, 3x the sf0.1 number). Since sf0.01 is 10x smaller than the calibration scale,
 a breach is never noise — it means the physical plan fell off a cliff
 (a lost broadcast, a new shuffle, a cartesian blow-up), exactly the
 failure mode plan-tests guard for a handful of queries and this guards
@@ -31,7 +31,25 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 FLOOR_S = 10.0  # absolute floor — CI boxes stall for seconds at a time
 DEFAULT_S = 30.0  # uncalibrated (new) queries
-CALIBRATION = json.loads((REPO / "LATENCY_r05.json").read_text())["queries"]
+
+def _newest_calibration() -> dict:
+    """Highest ROUND NUMBER (parsed, not lexicographic — r100 > r99 and a
+    hypothetical LATENCY_r06_local7.json must not shadow LATENCY_r06.json),
+    and the artifact must be the sf0.1 sweep the 3x-ceiling math assumes."""
+    import re
+
+    best: tuple[int, pathlib.Path] | None = None
+    for p in REPO.glob("LATENCY_r*.json"):
+        m = re.fullmatch(r"LATENCY_r(\d+)\.json", p.name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    assert best is not None, "no LATENCY_r*.json calibration artifact found"
+    art = json.loads(best[1].read_text())
+    assert art.get("sf") == 0.1, f"{best[1].name} is not the sf0.1 sweep"
+    return art["queries"]
+
+
+CALIBRATION = _newest_calibration()
 
 BATCH_QUERIES = sorted(n for n in REGISTRY if "_live_" not in n)
 

@@ -20,6 +20,7 @@ from kinesis_sample_spark.settlement import (
     evidence_key,
     green_sets_by_round,
     histories,
+    latest_round_failures,
     settled_set,
 )
 
@@ -81,13 +82,36 @@ def test_window_contains_every_never_green_query():
         )
 
 
+def test_window_contains_latest_round_failures():
+    """A query the driver just saw go red must re-enter the very next
+    window — current behavior is unproven regardless of how many green
+    rows history holds. Same mandatory-inclusion rule as never-green
+    (which subsumes failures with no green history at all)."""
+    greens = green_sets_by_round()
+    ever_green: set[str] = set()
+    for g in greens.values():
+        ever_green |= g
+    never = set(REGISTRY) - ever_green
+    failed = latest_round_failures() & set(REGISTRY)
+    mandatory = never | failed
+    if len(mandatory) <= WINDOW_SIZE:
+        deferred = failed - set(DRIVER_WINDOW)
+        assert not deferred, (
+            f"latest-round failures left out of the window: {sorted(deferred)}"
+        )
+
+
 def test_window_prioritizes_minimum_evidence():
     """Settlement-progress invariant (round-4 verdict item 3): the
     mechanical form of the rotation-queue comment on ``DRIVER_WINDOW``.
 
     Beyond the never-green entries (mandatory, previous test) every slot
-    must be spent on one of exactly two legitimate things:
+    must be spent on one of exactly three legitimate things:
 
+    - a *latest-round failure* — a query the driver just saw go red
+      (settlement.latest_round_failures); a fresh failure outranks any
+      evidence-count ordering, so the planner's class-2 queue jump must
+      not be rejected here (planner and enforcer share the definition),
     - a *settlement-eligible* query — green in the latest recorded round
       and not yet settled, so one more green row settles it permanently
       (buying a freed slot every future round), or
@@ -111,7 +135,12 @@ def test_window_prioritizes_minimum_evidence():
     def evidence(q: str) -> tuple[int, int]:
         return evidence_key(hist, q)
 
-    rotational = [q for q in DRIVER_WINDOW if q not in never and q not in eligible]
+    failed = latest_round_failures() & set(REGISTRY)
+    rotational = [
+        q
+        for q in DRIVER_WINDOW
+        if q not in never and q not in eligible and q not in failed
+    ]
     outside = [
         q
         for q in REGISTRY
@@ -119,6 +148,7 @@ def test_window_prioritizes_minimum_evidence():
         and q not in settled
         and q not in never
         and q not in eligible
+        and q not in failed
     ]
     if not rotational or not outside:
         return

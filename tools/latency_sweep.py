@@ -39,8 +39,11 @@ def main() -> None:
                     continue  # truncated trailing line from a killed run
                 # skip only records timed at THIS sf_dir — resuming against
                 # a different scale factor must re-time everything, not mix
-                # SFs in one artifact (round-5 ADVICE)
-                if rec.get("sec") is not None and rec.get("sf_dir", sf_dir) == sf_dir:
+                # SFs in one artifact (round-5 ADVICE). Legacy records
+                # without the field don't count as done: assuming they
+                # match would silently skip the whole sweep when resuming
+                # an old default-path artifact at a new SF.
+                if rec.get("sec") is not None and rec.get("sf_dir") == sf_dir:
                     done.add(rec["query"])  # errored queries retry on resume
 
     spark = get_spark("latency-sweep")
