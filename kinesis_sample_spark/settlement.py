@@ -84,3 +84,44 @@ def evidence_key(hist: dict[str, list[int]], q: str) -> tuple[int, int]:
     """(ever-green count, last green round); (0, 0) for never-green."""
     rs = hist[q]
     return (len(rs), rs[-1] if rs else 0)
+
+
+def propose_window(
+    greens: dict[int, set[str]],
+    failures: set[str],
+    names: "list[str]",
+    window_size: int = 50,
+) -> list[str]:
+    """The planner's rotation queue as a pure function of evidence state:
+    never-green (mandatory) → latest-round failures (re-enter) →
+    settlement-eligible → minimum-evidence backfill, truncated to the
+    window size. tools/settlement_report.py prints this; the property
+    suite proves any proposal satisfies the hygiene-test invariants for
+    ANY evidence history, so the planner can never propose a window the
+    enforcer rejects."""
+    settled = settled_set(greens)
+    hist = histories(greens, names)
+    never = {q for q, rs in hist.items() if not rs}
+    latest = max(greens) if greens else 0
+    eligible = (greens.get(latest, set()) - settled) if greens else set()
+    failed = (set(failures) & set(names)) - never - settled
+
+    def ev(q: str) -> tuple[tuple[int, int], str]:
+        return (evidence_key(hist, q), q)
+
+    # eligible ∩ failed is impossible from one well-formed report (a row
+    # is either green or not), but keep the queue total anyway: such a
+    # query rides the eligible class rather than being double-booked or,
+    # worse, dropped from both
+    queue: list[str] = sorted(never)
+    queue += sorted(failed - eligible, key=ev)
+    queue += sorted(eligible, key=ev)
+    queue += sorted(
+        (
+            q
+            for q in names
+            if q not in settled and q not in never and q not in eligible and q not in failed
+        ),
+        key=ev,
+    )
+    return queue[:window_size]

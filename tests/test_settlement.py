@@ -60,3 +60,92 @@ def test_latest_round_failures_reads_only_newest_round(tmp_path):
 
 def test_latest_round_failures_empty_without_reports(tmp_path):
     assert latest_round_failures(tmp_path) == set()
+
+
+# ---------------------------------------------------------------------------
+# Planner/enforcer consistency, property-based: for ANY evidence history,
+# the window settlement.propose_window proposes must satisfy every
+# invariant tests/test_registry_hygiene.py enforces. This is what makes
+# copying the tool's printed window into DRIVER_WINDOW a mechanical act —
+# the planner can never propose something the enforcer rejects.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis_sample_spark.settlement import propose_window
+
+_NAMES = [f"q{i:03d}" for i in range(24)]
+
+
+@st.composite
+def _evidence_state(draw):
+    """Random rounds of green sets + a failure set drawn from the latest
+    round's non-green queries (the only shape a real report can produce)."""
+    n_rounds = draw(st.integers(min_value=0, max_value=6))
+    greens = {
+        r: draw(st.sets(st.sampled_from(_NAMES), max_size=len(_NAMES)))
+        for r in range(1, n_rounds + 1)
+    }
+    if greens:
+        latest = max(greens)
+        candidates = sorted(set(_NAMES) - greens[latest])
+        failures = (
+            draw(st.sets(st.sampled_from(candidates), max_size=len(candidates)))
+            if candidates
+            else set()
+        )
+    else:
+        failures = set()
+    window_size = draw(st.integers(min_value=1, max_value=len(_NAMES)))
+    return greens, failures, window_size
+
+
+@settings(max_examples=300, deadline=None)
+@given(_evidence_state())
+def test_proposed_window_always_satisfies_enforcer_invariants(state):
+    greens, failures, window_size = state
+    window = propose_window(greens, failures, _NAMES, window_size)
+    wset = set(window)
+
+    # shape: correct size (bounded by unsettled pool), no duplicates
+    settled = settled_set(greens)
+    pool = [q for q in _NAMES if q not in settled]
+    assert len(window) == min(window_size, len(pool))
+    assert len(wset) == len(window)
+
+    hist = histories(greens, _NAMES)
+    never = {q for q, rs in hist.items() if not rs}
+    latest = max(greens) if greens else 0
+    eligible = (greens.get(latest, set()) - settled) if greens else set()
+    failed = (failures & set(_NAMES)) - never - settled
+
+    # invariant 1 (test_window_excludes_twice_green_queries)
+    assert not (settled & wset)
+
+    # invariant 2 (test_window_contains_every_never_green_query)
+    if len(never) <= window_size:
+        assert never <= wset
+    else:
+        assert wset <= never
+
+    # invariant 3 (test_window_contains_latest_round_failures)
+    if len(never | failed) <= window_size:
+        assert failed <= wset
+
+    # invariant 4 (test_window_prioritizes_minimum_evidence): no query
+    # outside the window may carry strictly less evidence than a
+    # non-mandatory, non-eligible query inside it
+    rotational = [q for q in window if q not in never and q not in eligible and q not in failed]
+    outside = [
+        q
+        for q in _NAMES
+        if q not in wset
+        and q not in settled
+        and q not in never
+        and q not in eligible
+        and q not in failed
+    ]
+    if rotational and outside:
+        worst_in = max(evidence_key(hist, q) for q in rotational)
+        starved = [q for q in outside if evidence_key(hist, q) < worst_in]
+        assert not starved

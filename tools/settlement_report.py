@@ -44,6 +44,7 @@ from kinesis_sample_spark.settlement import (
     green_sets_by_round,
     histories,
     latest_round_failures,
+    propose_window,
     settled_set,
 )
 
@@ -74,22 +75,13 @@ def main() -> None:
     # proposed next window: never-green, then latest-round failures
     # (explicit class-2 slot — a just-failed once-green query must not
     # lose its place to the generic evidence ordering), then eligible,
-    # then minimum-evidence backfill
-    failed = latest_round_failures() & set(registry) - never - settled
-    queue: list[str] = []
-    queue += sorted(never)
-    queue += sorted(failed - eligible, key=lambda q: (evidence(q), q))
-    queue += sorted(eligible, key=lambda q: (evidence(q), q))
-    backfill = sorted(
-        (
-            q
-            for q in registry
-            if q not in settled and q not in never and q not in eligible and q not in failed
-        ),
-        key=lambda q: (evidence(q), q),
+    # then minimum-evidence backfill. The queue itself lives in
+    # settlement.propose_window, where the property suite proves every
+    # proposal satisfies the hygiene-test invariants.
+    failed = (latest_round_failures() & set(registry)) - never - settled
+    proposal = propose_window(
+        greens, latest_round_failures(), list(registry), args.window_size
     )
-    queue += backfill
-    proposal = queue[: args.window_size]
 
     print(f"\nproposed next {args.window_size}-slot window "
           f"(never-green -> eligible-to-settle -> oldest evidence):")
