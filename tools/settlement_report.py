@@ -52,6 +52,12 @@ from kinesis_sample_spark.settlement import (
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window-size", type=int, default=50)
+    ap.add_argument(
+        "--emit-python",
+        action="store_true",
+        help="also print the proposal as a paste-ready DRIVER_WINDOW tuple "
+        "with per-class comments (round-start rotation = one copy-paste)",
+    )
     args = ap.parse_args()
 
     registry = load_registry()
@@ -102,6 +108,23 @@ def main() -> None:
         print("  add:", ", ".join(add))
     if drop:
         print("  drop:", ", ".join(drop))
+
+    if args.emit_python:
+        print("\n# paste-ready rotation for kinesis_sample_spark/queries/__init__.py")
+        print("DRIVER_WINDOW: tuple[str, ...] = (")
+        last_cls = None
+        for q in proposal:
+            cls = (
+                "never-green (mandatory)" if q in never
+                else f"re-entering r{latest:02d} failures" if q in failed and q not in eligible
+                else "settlement-eligible (one more green settles)" if q in eligible
+                else "minimum-evidence backfill (oldest evidence first)"
+            )
+            if cls != last_cls:
+                print(f"    # -- {cls}")
+                last_cls = cls
+            print(f'    "{q}",')
+        print(")")
 
 
 if __name__ == "__main__":
