@@ -48,96 +48,52 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round, so iteration order IS the verification budget. Round 5 landed
-# 50/50 green and produced the registry's first 9 permanently settled
-# queries (the frozen bench set, green r04+r05). The budget therefore
-# stays in SETTLEMENT mode, executing the rotation queue the round-5
-# comment documented — this window is exactly the one
-# tools/settlement_report.py computes from CORRECTNESS_r01–r05, plus the
-# one planned surface addition:
-#   1 slot  — q186_live_observed_metrics, NEW this round (A17
-#             observability lifted to a live driver gate: per-batch
-#             ``df.observe`` partials + progress numInputRows accumulated
-#             across micro-batches and hash-checked against batch SQL —
-#             the last reference behavior expressible as a query;
-#             round-5 verdict item 2). Never-green → mandatory.
-#   41 slots — the settlement-eligible set (green r05, unsettled):
-#             q185 plus the 40 re-confirmed round-1 greens. One more
-#             green row settles each permanently, freeing all 41 slots
-#             for the remaining long tail from round 7 on.
-#   8 slots — minimum-evidence backfill, oldest evidence first per the
-#             settlement module's evidence key: q09_set_ops (deferred
-#             from round 5, last green r01) then the oldest round-2
-#             once-greens (q106 live stream-stream join, q113/q114,
-#             q15–q18). q19 carries evidence (1, r02) identical to
-#             q15–q18's and rotates in next round — dropping it is what
-#             funds q186's slot without starving anything strictly less
-#             evidenced (test_window_prioritizes_minimum_evidence).
+# round, so iteration order IS the verification budget. CORRECTNESS_r06
+# landed 50/50 green: the 41 settlement-eligible queries (q185 + the 40
+# round-5 re-confirmations) are now permanently settled (settled = 50)
+# and q186 + the 8 round-6 backfills became settlement-eligible. This
+# round-7 window is exactly what tools/settlement_report.py computes
+# from CORRECTNESS_r01-r06 (no r06 failures, so no mandatory slots):
+#   9 slots  — the settlement-eligible set (green r06, unsettled):
+#              q186 observability + q09/q106/q113/q114/q15-q18. One more
+#              green row settles each permanently (settled -> 59).
+#   41 slots — minimum-evidence backfill, oldest evidence first per the
+#              settlement module's evidence key: the round-2 once-greens
+#              (q19-q22, q24-q26, q28, q30, q32/q33, q35/q36, q41-q43,
+#              q51, q56/q57, q62-q69, q80/q81, q83 — 30 queries,
+#              evidence (1, r02)), then the oldest round-3 once-greens
+#              (q100-q105, q107-q111 — 11 queries, evidence (1, r03)).
+#              Deliberately front-loads float-/state-sensitive shapes
+#              that predate the md5/decimal/GC refactors: q83 cosine
+#              profiles, q65 norms, q62 collect aggs, live q80/q81 —
+#              exactly what the alt-partitioning sweep re-risked before
+#              the driver sees this window.
 #
-# test_registry_hygiene.py enforces the queue mechanically: never-green
-# queries must all be in the window; no slot may re-verify a settled
-# (twice-consecutive-green) query; and every other slot must go either to
-# a settlement-eligible query or to a minimum-evidence query (no
+# test_registry_hygiene.py enforces the queue mechanically: any
+# latest-round failure must lead the window; never-green queries must
+# all be in the window; no slot may re-verify a settled
+# (twice-consecutive-green) query; and every other slot must go either
+# to a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
 #
-# ROUND-7 ROTATION QUEUE (assuming CORRECTNESS_r06 lands green): the 41
-# settlement slots free up (settled count reaches 50) and q186 becomes
-# settlement-eligible. Window = any r06 failure first (mandatory), then
-# q186 + the 8 backfills again (settling them), then ~41 slots of
-# round-2 once-greens in evidence order (q19, q20–q22, q24–q26,
-# q28, q30, q32/q33, q35/q36, q41–q43, q51, q56/q57, q62–q69,
-# q80/q81/q83, …) — float-/state-sensitive first (q83 cosine profiles,
-# q80/q81 live, q62 collect aggs). Steady state settles the previous
-# round's fresh greens and back-fills with the oldest remaining
-# evidence; the registry converges to fully settled around round 9.
+# ROUND-8 ROTATION QUEUE (assuming CORRECTNESS_r07 lands green): the 9
+# settlement slots free (settled = 59) and this round's 41 fresh greens
+# become settlement-eligible — they take 41 slots to settle (settled
+# -> 100 after r08), leaving ~9 slots for the remaining r03 once-greens
+# in evidence order (q112, q117-q124, ...). Steady state settles the
+# previous round's fresh greens and back-fills with the oldest
+# remaining evidence; the registry converges to fully settled ~round 9
+# (run tools/settlement_report.py --emit-python at round start for the
+# exact paste-ready tuple).
 # ---------------------------------------------------------------------------
+DRIVER_WINDOW: +41 / -41
+  add: q100_locf_fill, q101_bigram_heavy_hitters, q102_price_histogram, q103_tfidf_topk, q104_rolling_zscore, q105_source_vocab_overlap, q107_iqr_outliers, q108_partition_fingerprints, q109_retention_cohorts, q110_funnel_conversion, q111_sequence_packing, q19_payload_scalars, q20_event_time_parts, q21_math_scalars, q22_envelope_roundtrip, q24_sliding_window, q25_session_windows, q26_first_event_dedup, q28_interval_join, q30_exact_dedup, q32_simhash_pairs, q33_chargram_jaccard, q35_lsh_ann, q36_embedding_neardup, q41_langid_scores, q42_quality_scores, q43_winnow_fingerprints, q51_token_counts, q56_edit_distance_neardup, q57_set_ops_all, q62_collect_aggregates, q63_chunk_documents, q64_vocabulary_stats, q65_pandas_vector_norm, q66_chunk_dedup, q67_repetition_scores, q68_pattern_scan, q69_dedup_clusters, q80_live_streaming_windows, q81_live_streaming_dedup, q83_timeseries_similarity
+  drop: q04_order_priority, q06_forecast_revenue, q07_inactive_customers, q08_customer_order_counts, q10_distinct_counts, q115_pandas_group_range, q116_udtf_fixed_chunks, q11_rollup, q12_cube, q13_band_join, q185_live_checkpoint_restart, q44_pivot_status, q45_grouping_sets, q46_small_quantity_revenue, q47_full_outer_activity, q49_unpivot_balances, q52_null_semantics, q53_props_map_explode, q54_hash_sample, q55_gap_fill_daily, q60_pandas_order_seq, q70_volume_shipping, q71_returned_items, q72_promo_share, q73_large_orders, q74_disjunctive_revenue, q75_best_supplier_per_part, q76_rich_inactive_customers, q84_market_share, q85_profit_by_nation_year, q86_ship_delay_priority, q87_customer_distribution, q88_top_supplier, q89_parts_supplier_counts, q90_small_quantity_revenue, q91_promotion_suppliers, q93_stratified_sample, q94_per_stratum_bottom_k, q95_weighted_sample, q97_benchmark_decontamination, q98_rare_token_ratio
+
+# paste-ready rotation for kinesis_sample_spark/queries/__init__.py
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- new this round: A17 observability, live-gated
+    # -- settlement-eligible (one more green settles)
     "q186_live_observed_metrics",
-    # -- settlement: the 41 eligible (q185 + 40 round-5 greens) — one
-    #    more green row settles each permanently
-    "q185_live_checkpoint_restart",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_inactive_customers",
-    "q08_customer_order_counts",
-    "q10_distinct_counts",
-    "q11_rollup",
-    "q12_cube",
-    "q13_band_join",
-    "q44_pivot_status",
-    "q45_grouping_sets",
-    "q46_small_quantity_revenue",
-    "q47_full_outer_activity",
-    "q49_unpivot_balances",
-    "q52_null_semantics",
-    "q53_props_map_explode",
-    "q54_hash_sample",
-    "q55_gap_fill_daily",
-    "q60_pandas_order_seq",
-    "q70_volume_shipping",
-    "q71_returned_items",
-    "q72_promo_share",
-    "q73_large_orders",
-    "q74_disjunctive_revenue",
-    "q75_best_supplier_per_part",
-    "q76_rich_inactive_customers",
-    "q84_market_share",
-    "q85_profit_by_nation_year",
-    "q86_ship_delay_priority",
-    "q87_customer_distribution",
-    "q88_top_supplier",
-    "q89_parts_supplier_counts",
-    "q90_small_quantity_revenue",
-    "q91_promotion_suppliers",
-    "q93_stratified_sample",
-    "q94_per_stratum_bottom_k",
-    "q95_weighted_sample",
-    "q97_benchmark_decontamination",
-    "q98_rare_token_ratio",
-    "q115_pandas_group_range",
-    "q116_udtf_fixed_chunks",
-    # -- minimum-evidence backfill (oldest evidence first)
     "q09_set_ops",
     "q106_live_stream_stream_join",
     "q113_containment_neardup",
@@ -146,6 +102,48 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q16_moving_avg_events",
     "q17_trailing_hour_count",
     "q18_customer_balance_distribution",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q19_payload_scalars",
+    "q20_event_time_parts",
+    "q21_math_scalars",
+    "q22_envelope_roundtrip",
+    "q24_sliding_window",
+    "q25_session_windows",
+    "q26_first_event_dedup",
+    "q28_interval_join",
+    "q30_exact_dedup",
+    "q32_simhash_pairs",
+    "q33_chargram_jaccard",
+    "q35_lsh_ann",
+    "q36_embedding_neardup",
+    "q41_langid_scores",
+    "q42_quality_scores",
+    "q43_winnow_fingerprints",
+    "q51_token_counts",
+    "q56_edit_distance_neardup",
+    "q57_set_ops_all",
+    "q62_collect_aggregates",
+    "q63_chunk_documents",
+    "q64_vocabulary_stats",
+    "q65_pandas_vector_norm",
+    "q66_chunk_dedup",
+    "q67_repetition_scores",
+    "q68_pattern_scan",
+    "q69_dedup_clusters",
+    "q80_live_streaming_windows",
+    "q81_live_streaming_dedup",
+    "q83_timeseries_similarity",
+    "q100_locf_fill",
+    "q101_bigram_heavy_hitters",
+    "q102_price_histogram",
+    "q103_tfidf_topk",
+    "q104_rolling_zscore",
+    "q105_source_vocab_overlap",
+    "q107_iqr_outliers",
+    "q108_partition_fingerprints",
+    "q109_retention_cohorts",
+    "q110_funnel_conversion",
+    "q111_sequence_packing",
 )
 
 
