@@ -76,21 +76,23 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # to a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
 #
-# ROUND-8 ROTATION QUEUE (assuming CORRECTNESS_r07 lands green): the 9
-# settlement slots free (settled = 59) and this round's 41 fresh greens
-# become settlement-eligible — they take 41 slots to settle (settled
-# -> 100 after r08), leaving ~9 slots for the remaining r03 once-greens
-# in evidence order (q112, q117-q124, ...). Steady state settles the
-# previous round's fresh greens and back-fills with the oldest
-# remaining evidence; the registry converges to fully settled ~round 9
-# (run tools/settlement_report.py --emit-python at round start for the
-# exact paste-ready tuple).
+# ROUND-8 NOTE: CORRECTNESS_r07 landed EMPTY (the r07 tree failed to
+# import), so round 7 contributed no evidence. The settlement module
+# treats empty reports as unobserved rounds — the r06-derived window
+# above is therefore still the planner's exact proposal for round 8,
+# and an r08 green on a query green in r06 settles it (consecutive
+# OBSERVED rounds). If r08 lands 50/50: settled -> 59, and the r09
+# rotation settles the 41 fresh greens (-> 100); full registry ~r10.
+#
+# ROTATION RULE (mechanical, post-r07): run
+#   python tools/settlement_report.py --write
+# at round start — it rewrites this assignment in place and refuses to
+# leave an uncompilable file. NEVER hand-paste tool output here.
+# COMMIT CANARY (no exceptions): an end-of-round snapshot commit is
+# forbidden unless BOTH of these just ran clean:
+#   python -c "import kinesis_sample_spark.queries"
+#   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
-DRIVER_WINDOW: +41 / -41
-  add: q100_locf_fill, q101_bigram_heavy_hitters, q102_price_histogram, q103_tfidf_topk, q104_rolling_zscore, q105_source_vocab_overlap, q107_iqr_outliers, q108_partition_fingerprints, q109_retention_cohorts, q110_funnel_conversion, q111_sequence_packing, q19_payload_scalars, q20_event_time_parts, q21_math_scalars, q22_envelope_roundtrip, q24_sliding_window, q25_session_windows, q26_first_event_dedup, q28_interval_join, q30_exact_dedup, q32_simhash_pairs, q33_chargram_jaccard, q35_lsh_ann, q36_embedding_neardup, q41_langid_scores, q42_quality_scores, q43_winnow_fingerprints, q51_token_counts, q56_edit_distance_neardup, q57_set_ops_all, q62_collect_aggregates, q63_chunk_documents, q64_vocabulary_stats, q65_pandas_vector_norm, q66_chunk_dedup, q67_repetition_scores, q68_pattern_scan, q69_dedup_clusters, q80_live_streaming_windows, q81_live_streaming_dedup, q83_timeseries_similarity
-  drop: q04_order_priority, q06_forecast_revenue, q07_inactive_customers, q08_customer_order_counts, q10_distinct_counts, q115_pandas_group_range, q116_udtf_fixed_chunks, q11_rollup, q12_cube, q13_band_join, q185_live_checkpoint_restart, q44_pivot_status, q45_grouping_sets, q46_small_quantity_revenue, q47_full_outer_activity, q49_unpivot_balances, q52_null_semantics, q53_props_map_explode, q54_hash_sample, q55_gap_fill_daily, q60_pandas_order_seq, q70_volume_shipping, q71_returned_items, q72_promo_share, q73_large_orders, q74_disjunctive_revenue, q75_best_supplier_per_part, q76_rich_inactive_customers, q84_market_share, q85_profit_by_nation_year, q86_ship_delay_priority, q87_customer_distribution, q88_top_supplier, q89_parts_supplier_counts, q90_small_quantity_revenue, q91_promotion_suppliers, q93_stratified_sample, q94_per_stratum_bottom_k, q95_weighted_sample, q97_benchmark_decontamination, q98_rare_token_ratio
-
-# paste-ready rotation for kinesis_sample_spark/queries/__init__.py
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- settlement-eligible (one more green settles)
     "q186_live_observed_metrics",

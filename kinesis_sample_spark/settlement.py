@@ -12,8 +12,17 @@ Definitions:
 
 - **green**: a driver row with all three gates true
   (rows_match ∧ schema_match ∧ hash_match).
-- **settled**: green in two CONSECUTIVE rounds — permanently excluded
-  from future windows (one green can be luck; two in a row is evidence).
+- **observed round**: a CORRECTNESS report with at least one row. An
+  EMPTY report (``{}`` — the driver crashed before testing anything,
+  e.g. round 7's import failure) carries no evidence for or against any
+  query and is invisible to every function here: it is not the "latest"
+  round, it does not break settlement consecutiveness, and it
+  contributes no failures.
+- **settled**: green in two CONSECUTIVE observed rounds — permanently
+  excluded from future windows (one green can be luck; two in a row is
+  evidence). Consecutive means adjacent in the sorted list of observed
+  rounds: a no-evidence round between two greens does not reset a
+  query's settlement progress, because nothing was observed in between.
 - **evidence key**: (ever-green count ascending, last-green round
   ascending) — the re-verification priority for unsettled queries.
 """
@@ -33,9 +42,22 @@ def _round_files(repo: pathlib.Path = REPO) -> dict[int, pathlib.Path]:
     drift between the green fold and the failure class."""
     out: dict[int, pathlib.Path] = {}
     for p in repo.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"r(\d+)", p.name)
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if m:
             out[int(m.group(1))] = p
+    return out
+
+
+def _observed_rounds(repo: pathlib.Path = REPO) -> dict[int, dict]:
+    """Round → report rows, EXCLUDING empty reports. An empty artifact
+    means the driver produced zero observations that round (e.g. the
+    package failed to import); it must not masquerade as a round in
+    which every query silently went un-green."""
+    out: dict[int, dict] = {}
+    for rnd, p in _round_files(repo).items():
+        rows = json.loads(p.read_text())
+        if rows:
+            out[rnd] = rows
     return out
 
 
@@ -44,32 +66,37 @@ def _is_green(row: dict) -> bool:
 
 
 def green_sets_by_round(repo: pathlib.Path = REPO) -> dict[int, set[str]]:
-    """Queries with all three gates true, per CORRECTNESS_r{N}.json round."""
+    """Queries with all three gates true, per OBSERVED round (empty
+    CORRECTNESS reports are skipped — no observations, no round)."""
     return {
-        rnd: {n for n, r in json.loads(p.read_text()).items() if _is_green(r)}
-        for rnd, p in _round_files(repo).items()
+        rnd: {n for n, r in rows.items() if _is_green(r)}
+        for rnd, rows in _observed_rounds(repo).items()
     }
 
 
 def latest_round_failures(repo: pathlib.Path = REPO) -> set[str]:
-    """Queries with a NON-green row in the most recent round's report —
-    the driver saw them and at least one gate (rows/schema/hash) failed.
-    These re-enter the next window immediately: a failure is the
-    strongest possible evidence-staleness signal, stronger than any
-    (count, last-green-round) ordering can express."""
-    files = _round_files(repo)
-    if not files:
+    """Queries with a NON-green row in the most recent OBSERVED round's
+    report — the driver saw them and at least one gate
+    (rows/schema/hash) failed. These re-enter the next window
+    immediately: a failure is the strongest possible evidence-staleness
+    signal, stronger than any (count, last-green-round) ordering can
+    express. An empty newest report is skipped: zero rows means zero
+    observations, not zero failures in 180 queries."""
+    observed = _observed_rounds(repo)
+    if not observed:
         return set()
-    rows = json.loads(files[max(files)].read_text())
+    rows = observed[max(observed)]
     return {n for n, r in rows.items() if not _is_green(r)}
 
 
 def settled_set(greens: dict[int, set[str]]) -> set[str]:
-    """Queries green in two consecutive rounds."""
+    """Queries green in two consecutive OBSERVED rounds (adjacent in the
+    sorted round list — a no-evidence round in between, like the empty
+    r07 artifact, does not reset settlement progress)."""
     settled: set[str] = set()
-    for r in sorted(greens):
-        if r - 1 in greens:
-            settled |= greens[r] & greens[r - 1]
+    rounds = sorted(greens)
+    for prev, cur in zip(rounds, rounds[1:]):
+        settled |= greens[prev] & greens[cur]
     return settled
 
 

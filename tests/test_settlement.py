@@ -63,6 +63,105 @@ def test_latest_round_failures_empty_without_reports(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Empty-report semantics (round-7 regression): a CORRECTNESS_r{N}.json of
+# `{}` means the driver crashed before observing anything — it must be
+# invisible to the evidence model, not read as "every query went un-green".
+# ---------------------------------------------------------------------------
+
+
+def test_empty_report_is_not_an_observed_round(tmp_path):
+    _write_round(tmp_path, 1, {"qa": GREEN})
+    _write_round(tmp_path, 2, {})  # crashed round: zero observations
+    greens = green_sets_by_round(tmp_path)
+    assert greens == {1: {"qa"}}
+
+
+def test_empty_round_does_not_break_settlement_consecutiveness(tmp_path):
+    _write_round(tmp_path, 6, {"qa": GREEN, "qb": GREEN})
+    _write_round(tmp_path, 7, {})  # the round-7 import failure
+    _write_round(tmp_path, 8, {"qa": GREEN})
+    greens = green_sets_by_round(tmp_path)
+    # qa green in the two consecutive OBSERVED rounds (6, 8) -> settled
+    assert settled_set(greens) == {"qa"}
+
+
+def test_latest_round_failures_skips_empty_newest_report(tmp_path):
+    _write_round(tmp_path, 1, {"qa": RED, "qb": GREEN})
+    _write_round(tmp_path, 2, {})
+    # newest OBSERVED round is 1, so qa is still the live failure signal
+    assert latest_round_failures(tmp_path) == {"qa"}
+
+
+# ---------------------------------------------------------------------------
+# Rotation-tool output safety (round-7 regression): --emit-python stdout
+# must be nothing but a parseable DRIVER_WINDOW assignment, and --write's
+# in-place editor must refuse to leave an uncompilable registry module.
+# ---------------------------------------------------------------------------
+
+
+def test_emit_python_stdout_is_pure_parseable_python():
+    import ast
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "settlement_report.py"), "--emit-python"],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=repo,
+    )
+    tree = ast.parse(proc.stdout)  # raises if any report prose leaked in
+    assigns = [n for n in tree.body if isinstance(n, ast.AnnAssign)]
+    assert len(tree.body) == 1 and len(assigns) == 1
+    assert assigns[0].target.id == "DRIVER_WINDOW"
+    assert len(assigns[0].value.elts) == 50
+
+
+def test_write_registry_window_replaces_assignment(tmp_path):
+    import subprocess
+    import sys
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        from settlement_report import render_assignment, write_registry_window
+    finally:
+        sys.path.pop(0)
+
+    module = tmp_path / "reg.py"
+    module.write_text(
+        "X = 1\n"
+        "DRIVER_WINDOW: tuple[str, ...] = (\n"
+        "    # -- old\n"
+        '    "q_old",\n'
+        ")\n"
+        "Y = 2\n"
+    )
+    snippet = render_assignment(
+        ["q_never", "q_elig"], {"q_never"}, set(), {"q_elig"}, latest=6
+    )
+    write_registry_window(snippet, str(module))
+    ns: dict = {}
+    exec(module.read_text(), ns)
+    assert ns["DRIVER_WINDOW"] == ("q_never", "q_elig")
+    assert ns["X"] == 1 and ns["Y"] == 2  # surrounding code untouched
+
+
+def test_round_file_discovery_requires_exact_name(tmp_path):
+    """ADVICE r07: a stray CORRECTNESS_r06_local7.json must not shadow
+    CORRECTNESS_r06.json (fullmatch, not search)."""
+    _write_round(tmp_path, 6, {"qa": GREEN})
+    (tmp_path / "CORRECTNESS_r06_local7.json").write_text(json.dumps({"qa": RED}))
+    (tmp_path / "CORRECTNESS_r6.json.bak").write_text("{}")
+    greens = green_sets_by_round(tmp_path)
+    assert greens == {6: {"qa"}}
+
+
+# ---------------------------------------------------------------------------
 # Planner/enforcer consistency, property-based: for ANY evidence history,
 # the window settlement.propose_window proposes must satisfy every
 # invariant tests/test_registry_hygiene.py enforces. This is what makes

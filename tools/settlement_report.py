@@ -28,12 +28,22 @@ settling fresh r04 greens. Use the proposal as the default, deviate
 deliberately.
 
 Usage: python tools/settlement_report.py [--window-size 50]
+
+With ``--emit-python`` stdout carries ONLY the paste-ready
+``DRIVER_WINDOW`` assignment (guaranteed parseable — the round-7 outage
+was this tool's human-readable summary getting pasted into the module);
+the report prose moves to stderr. With ``--write`` the tool edits
+``kinesis_sample_spark/queries/__init__.py`` in place, replacing the
+existing assignment, and refuses to leave a file that does not compile —
+no paste step at all.
 """
 
 from __future__ import annotations
 
 import argparse
+import ast
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -49,16 +59,81 @@ from kinesis_sample_spark.settlement import (
 )
 
 
+REGISTRY_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "kinesis_sample_spark",
+    "queries",
+    "__init__.py",
+)
+
+_ASSIGNMENT_RE = re.compile(
+    r"^DRIVER_WINDOW: tuple\[str, \.\.\.\] = \(\n(?:[^)].*\n)*?\)\n",
+    re.MULTILINE,
+)
+
+
+def render_assignment(proposal, never, failed, eligible, latest) -> str:
+    """The DRIVER_WINDOW assignment as a self-contained, parseable Python
+    snippet — per-class comments only, no report prose."""
+    lines = ["DRIVER_WINDOW: tuple[str, ...] = ("]
+    last_cls = None
+    for q in proposal:
+        cls = (
+            "never-green (mandatory)" if q in never
+            else f"re-entering r{latest:02d} failures" if q in failed and q not in eligible
+            else "settlement-eligible (one more green settles)" if q in eligible
+            else "minimum-evidence backfill (oldest evidence first)"
+        )
+        if cls != last_cls:
+            lines.append(f"    # -- {cls}")
+            last_cls = cls
+        lines.append(f'    "{q}",')
+    lines.append(")")
+    snippet = "\n".join(lines) + "\n"
+    ast.parse(snippet)  # the whole point: never emit non-Python again
+    return snippet
+
+
+def write_registry_window(snippet: str, path: str = REGISTRY_PATH) -> None:
+    """Replace the existing DRIVER_WINDOW assignment in the registry
+    module with ``snippet`` and refuse to leave an uncompilable file."""
+    src = open(path).read()
+    if not _ASSIGNMENT_RE.search(src):
+        raise SystemExit(f"no DRIVER_WINDOW assignment found in {path}")
+    new = _ASSIGNMENT_RE.sub(lambda _m: snippet, src, count=1)
+    ast.parse(new, filename=path)
+    with open(path, "w") as f:
+        f.write(new)
+    import py_compile
+
+    py_compile.compile(path, doraise=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window-size", type=int, default=50)
     ap.add_argument(
         "--emit-python",
         action="store_true",
-        help="also print the proposal as a paste-ready DRIVER_WINDOW tuple "
-        "with per-class comments (round-start rotation = one copy-paste)",
+        help="print ONLY the paste-ready DRIVER_WINDOW assignment on "
+        "stdout (report prose moves to stderr); output is ast.parse-"
+        "checked before printing",
+    )
+    ap.add_argument(
+        "--write",
+        action="store_true",
+        help="rewrite the DRIVER_WINDOW assignment in "
+        "kinesis_sample_spark/queries/__init__.py in place "
+        "(compile-checked; no paste step)",
     )
     args = ap.parse_args()
+
+    # With --emit-python, stdout must carry ONLY parseable Python.
+    import builtins
+    import functools
+
+    report = sys.stderr if (args.emit_python or args.write) else sys.stdout
+    print = functools.partial(builtins.print, file=report)  # noqa: A001
 
     registry = load_registry()
     greens = green_sets_by_round()
@@ -109,22 +184,13 @@ def main() -> None:
     if drop:
         print("  drop:", ", ".join(drop))
 
-    if args.emit_python:
-        print("\n# paste-ready rotation for kinesis_sample_spark/queries/__init__.py")
-        print("DRIVER_WINDOW: tuple[str, ...] = (")
-        last_cls = None
-        for q in proposal:
-            cls = (
-                "never-green (mandatory)" if q in never
-                else f"re-entering r{latest:02d} failures" if q in failed and q not in eligible
-                else "settlement-eligible (one more green settles)" if q in eligible
-                else "minimum-evidence backfill (oldest evidence first)"
-            )
-            if cls != last_cls:
-                print(f"    # -- {cls}")
-                last_cls = cls
-            print(f'    "{q}",')
-        print(")")
+    if args.emit_python or args.write:
+        snippet = render_assignment(proposal, never, failed, eligible, latest)
+        if args.emit_python:
+            sys.stdout.write(snippet)
+        if args.write:
+            write_registry_window(snippet)
+            print(f"wrote DRIVER_WINDOW ({len(proposal)} names) to {REGISTRY_PATH}")
 
 
 if __name__ == "__main__":
