@@ -15,6 +15,7 @@ One place to own the engine-wide physical-execution posture:
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -41,8 +42,12 @@ def _memory_mb(size: str) -> int:
         return int(int(s) / (1024 * 1024))  # JVM convention: bare number = bytes
     except ValueError:
         # unknown form (hex, locale separators …): log rather than silently
-        # dropping the -Xms pre-size decision on a possibly-huge heap
-        print(f"[session] unparseable SPARK_DRIVER_MEMORY {size!r}; skipping -Xms pre-size")
+        # dropping the -Xms pre-size decision on a possibly-huge heap.
+        # stderr, not stdout — bench.py consumers parse stdout as JSON.
+        print(
+            f"[session] unparseable SPARK_DRIVER_MEMORY {size!r}; skipping -Xms pre-size",
+            file=sys.stderr,
+        )
         return 0
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import tempfile
 
 
 def test_scratch_dir_exists_during_process_and_is_removed_at_exit():
@@ -23,7 +24,9 @@ def test_scratch_dir_exists_during_process_and_is_removed_at_exit():
     )
     assert r.returncode == 0, r.stderr
     d = r.stdout.strip().splitlines()[-1]
-    assert d.startswith("/tmp/kss_testprobe_")
+    # mkdtemp honors TMPDIR — anchor on the platform temp dir, not /tmp
+    expected_prefix = os.path.join(tempfile.gettempdir(), "kss_testprobe_")
+    assert d.startswith(expected_prefix)
     assert not os.path.exists(d), "scratch dir survived interpreter exit"
 
 
