@@ -94,6 +94,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- never-green (mandatory)
+    "q187_live_graceful_shutdown",
     # -- settlement-eligible (one more green settles)
     "q186_live_observed_metrics",
     "q09_set_ops",
@@ -145,7 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
     "q110_funnel_conversion",
-    "q111_sequence_packing",
 )
 
 

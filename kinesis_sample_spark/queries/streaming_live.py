@@ -1022,3 +1022,149 @@ def q186_live_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.streams.removeListener(obs_listener)
         spark.streams.removeListener(log_listener)
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q187 — LIVE graceful shutdown (the reference's A16).
+# ---------------------------------------------------------------------------
+@query(
+    "q187_live_graceful_shutdown",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_records,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q187_live_graceful_shutdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — graceful shutdown — under the live driver gate, completing
+    the crossover set q184 (A11), q185 (A9) and q186 (A17) started. The
+    reference's consumer blocks on stdin, then requests
+    ``startGracefulShutdown()`` and waits AT MOST 20 s for the future
+    (Cons:86-105, bound at :97): in-flight record-processor batches
+    finish and checkpoint; un-fetched shard data simply stays in the
+    stream for the next worker. The Spark analog is
+    ``streaming.pipeline.stop_query`` (default drain=False): stop after
+    the in-flight micro-batch, leaving a consistent offset WAL + state
+    store behind.
+
+    Shape: a 12-file throttled replay (1 file/trigger, 300 ms cadence)
+    with an update-mode per-user aggregation into an append-only
+    emission log. After ≥2 completed micro-batches the query is stopped
+    gracefully MID-STREAM — trigger arithmetic guarantees files remain
+    (the poll detects the 2nd progress within ~a trigger period, so at
+    most a handful of the 12 files are consumed; asserted). A second
+    incarnation on the SAME checkpoint then drains the remainder
+    (availableNow), exactly the reference's next-worker-picks-up-the-
+    stream semantics. The returned table keeps each user's LAST emission.
+
+    Correctness law: the final per-user (count, integer-cents, max
+    event_id) must equal the plain batch GROUP BY over the whole
+    fixture. A non-graceful stop breaks it from either side — a torn
+    batch (sink rows without committed offsets beyond one replayable
+    batch) overshoots after the phase-2 replay; lost state or offsets
+    undershoots. The 20 s stop bound itself is enforced: a stop that
+    does not complete in the reference's budget raises instead of
+    surfacing as a hash mismatch.
+
+    Scale: graceful stop is a driver-side barrier (finish in-flight
+    batch, write commit log); no per-record coordination — on a
+    1000-executor cluster the restart re-plans from the offset log the
+    same way the KCL reassigns leases from DynamoDB (SURVEY §1.2).
+    Update-mode emission keeps re-emitted keys idempotent under the
+    at-least-once foreachBatch replay, so the boundary batch is safe to
+    re-run."""
+    import shutil
+    import time
+
+    from pyspark.sql import Window as W
+
+    from kinesis_sample_spark.streaming.pipeline import stop_query
+
+    base = scratch_dir(prefix="kss_a16_")
+    ck = os.path.join(base, "ck")
+    emissions = os.path.join(base, "emissions")
+    n_files = 12
+
+    def aggregate(st: DataFrame) -> DataFrame:
+        return (
+            st.withWatermark("ts", "3650 days")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_records"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+                F.max("event_id").alias("max_event_id"),
+            )
+        )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions)
+
+    try:
+        events_dir = write_stream_fixture(spark, sf_dir, base, n_files=n_files)
+
+        # -- phase 1: continuous trigger, stopped gracefully mid-stream
+        q = (
+            aggregate(replay_events_stream(spark, events_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while True:
+            done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(done) >= 2:
+                break
+            if time.monotonic() >= deadline:
+                q.stop()
+                raise RuntimeError("q187 phase 1: no 2nd micro-batch within 120 s")
+            time.sleep(0.05)
+        if not stop_query(q, timeout_s=20.0):
+            raise RuntimeError(
+                "q187 graceful stop exceeded the reference's 20 s bound (Cons:97)"
+            )
+        if q.isActive:
+            raise RuntimeError("q187 query still active after graceful stop")
+        consumed = sum(p["numInputRows"] > 0 for p in q.recentProgress)
+        if not 1 <= consumed < n_files:
+            # the 300 ms cadence makes draining all 12 files before the
+            # ~instant post-2nd-progress stop physically impossible; if
+            # this fires, the mid-stream premise (files REMAIN at stop)
+            # was not exercised and the A16 evidence would be hollow
+            raise RuntimeError(
+                f"q187 phase 1 consumed {consumed}/{n_files} files — stop was "
+                f"not mid-stream"
+            )
+
+        # -- phase 2: new incarnation, same checkpoint, drain the rest
+        q2 = (
+            aggregate(replay_events_stream(spark, events_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise RuntimeError("q187 phase 2 did not drain within 300 s")
+
+        w = W.partitionBy("user_id").orderBy(F.col("n_records").desc())
+        last = (
+            spark.read.parquet(emissions)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_records", "cents", "max_event_id")
+            .orderBy("user_id")
+        )
+        # materialize driver-side (per-user, small) so the whole scratch
+        # base — emissions log included — can be removed in finally
+        rows = last.collect()
+        return spark.createDataFrame(rows, last.schema).orderBy("user_id")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
