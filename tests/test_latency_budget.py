@@ -1,19 +1,23 @@
 """Slow-lane latency budget: catch plan-shape regressions in the long
 tail the frozen 9-query bench can't see (round-5 verdict item 6).
 
-Every *batch* registry query runs once at sf0.01 under a generous
-per-query ceiling derived from the newest committed full-registry sweep
-(highest-numbered LATENCY_r*.json, measured at sf0.1): ceiling =
-max(FLOOR, 3x the sf0.1 number). Since sf0.01 is 10x smaller than the calibration scale,
-a breach is never noise — it means the physical plan fell off a cliff
-(a lost broadcast, a new shuffle, a cartesian blow-up), exactly the
-failure mode plan-tests guard for a handful of queries and this guards
-for all of them.
+Every *batch* registry query runs once at sf0.01 under a per-query
+ceiling derived from the committed full-registry sweeps (LATENCY_r*.json,
+measured at sf0.1): ceiling = max(FLOOR, factor x the newest sf0.1
+number). The factor is 2x when the two newest sweeps agree within 30%
+for that query (its runtime is reproducibly calibrated — box drift for
+a stable plan stays well inside 2x given sf0.01 is 10x smaller than the
+calibration scale) and the conservative 3x otherwise (single data
+point, or a query whose own variance spans rounds). A breach is never
+noise — it means the physical plan fell off a cliff (a lost broadcast,
+a new shuffle, a cartesian blow-up), exactly the failure mode
+plan-tests guard for a handful of queries and this guards for all of
+them.
 
 Live streaming queries (``_live_`` in the name) are excluded: their
 time is fixed MicroBatchExecution startup per incarnation, not data
 volume, so a data-scale budget would only measure scheduler noise.
-New queries without a round-5 calibration row get the DEFAULT ceiling.
+New queries without a calibration row get the DEFAULT ceiling.
 """
 
 from __future__ import annotations
@@ -32,30 +36,39 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 FLOOR_S = 10.0  # absolute floor — CI boxes stall for seconds at a time
 DEFAULT_S = 30.0  # uncalibrated (new) queries
+TIGHT_FACTOR = 2.0  # two consecutive sweeps agree within AGREEMENT
+LOOSE_FACTOR = 3.0  # one data point, or cross-round variance > AGREEMENT
+AGREEMENT = 0.30
 
 
 @functools.lru_cache(maxsize=1)
-def _newest_calibration() -> "tuple[dict | None, str]":
-    """(queries dict, reason) from the newest sweep artifact; (None,
-    why) when absent or unusable. Highest ROUND NUMBER (parsed, not
-    lexicographic — r100 > r99 and a hypothetical LATENCY_r06_local7.json
-    must not shadow LATENCY_r06.json), and the artifact must be the
-    sf0.1 sweep the 3x-ceiling math assumes. Loaded lazily inside the
-    test so a missing artifact skips the budget lane instead of killing
-    collection of the whole suite (the round-7 failure class)."""
+def _calibrations() -> "tuple[list[dict], str]":
+    """([newest queries dict, second-newest, ...], reason) from the sf0.1
+    sweep artifacts, newest round first; ([], why) when none usable.
+    Round numbers are parsed, not lexicographic — r100 > r99 and a
+    hypothetical LATENCY_r06_local7.json must not shadow
+    LATENCY_r06.json. Loaded lazily inside the test so a missing
+    artifact skips the budget lane instead of killing collection of the
+    whole suite (the round-7 failure class)."""
     import re
 
-    best: tuple[int, pathlib.Path] | None = None
+    rounds: list[tuple[int, pathlib.Path]] = []
     for p in REPO.glob("LATENCY_r*.json"):
         m = re.fullmatch(r"LATENCY_r(\d+)\.json", p.name)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return None, "no LATENCY_r*.json calibration artifact found"
-    art = json.loads(best[1].read_text())
-    if art.get("sf") != 0.1:
-        return None, f"{best[1].name} is not the sf0.1 sweep"
-    return art["queries"], best[1].name
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return [], "no LATENCY_r*.json calibration artifact found"
+    rounds.sort(reverse=True)
+    newest = json.loads(rounds[0][1].read_text())
+    if newest.get("sf") != 0.1:
+        return [], f"{rounds[0][1].name} is not the sf0.1 sweep"
+    sweeps = [newest["queries"]]
+    for _, p in rounds[1:]:
+        art = json.loads(p.read_text())
+        if art.get("sf") == 0.1:  # older wrong-scale sweeps are just ignored
+            sweeps.append(art["queries"])
+    return sweeps, rounds[0][1].name
 
 
 def test_missing_calibration_reports_reason_instead_of_raising(tmp_path, monkeypatch):
@@ -64,34 +77,66 @@ def test_missing_calibration_reports_reason_instead_of_raising(tmp_path, monkeyp
     import tests.test_latency_budget as mod
 
     monkeypatch.setattr(mod, "REPO", tmp_path)
-    mod._newest_calibration.cache_clear()
+    mod._calibrations.cache_clear()
     try:
-        cal, reason = mod._newest_calibration()
-        assert cal is None and "no LATENCY" in reason
+        sweeps, reason = mod._calibrations()
+        assert not sweeps and "no LATENCY" in reason
         (tmp_path / "LATENCY_r09.json").write_text(
             json.dumps({"sf": 0.01, "queries": {}})
         )
-        mod._newest_calibration.cache_clear()
-        cal, reason = mod._newest_calibration()
-        assert cal is None and "not the sf0.1 sweep" in reason
+        mod._calibrations.cache_clear()
+        sweeps, reason = mod._calibrations()
+        assert not sweeps and "not the sf0.1 sweep" in reason
     finally:
-        mod._newest_calibration.cache_clear()  # repo-path result must not leak
+        mod._calibrations.cache_clear()  # repo-path result must not leak
+
+
+def test_ceiling_tightens_only_on_two_agreeing_sweeps(tmp_path, monkeypatch):
+    """2x requires the two newest sf0.1 sweeps to agree within 30% for
+    that query; anything else (one sweep, missing row, drift > 30%)
+    stays at the conservative 3x."""
+    import tests.test_latency_budget as mod
+
+    monkeypatch.setattr(mod, "REPO", tmp_path)
+    (tmp_path / "LATENCY_r06.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"qa": 10.0, "qb": 5.0}})
+    )
+    (tmp_path / "LATENCY_r08.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"qa": 11.0, "qb": 9.0, "qc": 20.0}})
+    )
+    mod._calibrations.cache_clear()
+    try:
+        assert mod._ceiling("qa") == max(mod.FLOOR_S, 2.0 * 11.0)  # 10% drift
+        assert mod._ceiling("qb") == max(mod.FLOOR_S, 3.0 * 9.0)  # 44% drift
+        assert mod._ceiling("qc") == max(mod.FLOOR_S, 3.0 * 20.0)  # single sweep
+        assert mod._ceiling("qd") == mod.DEFAULT_S  # uncalibrated
+    finally:
+        mod._calibrations.cache_clear()
 
 
 BATCH_QUERIES = sorted(n for n in REGISTRY if "_live_" not in n)
 
 
 def _ceiling(name: str) -> float:
-    calibration, _ = _newest_calibration()
-    base = (calibration or {}).get(name)
-    return max(FLOOR_S, 3.0 * base) if base is not None else DEFAULT_S
+    sweeps, _ = _calibrations()
+    if not sweeps:
+        return DEFAULT_S
+    base = sweeps[0].get(name)
+    if base is None:
+        return DEFAULT_S
+    factor = LOOSE_FACTOR
+    if len(sweeps) >= 2:
+        prev = sweeps[1].get(name)
+        if prev is not None and abs(base - prev) <= AGREEMENT * max(base, prev):
+            factor = TIGHT_FACTOR
+    return max(FLOOR_S, factor * base)
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_latency_budget(name, spark, oracle_sf_dir):
-    calibration, reason = _newest_calibration()
-    if calibration is None:
+    sweeps, reason = _calibrations()
+    if not sweeps:
         pytest.skip(f"latency budget uncalibrated: {reason}")
     t0 = time.perf_counter()
     REGISTRY[name].fn(spark, oracle_sf_dir).write.mode("overwrite").format(
@@ -101,7 +146,7 @@ def test_latency_budget(name, spark, oracle_sf_dir):
     limit = _ceiling(name)
     assert elapsed <= limit, (
         f"{name} took {elapsed:.1f}s at sf0.01 — over its {limit:.1f}s budget "
-        f"(3x its sf0.1 calibration); the plan likely lost a broadcast or "
-        f"grew a shuffle — diff .explain('formatted') against the last "
-        f"green round"
+        f"(derived from its sf0.1 calibration sweeps); the plan likely lost "
+        f"a broadcast or grew a shuffle — diff .explain('formatted') against "
+        f"the last green round"
     )
