@@ -294,6 +294,10 @@ def q60_pandas_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             _order_seq, "o_custkey long, o_orderkey long, seq bigint, gap_days bigint"
         )
+        # persist before the global sort: the range-partitioner's sample
+        # pass otherwise pushes a second full Arrow round-trip through
+        # the pandas UDF
+        .persist()
         .orderBy("o_custkey", "seq")
     )
 

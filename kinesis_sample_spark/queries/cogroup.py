@@ -90,4 +90,7 @@ def q157_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupBy("o_custkey"))
         .applyInPandas(_reconcile, COGROUP_SCHEMA)
     )
-    return out.orderBy("custkey")
+    # persist before the global sort: the range-partitioner's sample pass
+    # otherwise pushes a second full two-sided Arrow exchange through the
+    # cogrouped pandas UDF
+    return out.persist().orderBy("custkey")

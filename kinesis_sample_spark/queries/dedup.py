@@ -518,9 +518,13 @@ def q33_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # persist the (tiny) verified pair set before the global sort: the
+    # range-partitioner's sampling pass otherwise re-executes the whole
+    # minhash-banding + intersect pipeline a second time
     return (
         pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.85)
+        .persist()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -853,37 +857,86 @@ def q152_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: token explode → (token) df count (word-count shuffle) →
     per-doc rank window (doc-keyed, bounded by doc length) → prefix
-    self-equi-join → array_intersect verify on the candidate pairs
-    (JVM-side). At 100 TB the df relation is vocabulary-sized and the
-    candidate count is sum over prefix tokens of (occupancy choose 2) —
-    governed by rare-token occupancy, not corpus size squared."""
+    self-equi-join with PPJoin's position filter inside the join
+    condition (integer ubound on the achievable intersection, subsumes
+    the length filter; lossless, see inline proof) → array_intersect
+    verify on the surviving candidate pairs (JVM-side). At 100 TB the
+    df relation is vocabulary-sized and the candidate count is sum over
+    prefix tokens of (occupancy choose 2) — governed by rare-token
+    occupancy, not corpus size squared — with the position filter
+    discarding size-incompatible and late-prefix collisions before the
+    distinct."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     ).persist()
-    tok = d.select("doc_id", "lang", F.explode("toks").alias("tk"))
+    # sz comes free from the array — one window (rank) instead of two
+    tok = d.select(
+        "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("tk")
+    )
     df_rel = tok.groupBy("tk").agg(F.count("*").alias("df"))
     w_rank = W.partitionBy("doc_id").orderBy("df", "tk")
-    ranked = (
-        tok.join(df_rel, "tk")
-        .withColumn("r", F.row_number().over(w_rank))
-        .withColumn("sz", F.count("*").over(W.partitionBy("doc_id")))
+    ranked = tok.join(df_rel, "tk").withColumn("r", F.row_number().over(w_rank))
+    # persist: the self-join consumes this relation TWICE and the final
+    # orderBy's range-partitioning sample pass re-executes its input
+    # once more — un-persisted, the explode→df-join→rank-window subtree
+    # ran ~4x (65 s at sf0.1; 5 s persisted). The relation is prefix
+    # tokens only (~40% of the token explode), MEMORY_AND_DISK so a
+    # 100 TB corpus spills instead of OOMing — and at that scale the
+    # terminal global sort would be dropped anyway (results land
+    # partitioned; the sort exists for the deterministic-output
+    # convention the oracle compare uses).
+    prefix = (
+        ranked.filter(
+            F.col("r")
+            <= F.col("sz")
+            - F.expr(f"({_PP_NUM} * sz + {_PP_DEN - 1}) div {_PP_DEN}")
+            + 1
+        )
+        .select("doc_id", "lang", "tk", "r", "sz")
+        .persist()
     )
-    prefix = ranked.filter(
-        F.col("r")
-        <= F.col("sz")
-        - F.expr(f"({_PP_NUM} * sz + {_PP_DEN - 1}) div {_PP_DEN}")
-        + 1
-    ).select("doc_id", "lang", "tk")
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "tk"
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        "tk",
+        F.col("r").alias("r_a"),
+        F.col("sz").alias("sz_a"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "tk"
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        "tk",
+        F.col("r").alias("r_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    # PPJoin position filter (lossless, so the oracle stays untouched):
+    # for a shared token at 1-based ranks (r_a, r_b) the intersection is
+    # bounded by min(r_a-1, r_b-1) common tokens before it, the token
+    # itself, and min(sz_a-r_a, sz_b-r_b) after — i.e. ubound =
+    # min(r_a, r_b) + min(sz_a-r_a, sz_b-r_b). J ≥ 3/5 needs
+    # 8·n_inter ≥ 3·(sz_a+sz_b) (the verify's cross-multiply), so any
+    # occurrence with 8·ubound < 3·(sz_a+sz_b) cannot belong to a
+    # qualifying pair; a true pair passes at EVERY shared occurrence
+    # (ubound ≥ actual n_inter), so no candidate is lost. The r=1 case
+    # degenerates to the classic length filter 5·min(sz) ≥ 3·max(sz),
+    # which this subsumes. Cuts the verify-stage fan-out without
+    # touching recall — the dominant cost at scale is array_intersect
+    # over candidates, and this prunes candidates with integer
+    # arithmetic inside the join.
+    ubound = F.least(F.col("r_a"), F.col("r_b")) + F.least(
+        F.col("sz_a") - F.col("r_a"), F.col("sz_b") - F.col("r_b")
     )
     cand = (
         a.join(b, on="tk")
-        .filter((F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                ubound * (_PP_NUM + _PP_DEN)
+                >= _PP_NUM * (F.col("sz_a") + F.col("sz_b"))
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -214,9 +214,13 @@ def q56_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sim = F.lit(1.0) - F.col("edit_dist") / F.greatest("len_a", "len_b")
+    # persist the (tiny) verified pair set before the global sort: the
+    # range-partitioner's sampling pass otherwise re-runs the banding +
+    # levenshtein pipeline a second time
     return (
         pairs.select("doc_a", "doc_b", "edit_dist", sim.alias("similarity"))
         .filter(F.col("similarity") >= 0.6)
+        .persist()
         .orderBy("doc_a", "doc_b")
     )
 
