@@ -168,6 +168,11 @@ def q150_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # NOT persisted: the edge list has multiple consumers, but its
+        # distinct's shuffle output is already reused across them
+        # (ReusedExchange) — an A/B at sf0.1 measured persist SLOWER
+        # (10.9 s vs 8.5 s): cache materialization cost more than the
+        # recompute it avoided
     )
     deg = (
         e.select(F.col("u").alias("node"))

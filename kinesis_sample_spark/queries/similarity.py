@@ -194,6 +194,10 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
+        # persist the (tiny) qualifying pair set before the global sort:
+        # the range-partitioner's sampling pass otherwise re-runs the
+        # blocked pairwise-cosine join a second time
+        .persist()
         .orderBy("vec_a", "vec_b")
     )
 
@@ -649,6 +653,11 @@ def q142_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(errs).alias("max_err"),
             dot(errs, plane_lit(_ONES)).alias("l1_err"),
         )
+        # persist before the global sort: the per-element quantize/
+        # dequantize/error expression tree is wide enough that the
+        # range-partitioner's sampling re-execution doubles a map-only
+        # query's cost
+        .persist()
         .orderBy("vec_id")
     )
 
