@@ -495,7 +495,15 @@ def q33_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     under banding (collision rate = 1-(1-j²)^4 ≈ 1% for unrelated word-soup
     docs, ≈ 1 for the planted j≈0.98 pairs). Verification stays per-pair
     via JVM-side array_intersect, no gram explosion."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition first (same rationale as _docs_with_shingles/q56): the
+    # fixture is a single parquet file = one input split, and the 8-seed
+    # md5 minhash over ~180 grams/doc is the CPU-heavy stage — without
+    # this it all runs on one core (measured 14.6 s vs ~1 s for the
+    # candidate stage at sf0.1); a real corpus's many files provide the
+    # parallelism for free
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     g = docs.select(
         "doc_id",
         "lang",
@@ -866,7 +874,13 @@ def q152_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy, not corpus size squared — with the position filter
     discarding size-incompatible and late-prefix collisions before the
     distinct."""
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition first (same rationale as q33/q56): the fixture is one
+    # parquet file = one input split, so the tokenize + array_distinct
+    # that feeds everything below would otherwise build — and cache —
+    # on a single core/partition
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     d = docs.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     ).persist()
