@@ -1051,7 +1051,7 @@ def q187_live_graceful_shutdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-flight micro-batch, leaving a consistent offset WAL + state
     store behind.
 
-    Shape: a 12-file throttled replay (1 file/trigger, 300 ms cadence)
+    Shape: a 16-file throttled replay (1 file/trigger, 500 ms cadence)
     with an update-mode per-user aggregation into an append-only
     emission log. After ≥2 completed micro-batches the query is stopped
     gracefully MID-STREAM — trigger arithmetic guarantees files remain
@@ -1087,7 +1087,11 @@ def q187_live_graceful_shutdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir(prefix="kss_a16_")
     ck = os.path.join(base, "ck")
     emissions = os.path.join(base, "emissions")
-    n_files = 12
+    # 16 files at a 500 ms cadence: the poll detects the 2nd completed
+    # batch within ~a trigger period, so reaching all 16 before the stop
+    # lands would need the host to stall ~6+ s mid-phase — wide margin
+    # for a loaded driver box, cheap in phase-2 drain time
+    n_files = 16
 
     def aggregate(st: DataFrame) -> DataFrame:
         return (
@@ -1112,7 +1116,7 @@ def q187_live_graceful_shutdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", ck)
-            .trigger(processingTime="300 milliseconds")
+            .trigger(processingTime="500 milliseconds")
             .start()
         )
         deadline = time.monotonic() + 120
@@ -1132,7 +1136,7 @@ def q187_live_graceful_shutdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("q187 query still active after graceful stop")
         consumed = sum(p["numInputRows"] > 0 for p in q.recentProgress)
         if not 1 <= consumed < n_files:
-            # the 300 ms cadence makes draining all 12 files before the
+            # the 500 ms cadence makes draining all 16 files before the
             # ~instant post-2nd-progress stop physically impossible; if
             # this fires, the mid-stream premise (files REMAIN at stop)
             # was not exercised and the A16 evidence would be hollow
