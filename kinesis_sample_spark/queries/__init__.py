@@ -96,6 +96,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-green (mandatory)
     "q187_live_graceful_shutdown",
+    "q188_unigram_logprob_quality",
+    "q189_matryoshka_recall",
     # -- settlement-eligible (one more green settles)
     "q186_live_observed_metrics",
     "q09_set_ops",
@@ -145,8 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q105_source_vocab_overlap",
     "q107_iqr_outliers",
     "q108_partition_fingerprints",
-    "q109_retention_cohorts",
-    "q110_funnel_conversion",
 )
 
 

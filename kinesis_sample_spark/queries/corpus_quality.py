@@ -169,3 +169,80 @@ def q68_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — corpus-derived unigram log-probability quality score.
+# ---------------------------------------------------------------------------
+_ULP_KEEP = -3.402  # fixture median avg-logprob; below = token-soup outlier
+
+
+@query(
+    "q188_unigram_logprob_quality",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tok),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+lp AS (
+  SELECT t.doc_id,
+         CAST(round(ln(f.c / (SELECT n FROM tot)), 6) AS DECIMAL(18,6)) AS l
+  FROM tok t JOIN freq f ON f.tok = t.tok
+),
+doc AS (
+  SELECT doc_id, CAST(SUM(l) AS DOUBLE) AS sum_lp,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_lp,
+       sum_lp / n_tokens AS avg_logprob,
+       CAST(sum_lp / n_tokens >= {_ULP_KEEP} AS INT) AS keep
+FROM doc ORDER BY doc_id
+""",
+)
+def q188_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring with the LM derived
+    from the corpus itself: each document's average unigram
+    log-probability under the corpus token distribution (the perplexity
+    proxy CCNet/fineweb pipelines threshold on — here self-contained, no
+    external model). Engine-portability: ln's argument is a ratio of two
+    exact integers (token count / corpus total), so both engines feed
+    libm identical doubles; each token's logprob is then round(·, 6) →
+    DECIMAL(18,6), making the per-document SUM exact integer arithmetic
+    (order-independent under any partitioning) — the r04 quantization
+    convention. The final average divides that exactly-representable
+    decimal-as-double by an integer count, so ``keep`` is a deterministic
+    bit-equal comparison even though the threshold sits in the
+    distribution's dense center.
+
+    Scale: one word-count shuffle for the frequency table (vocabulary-
+    sized — at 100 TB still only as big as the vocabulary), broadcast
+    back to the token stream, one per-doc aggregation. No all-pairs, no
+    Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    lp = (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("l"),
+        )
+    )
+    doc = lp.groupBy("doc_id").agg(
+        F.sum("l").cast("double").alias("sum_lp"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    avg = F.col("sum_lp") / F.col("n_tokens")
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_lp",
+        avg.alias("avg_logprob"),
+        (avg >= _ULP_KEEP).cast("int").alias("keep"),
+    ).orderBy("doc_id")

@@ -758,3 +758,105 @@ def q158_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — Matryoshka-truncation ANN recall audit.
+# ---------------------------------------------------------------------------
+_MRL_DIMS = 16  # truncated prefix length (full embeddings are 64-dim)
+_MRL_TOPK = 5
+
+
+@query(
+    "q189_matryoshka_recall",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sql_cosine('q.embedding', 'e.embedding')} DESC, e.vec_id
+         ) AS rnk_full,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sql_cosine(f'list_slice(q.embedding, 1, {_MRL_DIMS})', f'list_slice(e.embedding, 1, {_MRL_DIMS})')} DESC, e.vec_id
+         ) AS rnk_trunc
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.neighbor_id) AS DOUBLE) / {_MRL_TOPK} AS recall_at_{_MRL_TOPK}
+FROM (SELECT query_id, neighbor_id FROM scored WHERE rnk_full <= {_MRL_TOPK}) f
+LEFT JOIN (SELECT query_id, neighbor_id FROM scored WHERE rnk_trunc <= {_MRL_TOPK}) t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+""",
+)
+def q189_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al. 2022): how much
+    of the exact cosine top-k survives truncating embeddings to their
+    first 16 dimensions — the storage/compute trade modern embedding
+    models are trained to support (prefix dims carry the coarse
+    semantics; cosine is scale-invariant so no re-normalization is
+    needed). Returns per-query |top-k(full) ∩ top-k(truncated)| and the
+    recall ratio; a pipeline would threshold this audit before swapping
+    the truncated index in for a 4x footprint cut.
+
+    Determinism: both rankings use the repo's sequential-fold cosine
+    (bit-identical across engines), ties broken by neighbor id; both
+    row_number windows ride the SAME pair relation, so Spark computes
+    the two rankings in one shuffle over query_id. Scale: the query set
+    is broadcast (q34's brute-force pattern — the audit runs over a
+    sampled query set, not the corpus square); the per-query state is
+    top-k-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_full"),
+            cosine(
+                F.slice(F.col("q_emb"), 1, _MRL_DIMS),
+                F.slice(F.col("embedding"), 1, _MRL_DIMS),
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = W.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "neighbor_id")
+    w_trunc = W.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), "neighbor_id"
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).alias("rnk_full"),
+        F.row_number().over(w_trunc).alias("rnk_trunc"),
+    )
+    f = ranked.filter(F.col("rnk_full") <= _MRL_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    t = ranked.filter(F.col("rnk_trunc") <= _MRL_TOPK).select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    joined = f.join(
+        t,
+        (F.col("t_qid") == F.col("query_id")) & (F.col("t_nid") == F.col("neighbor_id")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("t_nid").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / _MRL_TOPK).alias(
+                f"recall_at_{_MRL_TOPK}"
+            ),
+        )
+        .orderBy("query_id")
+    )
