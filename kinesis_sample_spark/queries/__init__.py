@@ -98,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q187_live_graceful_shutdown",
     "q188_unigram_logprob_quality",
     "q189_matryoshka_recall",
+    "q190_quality_percentile_blend",
     # -- settlement-eligible (one more green settles)
     "q186_live_observed_metrics",
     "q09_set_ops",
@@ -146,7 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q104_rolling_zscore",
     "q105_source_vocab_overlap",
     "q107_iqr_outliers",
-    "q108_partition_fingerprints",
 )
 
 
