@@ -75,6 +75,16 @@ def _assert_observability_live(spark: SparkSession) -> None:
                     f"after 60 s — listener bus delivery broken"
                 )
             time.sleep(0.25)
+        # ADVICE r08: the query has drained and the bus has caught up, so
+        # over-delivery (duplicate observedMetrics events) must fail too —
+        # exact equality, matching q186's check, not just "enough rows".
+        time.sleep(0.5)  # let any straggler duplicate event land first
+        got = listener.totals().get("n_records", 0)
+        if got != expected:
+            raise RuntimeError(
+                f"entry A17 smoke: observed {got} rows, expected exactly "
+                f"{expected} — duplicate/over-delivered observed metrics"
+            )
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(base, ignore_errors=True)
@@ -82,9 +92,19 @@ def _assert_observability_live(spark: SparkSession) -> None:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-style pricing summary) on sf0.001, after
-    an observability smoke (A17) that rides every driver round."""
+    an observability smoke (A17) that rides every driver round.
+
+    ADVICE r08: a smoke failure is an observability-infra problem, not a
+    flagship-query problem — re-raise it with an unambiguous prefix so the
+    evidence trail never mis-attributes it to q01_pricing_summary."""
     reg = load_registry()
-    _assert_observability_live(spark)
+    try:
+        _assert_observability_live(spark)
+    except Exception as exc:  # noqa: BLE001 — annotate, then propagate
+        raise RuntimeError(
+            "A17 OBSERVABILITY SMOKE FAILED (infra, not the flagship "
+            f"q01_pricing_summary query): {exc}"
+        ) from exc
     return reg["q01_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 

@@ -48,26 +48,20 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round, so iteration order IS the verification budget. CORRECTNESS_r06
-# landed 50/50 green: the 41 settlement-eligible queries (q185 + the 40
-# round-5 re-confirmations) are now permanently settled (settled = 50)
-# and q186 + the 8 round-6 backfills became settlement-eligible. This
-# round-7 window is exactly what tools/settlement_report.py computes
-# from CORRECTNESS_r01-r06 (no r06 failures, so no mandatory slots):
-#   9 slots  — the settlement-eligible set (green r06, unsettled):
-#              q186 observability + q09/q106/q113/q114/q15-q18. One more
-#              green row settles each permanently (settled -> 59).
-#   41 slots — minimum-evidence backfill, oldest evidence first per the
-#              settlement module's evidence key: the round-2 once-greens
-#              (q19-q22, q24-q26, q28, q30, q32/q33, q35/q36, q41-q43,
-#              q51, q56/q57, q62-q69, q80/q81, q83 — 30 queries,
-#              evidence (1, r02)), then the oldest round-3 once-greens
-#              (q100-q105, q107-q111 — 11 queries, evidence (1, r03)).
-#              Deliberately front-loads float-/state-sensitive shapes
-#              that predate the md5/decimal/GC refactors: q83 cosine
-#              profiles, q65 norms, q62 collect aggs, live q80/q81 —
-#              exactly what the alt-partitioning sweep re-risked before
-#              the driver sees this window.
+# round, so iteration order IS the verification budget. CORRECTNESS_r08
+# landed 50/50 green: q186 + q09/q106/q113/q114/q15-q18 settled
+# (settled = 59) and the 41 other r08 greens (the 4 round-8 additions
+# q187-q190 plus 37 backfills) became settlement-eligible. This round-9
+# window is exactly what tools/settlement_report.py --write computed
+# from CORRECTNESS_r01-r08 (no r08 failures, so no mandatory slots):
+#   41 slots — the settlement-eligible set (green r08, unsettled):
+#              q187-q190, q100-q105/q107, q19-q22, q24-q26, q28, q30,
+#              q32/q33, q35/q36, q41-q43, q51, q56/q57, q62-q69,
+#              q80/q81, q83. One more green row settles each
+#              permanently (settled -> 100).
+#    9 slots — minimum-evidence backfill, oldest evidence first:
+#              round-3 once-greens q108-q111, q117-q121
+#              (evidence (1, r03)).
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -76,13 +70,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # to a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
 #
-# ROUND-8 NOTE: CORRECTNESS_r07 landed EMPTY (the r07 tree failed to
-# import), so round 7 contributed no evidence. The settlement module
-# treats empty reports as unobserved rounds — the r06-derived window
-# above is therefore still the planner's exact proposal for round 8,
-# and an r08 green on a query green in r06 settles it (consecutive
-# OBSERVED rounds). If r08 lands 50/50: settled -> 59, and the r09
-# rotation settles the 41 fresh greens (-> 100); full registry ~r10.
+# If r09 lands 50/50: settled -> 100, and the r10 rotation settles the
+# 9 fresh backfill greens + re-queues the rest; full registry settles
+# ~r11-r12 (new queries added each round join as never-green).
 #
 # ROTATION RULE (mechanical, post-r07): run
 #   python tools/settlement_report.py --write
@@ -94,22 +84,18 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-green (mandatory)
+    # -- settlement-eligible (one more green settles)
     "q187_live_graceful_shutdown",
     "q188_unigram_logprob_quality",
     "q189_matryoshka_recall",
     "q190_quality_percentile_blend",
-    # -- settlement-eligible (one more green settles)
-    "q186_live_observed_metrics",
-    "q09_set_ops",
-    "q106_live_stream_stream_join",
-    "q113_containment_neardup",
-    "q114_revenue_share_window",
-    "q15_running_order_totals",
-    "q16_moving_avg_events",
-    "q17_trailing_hour_count",
-    "q18_customer_balance_distribution",
-    # -- minimum-evidence backfill (oldest evidence first)
+    "q100_locf_fill",
+    "q101_bigram_heavy_hitters",
+    "q102_price_histogram",
+    "q103_tfidf_topk",
+    "q104_rolling_zscore",
+    "q105_source_vocab_overlap",
+    "q107_iqr_outliers",
     "q19_payload_scalars",
     "q20_event_time_parts",
     "q21_math_scalars",
@@ -140,13 +126,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q80_live_streaming_windows",
     "q81_live_streaming_dedup",
     "q83_timeseries_similarity",
-    "q100_locf_fill",
-    "q101_bigram_heavy_hitters",
-    "q102_price_histogram",
-    "q103_tfidf_topk",
-    "q104_rolling_zscore",
-    "q105_source_vocab_overlap",
-    "q107_iqr_outliers",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q108_partition_fingerprints",
+    "q109_retention_cohorts",
+    "q110_funnel_conversion",
+    "q111_sequence_packing",
+    "q117_gopher_quality_rules",
+    "q118_train_split",
+    "q119_source_mixing_weights",
+    "q120_multiprobe_rerank",
+    "q121_label_centroids",
 )
 
 

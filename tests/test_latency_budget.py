@@ -60,15 +60,20 @@ def _calibrations() -> "tuple[list[dict], str]":
     if not rounds:
         return [], "no LATENCY_r*.json calibration artifact found"
     rounds.sort(reverse=True)
-    newest = json.loads(rounds[0][1].read_text())
-    if newest.get("sf") != 0.1:
-        return [], f"{rounds[0][1].name} is not the sf0.1 sweep"
-    sweeps = [newest["queries"]]
-    for _, p in rounds[1:]:
+    # ADVICE r08: fall back to the newest sf0.1 sweep even when a newer
+    # round's artifact ran at a different scale — a wrong-scale newest
+    # artifact must not silently drop regression coverage for the lane.
+    sweeps: list[dict] = []
+    newest_name = ""
+    for _, p in rounds:
         art = json.loads(p.read_text())
-        if art.get("sf") == 0.1:  # older wrong-scale sweeps are just ignored
+        if art.get("sf") == 0.1:  # wrong-scale sweeps are just ignored
             sweeps.append(art["queries"])
-    return sweeps, rounds[0][1].name
+            if not newest_name:
+                newest_name = p.name
+    if not sweeps:
+        return [], "no sf0.1 LATENCY_r*.json sweep found"
+    return sweeps, newest_name
 
 
 def test_missing_calibration_reports_reason_instead_of_raising(tmp_path, monkeypatch):
@@ -86,7 +91,15 @@ def test_missing_calibration_reports_reason_instead_of_raising(tmp_path, monkeyp
         )
         mod._calibrations.cache_clear()
         sweeps, reason = mod._calibrations()
-        assert not sweeps and "not the sf0.1 sweep" in reason
+        assert not sweeps and "no sf0.1" in reason
+        # ADVICE r08: a newer wrong-scale artifact must NOT shadow an
+        # older valid sf0.1 sweep — fall back instead of skipping.
+        (tmp_path / "LATENCY_r08.json").write_text(
+            json.dumps({"sf": 0.1, "queries": {"qa": 4.0}})
+        )
+        mod._calibrations.cache_clear()
+        sweeps, reason = mod._calibrations()
+        assert sweeps == [{"qa": 4.0}] and reason == "LATENCY_r08.json"
     finally:
         mod._calibrations.cache_clear()  # repo-path result must not leak
 

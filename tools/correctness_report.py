@@ -31,6 +31,11 @@ def main() -> None:
     results = {}
     n_ok = n_rows_only = 0
     for name, q in sorted(registry.items()):
+        # ADVICE r08: several queries persist() intermediates to keep the
+        # terminal sort from re-executing their pipeline; across a
+        # 184-query run those cached blocks would otherwise accumulate in
+        # the one long-lived JVM and squeeze execution memory.
+        spark.catalog.clearCache()
         df = q.fn(spark, sf_dir)
         if q.oracle is None:
             n = df.count()

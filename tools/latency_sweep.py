@@ -51,6 +51,10 @@ def main() -> None:
     todo = [n for n in registry if n not in done]
     print(f"sweep {len(todo)} queries (skipping {len(done)} done) at {sf_dir}")
     for n in todo:
+        # ADVICE r08: drop any blocks persist()ed by the previous query so
+        # cached intermediates don't accumulate across the full registry
+        # (costs ~ms; the per-query timings below are unaffected by it).
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             registry[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
