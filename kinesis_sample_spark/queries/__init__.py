@@ -54,14 +54,16 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # q187-q190 plus 37 backfills) became settlement-eligible. This round-9
 # window is exactly what tools/settlement_report.py --write computed
 # from CORRECTNESS_r01-r08 (no r08 failures, so no mandatory slots):
+#    9 slots — the round-9 additions (never-green, mandatory):
+#              q191 decile lift, q192 skyline, q193 n-gram novelty,
+#              q194 token entropy, q195 bigram cross-entropy, q196
+#              z-order audit, q197 MAD outliers, q198 co-purchase
+#              pairs, q199 KS drift.
 #   41 slots — the settlement-eligible set (green r08, unsettled):
 #              q187-q190, q100-q105/q107, q19-q22, q24-q26, q28, q30,
 #              q32/q33, q35/q36, q41-q43, q51, q56/q57, q62-q69,
 #              q80/q81, q83. One more green row settles each
 #              permanently (settled -> 100).
-#    9 slots — minimum-evidence backfill, oldest evidence first:
-#              round-3 once-greens q108-q111, q117-q121
-#              (evidence (1, r03)).
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -71,8 +73,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # strictly-less-evidenced query may sit outside the window).
 #
 # If r09 lands 50/50: settled -> 100, and the r10 rotation settles the
-# 9 fresh backfill greens + re-queues the rest; full registry settles
-# ~r11-r12 (new queries added each round join as never-green).
+# 9 new queries + re-queues the 9 displaced r03 backfills (q108-q111,
+# q117-q121); full registry settles ~r11-r12.
 #
 # ROTATION RULE (mechanical, post-r07): run
 #   python tools/settlement_report.py --write
@@ -84,6 +86,16 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- never-green (mandatory)
+    "q191_revenue_decile_lift",
+    "q192_skyline_parts",
+    "q193_ngram_novelty",
+    "q194_token_entropy",
+    "q195_bigram_cross_entropy",
+    "q196_zorder_layout_audit",
+    "q197_mad_outliers",
+    "q198_copurchase_pairs",
+    "q199_ks_drift",
     # -- settlement-eligible (one more green settles)
     "q187_live_graceful_shutdown",
     "q188_unigram_logprob_quality",
@@ -126,16 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q80_live_streaming_windows",
     "q81_live_streaming_dedup",
     "q83_timeseries_similarity",
-    # -- minimum-evidence backfill (oldest evidence first)
-    "q108_partition_fingerprints",
-    "q109_retention_cohorts",
-    "q110_funnel_conversion",
-    "q111_sequence_packing",
-    "q117_gopher_quality_rules",
-    "q118_train_split",
-    "q119_source_mixing_weights",
-    "q120_multiprobe_rerank",
-    "q121_label_centroids",
 )
 
 

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.functions.hashing import md5_long, md5_long_sql
+from kinesis_sample_spark.functions.numeric import sql_double
+from kinesis_sample_spark.functions.shingles import shingle_array
 from kinesis_sample_spark.queries import query
 
 CHUNK = 20
@@ -330,3 +332,196 @@ def q190_quality_percentile_blend(spark: SparkSession, sf_dir: str) -> DataFrame
         blend.alias("blend"),
         (blend >= _BLEND_KEEP).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q193 — cross-document n-gram novelty score.
+# ---------------------------------------------------------------------------
+@query(
+    "q193_ngram_novelty",
+    oracle="""
+WITH g AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CAST(df.df = 1 AS BIGINT)) AS BIGINT) AS n_unique,
+       SUM(CAST(df.df = 1 AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM g JOIN df ON df.gram = g.gram
+GROUP BY g.doc_id ORDER BY g.doc_id
+""",
+)
+def q193_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty: the fraction of a document's distinct
+    word 3-grams that appear in no other document (document frequency
+    = 1) — high novelty separates original content from boilerplate and
+    near-copies, and is the cheap corpus-level signal pipelines use to
+    pick dedup survivors. Shingles via the O(n) zip_with form
+    (functions/shingles.py), per-doc dedup with array_distinct *before*
+    the explode so the df shuffle carries distinct (doc, gram) pairs
+    only, then one gram-keyed count and a join back.
+
+    Scale: two gram-keyed shuffles (df count + join), both linear in
+    corpus gram volume; no pairwise work. At 100 TB the df table is the
+    big relation — the join stays shuffle-hash on the gram key, and a
+    stop-gram cap (drop grams with df above a threshold early, as q97
+    does) bounds skew from boilerplate grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingle_array(F.split("text", " "), 3))
+        ).alias("gram"),
+    )
+    df = g.groupBy("gram").agg(F.count("*").alias("df"))
+    uniq = (F.col("df") == 1).cast("bigint")
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(uniq).alias("n_unique"),
+            (F.sum(uniq) / F.count("*").cast("double")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — per-document token-distribution entropy.
+# ---------------------------------------------------------------------------
+@query(
+    "q194_token_entropy",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS DOUBLE) AS s,
+           SUM(c) AS n,
+           COUNT(*) AS n_distinct
+    FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_distinct,
+       {sql_double('CAST(round(ln(n), 6) AS DECIMAL(18,6))')} - s / n AS entropy_nats
+FROM agg ORDER BY doc_id
+""",
+)
+def q194_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    repetitiveness signal (low entropy = keyword stuffing / boilerplate,
+    complementing q67's repetition ratios with an information-theoretic
+    scalar). Computed as ln(n) - sum(c*ln c)/n, which needs only ln over
+    exact integers. Engine-portability: Java's Math.log and DuckDB's
+    libm ln disagree by 1 ulp on some plain-integer arguments (measured:
+    ln(48), ln(74)) — so BOTH ln terms are quantized round(·,6) →
+    DECIMAL(18,6) before use: the per-token-type terms sum exactly in
+    any order, and the standalone ln(n) term crosses to double through
+    the correctly-rounded VARCHAR path (sql_double). Every remaining op
+    is identical-double arithmetic.
+
+    Scale: one (doc, token) shuffle + one per-doc aggregation, both
+    linear; the doc-sized token-count groups never leave the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum(F.round(F.col("c") * F.log("c"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        (
+            F.round(F.log("n"), 6).cast("decimal(18,6)").cast("double")
+            - F.col("s") / F.col("n")
+        ).alias("entropy_nats"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q195 — bigram-LM cross-entropy scored against the corpus itself.
+# ---------------------------------------------------------------------------
+@query(
+    "q195_bigram_cross_entropy",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+    FROM docs
+),
+bge AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bge GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bge GROUP BY w1),
+lp AS (
+    SELECT doc_id, CAST(round(ln(c12.c12 / c1.c1), 6) AS DECIMAL(18,6)) AS l
+    FROM bge JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+),
+agg AS (SELECT doc_id, CAST(SUM(l) AS DOUBLE) AS s, COUNT(*) AS n_bigrams
+        FROM lp GROUP BY doc_id)
+SELECT doc_id, n_bigrams, -s / n_bigrams AS cross_entropy
+FROM agg ORDER BY doc_id
+""",
+)
+def q195_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with the LM estimated from the
+    corpus itself: each document's cross-entropy under the maximum-
+    likelihood conditional P(w2|w1) = c(w1 w2)/c(w1 ·). The second-order
+    sibling of q188's unigram score — token-soup documents whose word
+    *order* is atypical surface here even when their unigram mix looks
+    fine (the Wikipedia-perplexity filter shape from CCNet, with the
+    external LM replaced by in-corpus counts). ln's argument is again a
+    ratio of exact integers, each term round(·,6) → DECIMAL(18,6) so the
+    per-doc sum is order-independent; the final divide is identical
+    doubles on both engines.
+
+    Scale: the bigram count table is vocabulary²-bounded but Zipf-thin
+    in practice; both count shuffles and the scoring join are bigram-
+    keyed equi-joins (no broadcast assumed — unlike q188's vocab-sized
+    table the bigram model may exceed driver memory at 100 TB). The
+    context-count join keys on w1 alone; boilerplate-skewed contexts
+    would salt or cap exactly like q193's stop-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg_expr = (
+        "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " slice(t, 2, greatest(size(t) - 1, 0)),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    bge = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.explode(F.expr(bg_expr)).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = bge.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bge.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = (
+        bge.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c12") / F.col("c1")), 6)
+            .cast("decimal(18,6)")
+            .alias("l"),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.sum("l").cast("double").alias("s"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .select("doc_id", "n_bigrams", (-F.col("s") / F.col("n_bigrams")).alias("cross_entropy"))
+        .orderBy("doc_id")
+    )

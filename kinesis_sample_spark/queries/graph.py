@@ -202,3 +202,57 @@ def q150_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — market-basket co-purchase pairs (bipartite order->part projection).
+# ---------------------------------------------------------------------------
+@query(
+    "q198_copurchase_pairs",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 100
+""",
+)
+def q198_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: project the bipartite order–part
+    graph onto parts by counting orders that contain both parts of a
+    pair (the candidate-generation step of association-rule mining, and
+    the item-item edge list behind co-purchase recommenders). Dedup to
+    distinct (order, part) first so multi-line orders don't inflate
+    support, self-join co-partitioned on the order key with a strict
+    key inequality (each unordered pair once), then a pair-keyed count
+    and a tie-broken top-100 (TakeOrdered heap merge, no global sort).
+
+    Scale: the self-join shuffles both sides on l_orderkey once and the
+    pair fan-out is quadratic only in *basket size* (TPC-H baskets are
+    <= 7 lines; web baskets are similarly bounded) — never in corpus
+    size. Skewed mega-baskets would be capped or salted first; the pair
+    count shuffle is the standard word-count shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )

@@ -551,3 +551,74 @@ def q122_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — z-order (Morton curve) layout audit.
+# ---------------------------------------------------------------------------
+_Z_BITS = 8  # 8+8-bit interleave -> 16-bit z-value, 16 audit buckets
+
+
+def _z_terms_sql(x: str, y: str) -> str:
+    return " + ".join(
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+
+
+@query(
+    "q196_zorder_layout_audit",
+    oracle=f"""
+WITH keyed AS (
+    SELECT l_partkey, l_suppkey,
+           l_partkey % 256 AS x, l_suppkey % 256 AS y
+    FROM lineitem
+),
+z AS (
+    SELECT l_partkey, l_suppkey, ({_z_terms_sql('x', 'y')}) AS zval FROM keyed
+)
+SELECT CAST(zval >> 12 AS INTEGER) AS z_bucket,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       MIN(zval) AS z_min, MAX(zval) AS z_max
+FROM z GROUP BY z_bucket ORDER BY z_bucket
+""",
+)
+def q196_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the layout primitive behind
+    multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER BY):
+    interleave the low 8 bits of two join keys into a 16-bit z-value,
+    split the curve into 16 equal ranges, and report per-range row and
+    per-dimension key cardinalities. Files written in z-bucket order
+    would carry tight min/max on BOTH keys (the distinct counts per
+    bucket are the audit: low = skippable), versus one clustered and one
+    unclustered dimension under a single-column sort. Pure integer
+    bit-arithmetic, identical on both engines.
+
+    Scale: a map-side projection + one 16-group aggregation; as a write
+    path the same z expression feeds repartitionByRange(zval) so each
+    output file covers a contiguous Morton range — the audit and the
+    layout share the expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 256).cast("long")
+    y = (F.col("l_suppkey") % 256).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return (
+        li.select("l_partkey", "l_suppkey", z.alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), 12).cast("int").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -872,3 +872,205 @@ def q162_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — revenue decile lift / concentration audit (Lorenz-curve table).
+# ---------------------------------------------------------------------------
+@query(
+    "q191_revenue_decile_lift",
+    oracle=f"""
+WITH rev AS (
+    SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM rev
+),
+per_decile AS (
+    SELECT decile, COUNT(*) AS n_cust,
+           CAST(SUM(rev) AS DECIMAL(18,2)) AS decile_rev
+    FROM ranked GROUP BY decile
+),
+cum AS (
+    SELECT decile, n_cust, decile_rev,
+           CAST(SUM(decile_rev) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_rev,
+           CAST(SUM(decile_rev) OVER () AS DECIMAL(18,2)) AS total_rev
+    FROM per_decile
+)
+SELECT decile, n_cust,
+       {sql_double('decile_rev')} AS decile_rev,
+       {sql_double('decile_rev')} / {sql_double('total_rev')} AS rev_share,
+       {sql_double('cum_rev')} / {sql_double('total_rev')} AS cum_rev_share
+FROM cum ORDER BY decile
+""",
+)
+def q191_revenue_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table / Lorenz-curve audit: customers ranked by total
+    order revenue into ntile(10) buckets, with each decile's revenue
+    share and the cumulative share — the whale-concentration readout
+    behind sampling/stratification decisions ("top decile = 40% of
+    revenue"). All money stays DECIMAL through both aggregations and the
+    cumulative window, so shares are ratios of identical doubles in both
+    engines (``sql_double`` on the oracle side avoids DuckDB's
+    double-rounded decimal cast).
+
+    Scale: the orders-sized shuffle is the per-customer pre-aggregation;
+    the ntile window then runs over one row per customer. Exact global
+    deciles do need a total order over that aggregate — at 100 TB swap
+    ntile for approx_percentile boundaries on ``rev`` (10 cut points,
+    map-side bucketing, no global sort); kept exact here because it is
+    the oracle-checkable form and the window input is already the small
+    relation. The per-decile rollup is 10 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("rev")
+    )
+    ranked = rev.select(
+        "rev",
+        F.ntile(10).over(W.orderBy(F.col("rev").desc(), "o_custkey")).alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("rev").cast("decimal(18,2)").alias("decile_rev"),
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_decile.select(
+        "decile",
+        "n_cust",
+        "decile_rev",
+        F.sum("decile_rev").over(wcum).cast("decimal(18,2)").alias("cum_rev"),
+        F.sum("decile_rev").over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).cast("decimal(18,2)").alias("total_rev"),
+    )
+    return cum.select(
+        "decile",
+        "n_cust",
+        F.col("decile_rev").cast("double").alias("decile_rev"),
+        (F.col("decile_rev").cast("double") / F.col("total_rev").cast("double")).alias("rev_share"),
+        (F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")).alias("cum_rev_share"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# q197 — MAD-based robust outlier audit per event type.
+# ---------------------------------------------------------------------------
+_MAD_K = 4.4478  # 3 sigma-equivalents: 3 x 1.4826 (consistency constant)
+
+
+@query(
+    "q197_mad_outliers",
+    oracle=f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+    FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+    SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type, COUNT(*) AS n,
+       MIN(d.med) AS med, MIN(m.mad) AS mad,
+       CAST(SUM(CAST(d.absdev > {_MAD_K} * m.mad AS BIGINT)) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+)
+def q197_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    dispersion measure that, unlike stddev (q104's z-scores), is not
+    itself dragged by the outliers it is hunting. Two exact-median
+    passes: per-group median, then the median of absolute deviations;
+    a point is flagged beyond 3 sigma-equivalents (3 x 1.4826 x MAD).
+    Both medians interpolate identically (``percentile`` ≡
+    ``quantile_cont``, q162's gate) and every comparison runs over
+    identically-derived doubles, so counts hash-match exactly.
+
+    Scale: two (group, value) shuffles + two broadcast joins of the
+    5-row group-stats tables back onto events; for heavy groups swap
+    exact percentile for approx_percentile as in q48."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("absdev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum((F.col("absdev") > _MAD_K * F.col("mad")).cast("bigint")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — two-sample Kolmogorov–Smirnov drift statistic.
+# ---------------------------------------------------------------------------
+_KS_A, _KS_B = "click", "purchase"
+
+
+@query(
+    "q199_ks_drift",
+    oracle=f"""
+WITH pts AS (
+    SELECT value,
+           SUM(CAST(event_type = '{_KS_A}' AS BIGINT)) AS a,
+           SUM(CAST(event_type = '{_KS_B}' AS BIGINT)) AS b
+    FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    GROUP BY value
+),
+cum AS (
+    SELECT SUM(a) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           SUM(b) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           SUM(a) OVER () AS na, SUM(b) OVER () AS nb
+    FROM pts
+)
+SELECT CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+       MAX(abs(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))) AS ks_d
+FROM cum
+""",
+)
+def q199_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the 'click' and
+    'purchase' value distributions — the standard distribution-drift gate
+    a training pipeline runs between data snapshots or sources. D =
+    max |F_a(t) - F_b(t)| evaluated exactly: group both samples by value
+    (ties collapse, so a ROWS cumsum over the distinct-value order is the
+    correct right-continuous CDF), cumulative counts via window, ratios
+    of exact integers in identical doubles on both engines.
+
+    Scale: the value pre-aggregation is the only data-sized shuffle; the
+    CDF window then runs over distinct values. For 100 TB, bucket values
+    into ~1e4 quantile bins first (D error <= bin width) — the exact form
+    here is the oracle-checkable calibration baseline."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == _KS_A).cast("bigint")).alias("a"),
+        F.sum((F.col("event_type") == _KS_B).cast("bigint")).alias("b"),
+    )
+    wc = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = pts.select(
+        F.sum("a").over(wc).alias("ca"),
+        F.sum("b").over(wc).alias("cb"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum("b").over(wall).alias("nb"),
+    )
+    return cum.agg(
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+        F.max(
+            F.abs(F.col("ca") / F.col("na").cast("double") - F.col("cb") / F.col("nb").cast("double"))
+        ).alias("ks_d"),
+    )
