@@ -321,28 +321,34 @@ WITH per_size AS (
     SELECT p_size, MIN(p_retailprice) AS best_at_size FROM part GROUP BY p_size
 ),
 frontier AS (
-    SELECT p_size,
+    SELECT p_size, best_at_size,
            MIN(best_at_size) OVER (ORDER BY p_size DESC
                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_larger
     FROM per_size
 )
 SELECT p.p_partkey, p.p_size, p.p_retailprice
 FROM part p JOIN frontier f ON f.p_size = p.p_size
-WHERE f.best_larger IS NULL OR p.p_retailprice < f.best_larger
+WHERE p.p_retailprice <= f.best_at_size
+  AND (f.best_larger IS NULL OR p.p_retailprice < f.best_larger)
 ORDER BY p.p_partkey
 """,
 )
 def q192_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline / Pareto-frontier operator: parts not strictly dominated
-    on (size max-better, price min-better) — i.e. no strictly larger part
-    is also strictly cheaper. The classic quadratic NOT EXISTS self-join
-    collapses to a sort + prefix-min because 2-D dominance is monotone:
-    pre-aggregate min price per size (the only data-sized shuffle), take
-    the running min over strictly larger sizes via a RANGE frame that
-    excludes size ties (descending order, offset 1 — exact on the integer
-    key), and keep parts cheaper than every larger size's best. Raw
-    parquet doubles are only compared, never combined, so the hash match
-    is trivially exact.
+    """Skyline / Pareto-frontier operator: parts not dominated on
+    (size max-better, price min-better), with the textbook dominance
+    relation — q dominates p iff q is >= on both dimensions and
+    strictly better on at least one. The classic quadratic NOT EXISTS
+    self-join collapses to a sort + prefix-min because 2-D dominance is
+    monotone: pre-aggregate min price per size (the only data-sized
+    shuffle), take the running min over strictly larger sizes via a
+    RANGE frame that excludes size ties (descending order, offset 1 —
+    exact on the integer key). A part survives iff it matches its own
+    size's min price (no same-size strictly-cheaper part) AND is
+    strictly cheaper than every larger size's best (a larger part at
+    equal price dominates). test_round9_ops.py checks this against the
+    brute-force quadratic definition on randomized inputs. Raw parquet
+    doubles are only compared, never combined, so the hash match is
+    trivially exact.
 
     Scale: the window runs over one row per distinct size (bounded
     domain), broadcast back onto parts — no all-pairs join at any scale.
@@ -353,11 +359,19 @@ def q192_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("best_at_size"))
     wlarger = W.orderBy(F.desc("p_size")).rangeBetween(W.unboundedPreceding, -1)
     frontier = per_size.select(
-        "p_size", F.min("best_at_size").over(wlarger).alias("best_larger")
+        "p_size",
+        "best_at_size",
+        F.min("best_at_size").over(wlarger).alias("best_larger"),
     )
     return (
         part.join(F.broadcast(frontier), "p_size")
-        .where(F.col("best_larger").isNull() | (F.col("p_retailprice") < F.col("best_larger")))
+        .where(
+            (F.col("p_retailprice") <= F.col("best_at_size"))
+            & (
+                F.col("best_larger").isNull()
+                | (F.col("p_retailprice") < F.col("best_larger"))
+            )
+        )
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy("p_partkey")
     )
