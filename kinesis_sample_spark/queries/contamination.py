@@ -181,7 +181,9 @@ def q130_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most {10}·{9}/2 source pairs, independent of corpus size). The
     per-gram relation shuffles once on gram; pair counts and the sizes
     join are |sources|²-bounded, i.e. tiny."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # single-file scan: spread the
+    )  # shingle+explode CPU across cores before the distinct (r08 lesson)
     grams = shingle_array(F.split("text", " "), _NGRAM)
     g = (
         docs.select("source", F.explode(grams).alias("gram"))
