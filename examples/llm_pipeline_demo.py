@@ -2,7 +2,8 @@
 """Training-data pipeline demo over the synthetic corpus fixtures.
 
 Chains the engine's LLM-data operators the way a real curation run would:
-quality gate → exact + near dedup → semantic dedup → chunking → packing,
+quality gate (rules + entropy + LM cross-entropy) → exact + near dedup
+→ semantic dedup → novelty/drift audits → chunking → packing,
 then two retrieval passes (BM25 lexical, cosine top-k dense). Every stage
 is a registry query — the same callables the driver hash-checks — so this
 demo is executable documentation, not a separate code path.
@@ -27,6 +28,10 @@ STAGES = (
     ("near dedup (MinHash+LSH)", "q31_minhash_lsh"),
     ("semantic dedup (SemDeDup bands)", "q158_semantic_dedup"),
     ("decontamination (benchmark n-grams)", "q97_benchmark_decontamination"),
+    ("quality: token entropy", "q194_token_entropy"),
+    ("quality: bigram-LM cross-entropy", "q195_bigram_cross_entropy"),
+    ("novelty: cross-doc 3-gram df=1 share", "q193_ngram_novelty"),
+    ("drift gate: two-sample KS", "q199_ks_drift"),
     ("chunking (content-defined)", "q148_content_defined_chunks"),
     ("sequence packing (2048-token context)", "q111_sequence_packing"),
     ("lexical retrieval (BM25 top-10)", "q154_bm25_topk"),
