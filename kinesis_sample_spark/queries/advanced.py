@@ -325,15 +325,21 @@ def q61_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     error 1/1000) must fall inside the exact [p45, p55] value band. The
     oracle asserts TRUE for each bound, so a sketch drifting out of its
     published error envelope hash-fails the driver gate."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # single-file scan = 3 row groups = 3 map tasks for the Expand that
+    # multi-distinct aggregation plans; spread it first (r08/r09 lesson),
+    # and evaluate both exact percentiles in ONE shared sort buffer via
+    # the array form. Combined: 11.4 s -> ~3 s at sf0.1 (A/B'd, values
+    # bit-identical).
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-        F.percentile("l_extendedprice", 0.45).alias("p45"),
-        F.percentile("l_extendedprice", 0.55).alias("p55"),
+        F.expr("percentile(l_extendedprice, array(0.45D, 0.55D))").alias("pband"),
     )
     rel_ok = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.15
@@ -344,7 +350,9 @@ def q61_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_orders",
         rel_ok("approx_parts", "exact_parts").alias("parts_ok"),
         rel_ok("approx_orders", "exact_orders").alias("orders_ok"),
-        F.col("approx_median").between(F.col("p45"), F.col("p55")).alias("median_ok"),
+        F.col("approx_median")
+        .between(F.col("pband")[0], F.col("pband")[1])
+        .alias("median_ok"),
     ).orderBy("l_returnflag")
 
 
