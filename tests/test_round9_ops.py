@@ -127,3 +127,40 @@ def test_zorder_interleave_bijective_and_monotone_blocks(spark):
         bx = sum(((bucket >> (2 * i)) & 1) << i for i in range(2))
         by = sum(((bucket >> (2 * i + 1)) & 1) << i for i in range(2))
         assert x >> 6 == bx and y >> 6 == by
+
+
+def test_prefix_filter_simjoin_is_lossless_vs_all_pairs(spark):
+    """q152's PPJoin prefix+position filters claim LOSSLESSNESS, and its
+    DuckDB oracle replicates the same construction — so a bound bug
+    would make both engines agree on the same missing pairs (the q192
+    failure mode). Third implementation: Python all-pairs Jaccard over
+    the full sf0.001 fixture (same-lang blocking, t = 3/5, distinct
+    tokens) must produce exactly the pair set the pipeline emits."""
+    import duckdb
+
+    from kinesis_sample_spark.queries import load_registry
+
+    reg = load_registry()
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in reg["q152_prefix_filter_simjoin"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    rows = duckdb.sql(
+        "SELECT doc_id, lang, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    docs = [(doc_id, lang, set(text.split(" "))) for doc_id, lang, text in rows]
+    docs.sort()
+    want = set()
+    for i, (ida, la, ta) in enumerate(docs):
+        for idb, lb, tb in docs[i + 1 :]:
+            if la != lb:
+                continue
+            inter = len(ta & tb)
+            union = len(ta) + len(tb) - inter
+            if inter * 5 >= 3 * union:
+                want.add((ida, idb))
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
