@@ -54,16 +54,24 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # q187-q190 plus 37 backfills) became settlement-eligible. This round-9
 # window is exactly what tools/settlement_report.py --write computed
 # from CORRECTNESS_r01-r08 (no r08 failures, so no mandatory slots):
-#    9 slots — the round-9 additions (never-green, mandatory):
+#   15 slots — the round-9 additions (never-green, mandatory):
 #              q191 decile lift, q192 skyline, q193 n-gram novelty,
 #              q194 token entropy, q195 bigram cross-entropy, q196
 #              z-order audit, q197 MAD outliers, q198 co-purchase
-#              pairs, q199 KS drift.
-#   41 slots — the settlement-eligible set (green r08, unsettled):
+#              pairs, q199 KS drift, q200 decay attribution, q201
+#              k-anonymity, q202 transition entropy, q203 rolling
+#              distinct users, q204 inverted index, q205 referential
+#              integrity.
+#   35 slots — the settlement-eligible set (green r08, unsettled):
 #              q187-q190, q100-q105/q107, q19-q22, q24-q26, q28, q30,
-#              q32/q33, q35/q36, q41-q43, q51, q56/q57, q62-q69,
-#              q80/q81, q83. One more green row settles each
-#              permanently (settled -> 100).
+#              q32/q33, q35/q36, q41-q43, q51, q56/q57, q62-q66.
+#              One more green row settles each (settled -> 94).
+#              Displacement cost, accepted deliberately: the 6 eligible
+#              queries pushed out by batch 2 (q67-q69, q80/q81, q83)
+#              lose their r08 streak (settled_set needs ADJACENT
+#              observed greens) and will need two fresh greens later —
+#              traded for 6 more operators getting driver evidence
+#              this round.
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -72,9 +80,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # to a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
 #
-# If r09 lands 50/50: settled -> 100, and the r10 rotation settles the
-# 9 new queries + re-queues the 9 displaced r03 backfills (q108-q111,
-# q117-q121); full registry settles ~r11-r12.
+# If r09 lands 50/50: settled -> 94, and the r10 rotation settles the
+# 15 new queries + re-queues the displaced backfills; full registry
+# settles ~r12.
 #
 # ROTATION RULE (mechanical, post-r07): run
 #   python tools/settlement_report.py --write
@@ -96,6 +104,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q197_mad_outliers",
     "q198_copurchase_pairs",
     "q199_ks_drift",
+    "q200_decay_attribution",
+    "q201_k_anonymity_audit",
+    "q202_transition_entropy",
+    "q203_rolling_distinct_users",
+    "q204_inverted_index",
+    "q205_referential_integrity",
     # -- settlement-eligible (one more green settles)
     "q187_live_graceful_shutdown",
     "q188_unigram_logprob_quality",
@@ -132,12 +146,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q64_vocabulary_stats",
     "q65_pandas_vector_norm",
     "q66_chunk_dedup",
-    "q67_repetition_scores",
-    "q68_pattern_scan",
-    "q69_dedup_clusters",
-    "q80_live_streaming_windows",
-    "q81_live_streaming_dedup",
-    "q83_timeseries_similarity",
 )
 
 

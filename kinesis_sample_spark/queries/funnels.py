@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import sql_double
 from kinesis_sample_spark.queries import query
 
 
@@ -343,4 +344,199 @@ def q181_first_conversion_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("us_to_convert div 1000000").alias("seconds_to_convert"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — exponential time-decay attribution (dyadic weights).
+# ---------------------------------------------------------------------------
+_DECAY_MAX_DAYS = 30  # credit horizon; 2^-30 ≈ 1e-9 is below the quantization
+
+
+@query(
+    "q200_decay_attribution",
+    oracle=f"""
+WITH p AS (
+    SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+    SELECT e.event_type,
+           datediff('day', CAST(e.ts AS DATE), CAST(p.pts AS DATE)) AS d
+    FROM events e JOIN p ON e.user_id = p.pu AND e.ts < p.pts
+),
+k AS (
+    SELECT event_type, 1.0 / CAST(1 << d AS DOUBLE) AS w
+    FROM j WHERE d <= {_DECAY_MAX_DAYS}
+),
+a AS (
+    SELECT event_type,
+           CAST(SUM(CAST(round(w, 9) AS DECIMAL(18,9))) AS DOUBLE) AS credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM k GROUP BY event_type
+),
+t AS (SELECT CAST(SUM(CAST(credit AS DECIMAL(18,9))) AS DOUBLE) AS total FROM a)
+SELECT event_type, n_touches, credit, credit / total AS credit_share
+FROM a CROSS JOIN t ORDER BY event_type
+""",
+)
+def q200_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay attribution: every event preceding a
+    user's purchase earns credit 2^-days-before, summed per touchpoint
+    type — the half-life-decay model marketing/conversion pipelines run
+    (q181 assembles first-touch paths; this weights EVERY touch). The
+    decay base is deliberately 2, not e: 2^-d for integer d is an EXACT
+    dyadic double (one bit), so the per-touch weight is bit-identical on
+    both engines with no transcendental in sight — pow/exp would hit the
+    same 1-ulp libm-vs-JVM drift ln does (SCALING.md round-9 section).
+    Weights are still round(·,9) → DECIMAL quantized before the SUM for
+    order-independence of the aggregation itself.
+
+    Scale: one user-keyed join between events and the purchase subset
+    (both sides shuffle on user_id once; per-user fan-out is bounded by
+    events-per-user × purchases-per-user), then a |event_types|-row
+    aggregate and a broadcast total."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    j = (
+        ev.select("user_id", "ts", "event_type")
+        .join(pur, (F.col("user_id") == F.col("pu")) & (F.col("ts") < F.col("pts")))
+        .select(
+            "event_type",
+            F.datediff(F.col("pts").cast("date"), F.col("ts").cast("date")).alias("d"),
+        )
+        .where(F.col("d") <= _DECAY_MAX_DAYS)
+        .select(
+            "event_type",
+            F.expr("1.0 / cast(shiftleft(1L, cast(d as int)) as double)").alias("w"),
+        )
+    )
+    a = j.groupBy("event_type").agg(
+        F.sum(F.round(F.col("w"), 9).cast("decimal(18,9)")).cast("double").alias("credit"),
+        F.count("*").alias("n_touches"),
+    )
+    t = a.agg(F.sum(F.col("credit").cast("decimal(18,9)")).cast("double").alias("total"))
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "n_touches",
+            "credit",
+            (F.col("credit") / F.col("total")).alias("credit_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — behavioral transition entropy (Markov predictability).
+# ---------------------------------------------------------------------------
+@query(
+    "q202_transition_entropy",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+t AS (
+    SELECT event_type AS prior_type, nxt, COUNT(*) AS c
+    FROM e WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+),
+a AS (
+    SELECT prior_type, CAST(SUM(c) AS BIGINT) AS n_transitions,
+           COUNT(*) AS n_next_types,
+           CAST(SUM(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS DOUBLE) AS s,
+           SUM(c) AS ct
+    FROM t GROUP BY prior_type
+)
+SELECT prior_type, n_transitions, n_next_types,
+       {sql_double('CAST(round(ln(ct), 6) AS DECIMAL(18,6))')} - s / ct AS entropy_nats
+FROM a ORDER BY prior_type
+""",
+)
+def q202_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the next user action given the current one:
+    Shannon entropy of each prior event type's next-event distribution
+    (the Markov-chain uncertainty score behind behavioral segmentation
+    and bot detection — near-zero entropy = scripted traffic). Builds on
+    q141's lead() transition counts and q194's entropy identity
+    ln(n) - Σ c·ln(c)/n, with every ln quantized round(·,6) → DECIMAL
+    per the round-9 transcendental rule (Java Math.log and libm ln
+    drift 1 ulp on plain integers).
+
+    Scale: one user-keyed window for the lead, one |event_types|²-row
+    count table, one |event_types|-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(wq))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("prior_type"), "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    a = tr.groupBy("prior_type").agg(
+        F.sum("c").alias("ct"),
+        F.count("*").alias("n_next_types"),
+        F.sum(F.round(F.col("c") * F.log("c"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s"),
+    )
+    return a.select(
+        "prior_type",
+        F.col("ct").alias("n_transitions"),
+        "n_next_types",
+        (
+            F.round(F.log("ct"), 6).cast("decimal(18,6)").cast("double")
+            - F.col("s") / F.col("ct")
+        ).alias("entropy_nats"),
+    ).orderBy("prior_type")
+
+
+# ---------------------------------------------------------------------------
+# q203 — exact rolling 7-day distinct users per day.
+# ---------------------------------------------------------------------------
+@query(
+    "q203_rolling_distinct_users",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+x AS (
+    SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wday,
+           user_id
+    FROM d
+)
+SELECT wday AS window_end_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+FROM x GROUP BY wday ORDER BY wday
+""",
+)
+def q203_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per day — the DAU/WAU
+    family metric. COUNT(DISTINCT) does not compose across window frames
+    (you cannot sum per-day distincts), so the standard exact formulation
+    is the explode: each (user, day) presence row contributes to the 7
+    window-end days it is visible from, then one distinct count per day.
+    All date arithmetic is exact integer intervals.
+
+    Scale: the explode is a fixed 7x fan-out of the (user, day) DISTINCT
+    relation (user-dimension-sized, not event-sized), followed by one
+    day-keyed distinct aggregation. For 90-day windows at 100 TB swap
+    the explode for per-day HLL sketch unions (q177's mergeable path) —
+    this exact form is the calibration oracle for that."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    return (
+        days.select(
+            F.explode(
+                F.expr("sequence(day, day + interval 6 day, interval 1 day)")
+            ).alias("window_end_day"),
+            "user_id",
+        )
+        .groupBy("window_end_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("window_end_day")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.hashing import md5_long, md5_long_sql
 from kinesis_sample_spark.queries import query
 
 # ---------------------------------------------------------------------------
@@ -190,4 +191,81 @@ def q154_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .select("query_id", "rnk", "doc_id", F.round("score", 6).alias("score_r"))
         .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204 — inverted-index builder with fingerprinted posting lists.
+# ---------------------------------------------------------------------------
+_IDX_TOP_TERMS = 50
+
+
+@query(
+    "q204_inverted_index",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY term, doc_id
+),
+stats AS (
+    SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term
+),
+top AS (
+    SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rnk
+    FROM stats
+)
+SELECT term, df, total_tf, first_doc, last_doc,
+       {md5_long_sql('postings')} AS postings_fp
+FROM top WHERE rnk <= {_IDX_TOP_TERMS}
+ORDER BY df DESC, term
+""",
+)
+def q204_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the batch job behind every lexical
+    retrieval system (q154's BM25 assumes this exists): per term, the
+    document-ordered posting list with term frequencies. The driver gate
+    can't haul corpus-sized postings through the comparator, so each
+    list is verified by FINGERPRINT: the doc-ordered "doc:tf" string is
+    md5-hashed on both engines (md5_long, the 60-bit convention) — one
+    flipped tf, dropped doc, or misordered entry anywhere in any posting
+    list changes the hash. Emitted for the top-50 terms by df
+    (deterministic tie-break), alongside df / total_tf / first-last doc.
+
+    Scale: tokenize-explode → (term, doc) count → per-term aggregation;
+    the posting string is assembled per term with collect_list +
+    array_sort (bounded by the term's df — at 100 TB the stop-term rows
+    are exactly the ones a production index shards or skips, and the
+    top-k here is a heap merge, not a global sort)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.expr(
+            "concat_ws(',', transform(array_sort(collect_list(struct(doc_id, tf))),"
+            " s -> concat(s.doc_id, ':', s.tf)))"
+        ).alias("postings"),
+    )
+    return (
+        stats.select(
+            "term",
+            "df",
+            "total_tf",
+            "first_doc",
+            "last_doc",
+            md5_long(F.col("postings")).alias("postings_fp"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_IDX_TOP_TERMS)
     )

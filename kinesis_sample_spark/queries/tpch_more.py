@@ -375,3 +375,86 @@ def q192_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — referential-integrity audit across the star schema.
+# ---------------------------------------------------------------------------
+@query(
+    "q205_referential_integrity",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IS NULL) AS n_orphans,
+       (SELECT COUNT(*) FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey IS NULL) AS n_childless_parents
+UNION ALL
+SELECT 'lineitem->part', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_partkey IS NULL),
+       (SELECT COUNT(*) FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE l.l_partkey IS NULL)
+UNION ALL
+SELECT 'lineitem->supplier', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_suppkey IS NULL),
+       (SELECT COUNT(*) FROM supplier s LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        WHERE l.l_suppkey IS NULL)
+UNION ALL
+SELECT 'orders->customer', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL),
+       (SELECT COUNT(*) FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NULL)
+ORDER BY fk
+""",
+)
+def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality contract check a
+    lakehouse ingestion runs per snapshot, since parquet enforces no
+    foreign keys: for each FK edge of the star schema, the child row
+    count, orphaned children (FK points nowhere — broken join results),
+    and childless parents (legit, but the number feeding dim-table
+    pruning decisions). Anti-join counts in both directions; on the
+    consistent fixture orphans are zero and childless parents are not —
+    both sides recompute them independently, so a regression in either
+    generator or engine joins surfaces as a hash mismatch.
+
+    Scale: each direction is one left-anti join on the FK key — the dim
+    side broadcasts (supplier/part/customer), the fact-fact edge
+    (lineitem->orders) co-shuffles on orderkey once. The four audits
+    are independent and share the fact scan via the cache Spark keeps
+    for the repeated subtree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def audit(fk, child, ckey, parent, pkey):
+        # three single-row aggregates crossJoined lazily — no driver-side
+        # collect; the whole audit stays one DataFrame program
+        n_child = child.agg(F.count("*").alias("n_child"))
+        orphans = (
+            child.join(F.broadcast(parent), child[ckey] == parent[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        childless = (
+            parent.join(child, child[ckey] == parent[pkey], "left_anti")
+            .agg(F.count("*").alias("n_childless_parents"))
+        )
+        return (
+            n_child.crossJoin(orphans)
+            .crossJoin(childless)
+            .select(
+                F.lit(fk).alias("fk"), "n_child", "n_orphans", "n_childless_parents"
+            )
+        )
+
+    out = (
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"))
+        .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+    )
+    return out.orderBy("fk")
