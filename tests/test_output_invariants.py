@@ -111,3 +111,63 @@ def test_scd2_intervals_satisfy_dimension_laws(spark):
             assert a.event_type != b.event_type, user  # real change
         for r in ivs[:-1]:
             assert r.valid_to is not None and not r.is_current, user
+
+
+def _cdc_chunks_py(toks):
+    """Python replica of q148's content-defined chunker: boundary opens
+    at position i (1-based, i >= 3) when md5_long of the trigram ending
+    at i ≡ 0 (mod 16); fingerprint = sum of rel_pos-salted token hashes
+    mod 2^60."""
+    bounds = []
+    for i in range(1, len(toks) + 1):
+        b = 0
+        if i >= 3:
+            tri = " ".join(toks[i - 3 : i])
+            if _md5_long_py(tri) % 16 == 0:
+                b = 1
+        bounds.append(b)
+    chunks = []
+    cur: list[str] = []
+    for i, tok in enumerate(toks, start=1):
+        if bounds[i - 1] and cur:
+            chunks.append(cur)
+            cur = []
+        cur.append(tok)
+    if cur:
+        chunks.append(cur)
+    out = []
+    for chunk in chunks:
+        fp = sum(_md5_long_py(f"{rp}:{t}") for rp, t in enumerate(chunk)) % (1 << 60)
+        out.append((len(chunk), fp))
+    return out
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    """q148's window-based boundary/prefix-sum pipeline vs the
+    from-scratch sequential chunker — per doc, the ordered list of
+    (n_tokens, chunk_fp) must agree exactly."""
+    reg = load_registry()
+    rows = reg["q148_content_defined_chunks"].fn(spark, SF).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        got.setdefault(r.doc_id, []).append((r.n_tokens, r.chunk_fp))
+    want = {
+        doc_id: _cdc_chunks_py(text.split(" ")) for doc_id, text in _doc_rows()
+    }
+    assert got == want
+
+
+def test_cdc_boundaries_are_content_local():
+    """The property CDC exists for (checked on the Python replica, which
+    the test above proves equal to the engine): prepending tokens to a
+    document leaves every chunk after the first re-synchronized boundary
+    byte-identical — offset-based chunking (q63) cannot do this."""
+    doc_id, text = _doc_rows()[0]
+    toks = text.split(" ")
+    base = _cdc_chunks_py(toks)
+    shifted = _cdc_chunks_py(["inserted", "header", "words"] + toks)
+    base_fps = [fp for _n, fp in base]
+    shifted_fps = {fp for _n, fp in shifted}
+    # all but the first chunk (whose content changed) must survive
+    surviving = [fp for fp in base_fps[1:] if fp in shifted_fps]
+    assert len(surviving) == len(base_fps) - 1
