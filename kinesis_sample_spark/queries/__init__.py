@@ -94,7 +94,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-green (mandatory)
+    # -- settlement-eligible (one more green settles)
     "q191_revenue_decile_lift",
     "q192_skyline_parts",
     "q193_ngram_novelty",
@@ -110,42 +110,42 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q203_rolling_distinct_users",
     "q204_inverted_index",
     "q205_referential_integrity",
-    # -- settlement-eligible (one more green settles)
-    "q187_live_graceful_shutdown",
-    "q188_unigram_logprob_quality",
-    "q189_matryoshka_recall",
-    "q190_quality_percentile_blend",
-    "q100_locf_fill",
-    "q101_bigram_heavy_hitters",
-    "q102_price_histogram",
-    "q103_tfidf_topk",
-    "q104_rolling_zscore",
-    "q105_source_vocab_overlap",
-    "q107_iqr_outliers",
-    "q19_payload_scalars",
-    "q20_event_time_parts",
-    "q21_math_scalars",
-    "q22_envelope_roundtrip",
-    "q24_sliding_window",
-    "q25_session_windows",
-    "q26_first_event_dedup",
-    "q28_interval_join",
-    "q30_exact_dedup",
-    "q32_simhash_pairs",
-    "q33_chargram_jaccard",
-    "q35_lsh_ann",
-    "q36_embedding_neardup",
-    "q41_langid_scores",
-    "q42_quality_scores",
-    "q43_winnow_fingerprints",
-    "q51_token_counts",
-    "q56_edit_distance_neardup",
-    "q57_set_ops_all",
-    "q62_collect_aggregates",
-    "q63_chunk_documents",
-    "q64_vocabulary_stats",
-    "q65_pandas_vector_norm",
-    "q66_chunk_dedup",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q108_partition_fingerprints",
+    "q109_retention_cohorts",
+    "q110_funnel_conversion",
+    "q111_sequence_packing",
+    "q117_gopher_quality_rules",
+    "q118_train_split",
+    "q119_source_mixing_weights",
+    "q120_multiprobe_rerank",
+    "q121_label_centroids",
+    "q122_bloom_decontamination",
+    "q123_importance_weights",
+    "q124_pii_redaction",
+    "q125_pagerank_part_supplier",
+    "q126_live_stream_static_enrich",
+    "q127_canonical_selection",
+    "q128_winsorized_stats",
+    "q129_hard_negative_mining",
+    "q130_source_overlap_matrix",
+    "q131_live_session_windows",
+    "q132_countmin_heavy_hitters",
+    "q133_frame_sampling",
+    "q137_curriculum_bins",
+    "q138_dedup_rate_per_source",
+    "q139_scd2_intervals",
+    "q140_workspace_manifest",
+    "q141_transition_mining",
+    "q142_int8_quantization",
+    "q143_snapshot_diff",
+    "q144_bpe_pair_counts",
+    "q145_covariance_moments",
+    "q146_interval_overlap_join",
+    "q147_join_key_skew_audit",
+    "q148_content_defined_chunks",
+    "q149_top_terms_per_source",
+    "q150_triangle_count",
 )
 
 
