@@ -39,6 +39,8 @@ def connected_components(
     component = min node id of its connected component. Raises
     ``RuntimeError`` if ``max_iter`` rounds don't reach the fixpoint —
     an under-merged clustering must never be returned silently."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     undirected = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct().localCheckpoint(eager=True)

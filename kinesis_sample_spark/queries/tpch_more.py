@@ -431,12 +431,16 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
 
-    def audit(fk, child, ckey, parent, pkey):
+    def audit(fk, child, ckey, parent, pkey, broadcast_parent=True):
         # three single-row aggregates crossJoined lazily — no driver-side
         # collect; the whole audit stays one DataFrame program
         n_child = child.agg(F.count("*").alias("n_child"))
+        # dim-table parents broadcast; a fact-table parent (orders for the
+        # lineitem edge) must co-shuffle on the key instead — broadcasting
+        # a fact risks executor OOM at scale
+        parent_side = F.broadcast(parent) if broadcast_parent else parent
         orphans = (
-            child.join(F.broadcast(parent), child[ckey] == parent[pkey], "left_anti")
+            child.join(parent_side, child[ckey] == parent[pkey], "left_anti")
             .agg(F.count("*").alias("n_orphans"))
         )
         childless = (
@@ -452,7 +456,8 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = (
-        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey",
+              broadcast_parent=False)
         .unionByName(audit("lineitem->part", li, "l_partkey", part, "p_partkey"))
         .unionByName(audit("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"))
         .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))

@@ -89,6 +89,15 @@ def latest_round_failures(repo: pathlib.Path = REPO) -> set[str]:
     return {n for n, r in rows.items() if not _is_green(r)}
 
 
+ROTATION_HINT = (
+    "rotation pending — newly landed driver evidence changed settlement "
+    "state; run `python tools/settlement_report.py --write` and commit"
+)
+"""Prefix the hygiene tests put on rotation-trigger failures so a red
+suite caused by a freshly landed CORRECTNESS artifact is never misread
+as engine breakage (round-9 verdict item 8)."""
+
+
 def settled_set(greens: dict[int, set[str]]) -> set[str]:
     """Queries green in two consecutive OBSERVED rounds (adjacent in the
     sorted round list — a no-evidence round in between, like the empty

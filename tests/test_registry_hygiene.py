@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from kinesis_sample_spark.queries import DRIVER_WINDOW, load_registry
 from kinesis_sample_spark.settlement import (
+    ROTATION_HINT,
     evidence_key,
     green_sets_by_round,
     histories,
@@ -54,7 +55,10 @@ def test_window_excludes_twice_green_queries():
     driver rounds (one green row can be luck; two in a row is evidence)."""
     settled = settled_set(green_sets_by_round())
     stale = settled & set(DRIVER_WINDOW)
-    assert not stale, f"window wastes slots on twice-green queries: {sorted(stale)}"
+    assert not stale, (
+        f"{ROTATION_HINT}. Twice-green queries still in the window: "
+        f"{sorted(stale)}"
+    )
 
 
 def test_window_contains_every_never_green_query():
@@ -155,8 +159,8 @@ def test_window_prioritizes_minimum_evidence():
     worst_in = max(evidence(q) for q in rotational)
     starved = sorted(q for q in outside if evidence(q) < worst_in)
     assert not starved, (
-        f"window re-verifies evidence {worst_in} while strictly less-"
-        f"evidenced queries sit outside it: {starved}"
+        f"{ROTATION_HINT}. Window re-verifies evidence {worst_in} while "
+        f"strictly less-evidenced queries sit outside it: {starved}"
     )
 
 

@@ -248,3 +248,21 @@ def test_proposed_window_always_satisfies_enforcer_invariants(state):
         worst_in = max(evidence_key(hist, q) for q in rotational)
         starved = [q for q in outside if evidence_key(hist, q) < worst_in]
         assert not starved
+
+
+def test_rotation_trigger_message_names_the_fix(monkeypatch):
+    """A red hygiene suite caused by freshly landed driver evidence must
+    say so (round-9 verdict item 8): the failure message names the exact
+    command (`settlement_report.py --write`) so nobody misreads the
+    designed rotation trigger as engine breakage."""
+    import pytest
+
+    import test_registry_hygiene as hyg
+    from kinesis_sample_spark.settlement import ROTATION_HINT
+
+    monkeypatch.setattr(hyg, "green_sets_by_round", lambda: {1: {"qx"}, 2: {"qx"}})
+    monkeypatch.setattr(hyg, "DRIVER_WINDOW", ["qx"])
+    with pytest.raises(AssertionError) as exc:
+        hyg.test_window_excludes_twice_green_queries()
+    assert ROTATION_HINT in str(exc.value)
+    assert "settlement_report.py --write" in ROTATION_HINT
