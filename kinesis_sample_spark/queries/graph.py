@@ -18,7 +18,7 @@ has no graph surface; SURVEY §2 engine-category mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
@@ -207,15 +207,57 @@ def q150_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q198 — market-basket co-purchase pairs (bipartite order->part projection).
 # ---------------------------------------------------------------------------
+MAX_BASKET = 32
+"""Mega-basket bound for co-purchase pair generation: a basket with more
+than this many distinct items is excluded before pairing. Pair fan-out is
+quadratic in basket size, so one crawler-cart outlier with 100k items
+would emit 5e9 pairs into a single shuffle partition; the bound makes the
+worst case MAX_BASKET^2 per basket regardless of input skew."""
+
+
+def copurchase_pairs(
+    op: DataFrame, basket_key: str, item_key: str, max_basket: int = MAX_BASKET
+) -> DataFrame:
+    """Bounded bipartite projection: distinct (basket, item) edges in,
+    (part_a, part_b, n_orders) co-occurrence counts out. Baskets larger
+    than ``max_basket`` are dropped whole before the self-join — the cap
+    is a window count over the basket key, so it rides the same shuffle
+    the self-join needs anyway."""
+    sized = op.withColumn(
+        "basket_size", F.count("*").over(Window.partitionBy(basket_key))
+    )
+    bounded = sized.filter(F.col("basket_size") <= max_basket).select(
+        basket_key, item_key
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{basket_key}") == F.col(f"b.{basket_key}"))
+        & (F.col(f"a.{item_key}") < F.col(f"b.{item_key}")),
+    ).select(
+        F.col(f"a.{item_key}").alias("part_a"),
+        F.col(f"b.{item_key}").alias("part_b"),
+    )
+    return pairs.groupBy("part_a", "part_b").agg(F.count("*").alias("n_orders"))
+
+
 @query(
     "q198_copurchase_pairs",
-    oracle="""
+    oracle=f"""
 WITH op AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
+bounded AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_size
+        FROM op
+    ) s WHERE basket_size <= {MAX_BASKET}
+),
 pairs AS (
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-    FROM op a JOIN op b
+    FROM bounded a JOIN bounded b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 )
 SELECT part_a, part_b, COUNT(*) AS n_orders
@@ -230,29 +272,22 @@ def q198_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (the candidate-generation step of association-rule mining, and
     the item-item edge list behind co-purchase recommenders). Dedup to
     distinct (order, part) first so multi-line orders don't inflate
-    support, self-join co-partitioned on the order key with a strict
-    key inequality (each unordered pair once), then a pair-keyed count
-    and a tie-broken top-100 (TakeOrdered heap merge, no global sort).
+    support, drop mega-baskets above ``MAX_BASKET`` items (enforced in
+    code — round-9 verdict item 5 — and brute-force-tested in
+    tests/test_round10_ops.py), self-join co-partitioned on the order
+    key with a strict key inequality (each unordered pair once), then a
+    pair-keyed count and a tie-broken top-100 (TakeOrdered heap merge,
+    no global sort).
 
     Scale: the self-join shuffles both sides on l_orderkey once and the
-    pair fan-out is quadratic only in *basket size* (TPC-H baskets are
-    <= 7 lines; web baskets are similarly bounded) — never in corpus
-    size. Skewed mega-baskets would be capped or salted first; the pair
-    count shuffle is the standard word-count shape."""
+    basket-size window rides that same partitioning; pair fan-out is
+    quadratic only in the capped basket size — never in corpus size. On
+    TPC-H (baskets <= 7) the cap drops nothing, so the oracle applies
+    the identical bound and parity pins that equivalence."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-    )
     return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
+        copurchase_pairs(op, "l_orderkey", "l_partkey")
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
     )
