@@ -94,6 +94,22 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- never-green (mandatory)
+    "q206_correlated_avg_quantity",
+    "q207_nested_semi_chain",
+    "q208_session_bounce",
+    "q209_survival_hazard",
+    "q210_priority_canonical",
+    "q211_cooccurrence_pmi",
+    "q212_percentile_bridge",
+    "q213_gini_concentration",
+    "q214_hhi_concentration",
+    "q215_benford_audit",
+    "q216_cusum_changepoint",
+    "q217_median_of_means",
+    "q218_fulfillment_latency",
+    "q219_dimension_variance",
+    "q220_itemset3_support",
     # -- settlement-eligible (one more green settles)
     "q191_revenue_decile_lift",
     "q192_skyline_parts",
@@ -131,21 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q130_source_overlap_matrix",
     "q131_live_session_windows",
     "q132_countmin_heavy_hitters",
-    "q133_frame_sampling",
-    "q137_curriculum_bins",
-    "q138_dedup_rate_per_source",
-    "q139_scd2_intervals",
-    "q140_workspace_manifest",
-    "q141_transition_mining",
-    "q142_int8_quantization",
-    "q143_snapshot_diff",
-    "q144_bpe_pair_counts",
-    "q145_covariance_moments",
-    "q146_interval_overlap_join",
-    "q147_join_key_skew_audit",
-    "q148_content_defined_chunks",
-    "q149_top_terms_per_source",
-    "q150_triangle_count",
 )
 
 

@@ -525,3 +525,105 @@ def q195_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bigrams", (-F.col("s") / F.col("n_bigrams")).alias("cross_entropy"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — token co-occurrence PMI over the top-k vocabulary.
+# ---------------------------------------------------------------------------
+_PMI_TOPK = 50
+
+
+@query(
+    "q211_cooccurrence_pmi",
+    oracle=f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+vocab AS (
+    SELECT tok, c FROM (
+        SELECT tok, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM tok GROUP BY tok
+    ) v WHERE rk <= {_PMI_TOPK}
+),
+t AS (
+    SELECT tok.doc_id, tok.tok, vocab.c FROM tok JOIN vocab USING (tok)
+),
+pairs AS (
+    SELECT a.tok AS token_a, b.tok AS token_b,
+           CAST(COUNT(*) AS BIGINT) AS c_ab,
+           MIN(a.c) AS c_a, MIN(b.c) AS c_b
+    FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY a.tok, b.tok
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT token_a, token_b, c_ab,
+       {sql_double('CAST(round(ln((n_docs * c_ab) / (c_a * c_b)), 6) AS DECIMAL(18,6))')}
+         AS pmi
+FROM pairs, n
+ORDER BY pmi DESC, token_a, token_b
+LIMIT 100
+""",
+)
+def q211_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between top-50 vocabulary
+    tokens, by document co-presence: pmi(a,b) = ln(N*c_ab / (c_a*c_b))
+    over document-frequency counts — the collocation / topic-affinity
+    signal (and the association metric behind SPPMI embedding matrices).
+    The ln argument is a single division of exact integer products, and
+    the result is quantized round(.,6) -> DECIMAL(18,6) before crossing
+    engines (Java Math.log vs libm 1-ulp rule; see q188/q194).
+
+    Scale: the vocabulary is rank-capped (broadcast), so
+    the per-doc pair space is bounded by k^2 regardless of corpus size;
+    the pair count is one word-count-shaped shuffle. Raising k grows
+    candidates quadratically in k but never in N."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = F.broadcast(
+        counts.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("c").desc(), "tok")),
+        )
+        .filter(F.col("rk") <= _PMI_TOPK)
+        .select("tok", "c")
+    )
+    t = tok.join(vocab, "tok").select("doc_id", "tok", "c")
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("token_a"), F.col("b.tok").alias("token_b")
+        )
+        .agg(
+            F.count("*").alias("c_ab"),
+            F.min("a.c").alias("c_a"),
+            F.min("b.c").alias("c_b"),
+        )
+    )
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "token_a",
+            "token_b",
+            "c_ab",
+            F.round(
+                F.log((F.col("n_docs") * F.col("c_ab")) / (F.col("c_a") * F.col("c_b"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "token_a", "token_b")
+        .limit(100)
+    )

@@ -1104,3 +1104,76 @@ def q182_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q210 — priority-source canonical selection over boilerplate-prefix groups.
+# ---------------------------------------------------------------------------
+@query(
+    "q210_priority_canonical",
+    oracle="""
+WITH g AS (
+    SELECT doc_id, source, n_chars,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 3), ' '))
+             AS prefix_hash,
+           CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 WHEN 'src2' THEN 2
+                ELSE 9 END AS priority
+    FROM documents
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY prefix_hash
+                              ORDER BY priority, n_chars DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY prefix_hash) AS n_members
+    FROM g
+)
+SELECT prefix_hash, doc_id AS canonical_doc_id, source AS canonical_source,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1 AND n_members >= 2
+ORDER BY canonical_doc_id
+""",
+)
+def q210_priority_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-source canonical dedup: documents sharing a boilerplate
+    prefix (first 3 tokens — the header-template grouping a crawler
+    corpus needs) elect ONE survivor by source trust tier (curated
+    src0 > src1 > src2 > everything else), tiebroken by length then
+    doc_id. Complements q127 (cluster-based keep-longest): here the
+    policy is *provenance-first*, the common choice when a curated dump
+    and a crawl overlap — never keep the crawl copy of a curated doc.
+
+    Scale: one shuffle on the prefix hash serves both the row_number and
+    the group-size window (same partitioning); singleton groups are
+    dropped after the window, so output is bounded by the duplicate
+    population, and no text column survives past the hash projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
+    priority = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source") == "src1", 1)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(9)
+    )
+    g = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(prefix).alias("prefix_hash"),
+        priority.alias("priority"),
+    )
+    wp = W.partitionBy("prefix_hash")
+    ranked = g.select(
+        "*",
+        F.row_number()
+        .over(wp.orderBy("priority", F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n_members"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "prefix_hash",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("source").alias("canonical_source"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("canonical_doc_id")
+    )

@@ -540,3 +540,151 @@ def q203_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("users_7d"))
         .orderBy("window_end_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — sessionized bounce / dwell metrics per user.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "q208_session_bounce",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+marked AS (
+    SELECT user_id, us,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM seq
+),
+sessions AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS dwell_us
+    FROM marked GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id ORDER BY user_id
+""",
+)
+def q208_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization in pure window SQL (q151 gates the
+    UDTF formulation; this gates the declarative one Catalyst can
+    whole-stage-codegen): a session breaks after 30 minutes of
+    inactivity; per user, count sessions, single-event sessions
+    (bounces) and total dwell time. Dwell is exact integer microsecond
+    arithmetic (unix_micros ≡ DuckDB epoch_us), so parity is structural.
+
+    Scale: one shuffle on user_id serves both window passes and the two
+    aggregations (same partitioning end-to-end); session state never
+    leaves the executor and no per-user data is ever collected."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(gap > _SESSION_GAP_US, 1)
+        .when(F.lag(us).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = seq.select(
+        "user_id", "us", F.sum("new_session").over(w2).alias("session_id")
+    )
+    sessions = marked.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dwell_us"),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+            F.sum("dwell_us").alias("total_dwell_us"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — discrete survival / hazard table over user lifetimes.
+# ---------------------------------------------------------------------------
+@query(
+    "q209_survival_hazard",
+    oracle="""
+WITH life AS (
+    SELECT user_id,
+           CAST(FLOOR(datediff('day', MIN(ts), MAX(ts)) / 7.0) AS INTEGER)
+             AS lifetime_weeks
+    FROM events GROUP BY user_id
+),
+ended AS (
+    SELECT lifetime_weeks AS week, COUNT(*) AS n_ended
+    FROM life GROUP BY lifetime_weeks
+)
+SELECT week,
+       CAST(n_ended AS BIGINT) AS n_ended,
+       CAST(SUM(n_ended) OVER (ORDER BY week DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk,
+       CAST(n_ended AS DOUBLE)
+         / SUM(n_ended) OVER (ORDER BY week DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS hazard
+FROM ended ORDER BY week
+""",
+)
+def q209_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival analysis (life-table / Kaplan-Meier grid): user
+    lifetime = weeks between first and last event; for each week k, the
+    users whose lifetime ended at k and the users still at risk (lifetime
+    >= k, a reverse-cumulative window over the bounded week domain);
+    hazard(k) = ended / at-risk — a single division of exact integers,
+    so cross-engine parity is structural (the memory-bank integer-ratio
+    rule; no ln, no cumulative float product).
+
+    Scale: per-user min/max is one shuffle on user_id; everything after
+    operates on the bounded week domain (dozens of rows at any SF)."""
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.floor(
+            F.datediff(F.max("ts"), F.min("ts")) / F.lit(7.0)
+        )
+        .cast("int")
+        .alias("lifetime_weeks")
+    )
+    ended = life.groupBy(F.col("lifetime_weeks").alias("week")).agg(
+        F.count("*").alias("n_ended")
+    )
+    w = (
+        W.orderBy(F.col("week").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = F.sum("n_ended").over(w)
+    return ended.select(
+        "week",
+        F.col("n_ended").cast("bigint").alias("n_ended"),
+        at_risk.cast("bigint").alias("n_at_risk"),
+        (F.col("n_ended").cast("double") / at_risk).alias("hazard"),
+    ).orderBy("week")

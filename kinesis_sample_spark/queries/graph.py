@@ -291,3 +291,77 @@ def q198_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — frequent 3-itemsets over capped baskets (A-priori candidate step).
+# ---------------------------------------------------------------------------
+@query(
+    "q220_itemset3_support",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+bounded AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_size
+        FROM op
+    ) s WHERE basket_size <= {MAX_BASKET}
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM bounded a
+JOIN bounded b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN bounded c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY a.l_partkey, b.l_partkey, c.l_partkey
+ORDER BY support DESC, part_a, part_b, part_c
+LIMIT 100
+""",
+)
+def q220_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (the A-priori candidate-generation step one
+    level above q198's pairs): orders containing all three parts of an
+    ordered triple, counted per triple, top-100 by support. The triple
+    fan-out is C(basket, 3), so the same MAX_BASKET cap as q198 bounds
+    the worst case at ~5500 triples per basket instead of unbounded
+    cubic blow-up on a crawler-cart outlier.
+
+    Scale: all three self-join legs key on l_orderkey — one shuffle
+    partitioning serves the whole join tree (co-partitioned sort-merge,
+    no re-shuffle between legs); the support count is word-count-shaped
+    and the top-100 is a TakeOrdered heap merge, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = op.withColumn(
+        "basket_size", F.count("*").over(Window.partitionBy("l_orderkey"))
+    )
+    bounded = sized.filter(F.col("basket_size") <= MAX_BASKET).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    c = bounded.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+    )
+    return (
+        triples.groupBy("part_a", "part_b", "part_c")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+        .limit(100)
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import sql_double
 from kinesis_sample_spark.functions.vectors import (
     cosine,
     dot,
@@ -913,4 +914,72 @@ def q189_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 — per-dimension variance screening of the embedding matrix.
+# ---------------------------------------------------------------------------
+_VAR_TOPK = 10
+
+
+@query(
+    "q219_dimension_variance",
+    oracle=f"""
+WITH exploded AS (
+    SELECT unnest(embedding)::DOUBLE AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+),
+mom AS (
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(round(val, 9) AS DECIMAL(18,9))) AS s,
+           SUM(CAST(round(val * val, 9) AS DECIMAL(18,9))) AS ssq
+    FROM exploded GROUP BY dim
+),
+vars AS (
+    SELECT dim, n,
+           ({sql_double('ssq')} - {sql_double('s')} * {sql_double('s')} / n) / n
+             AS variance
+    FROM mom
+)
+SELECT dim, n, variance FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY variance DESC, dim) AS rk FROM vars
+) t WHERE rk <= {_VAR_TOPK}
+ORDER BY variance DESC, dim
+""",
+)
+def q219_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance screening of the embedding matrix — the
+    feature-selection / whitening-diagnostic pass (dead dimensions have
+    ~zero variance; rogue unnormalized ones dominate distances): top-10
+    highest-variance dimensions by the population formula (ssq - s^2/n)
+    / n. First and second moments are quantized round(.,9) -> DECIMAL
+    (the q37/kmeans centroid pin) so both sums are exact in any
+    partition order; the variance expression is three fixed-order double
+    ops on VARCHAR-path values.
+
+    Scale: posexplode emits 64 rows per vector into a 64-group
+    aggregate — pure map-side combine, constant final state; the top-k
+    runs on 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val")
+    )
+    mom = exploded.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("val"), 9).cast("decimal(18,9)")).alias("s"),
+        F.sum(F.round(F.col("val") * F.col("val"), 9).cast("decimal(18,9)")).alias(
+            "ssq"
+        ),
+    )
+    s_d = F.col("s").cast("double")
+    variance = (F.col("ssq").cast("double") - s_d * s_d / F.col("n")) / F.col("n")
+    ranked = mom.select("dim", "n", variance.alias("variance")).withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("variance").desc(), "dim"))
+    )
+    return (
+        ranked.filter(F.col("rk") <= _VAR_TOPK)
+        .select("dim", "n", "variance")
+        .orderBy(F.col("variance").desc(), "dim")
     )

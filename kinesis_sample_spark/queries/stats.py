@@ -1074,3 +1074,473 @@ def q199_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("ca") / F.col("na").cast("double") - F.col("cb") / F.col("nb").cast("double"))
         ).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — mergeable-histogram percentile bridge (estimate vs exact audit).
+# ---------------------------------------------------------------------------
+_BRIDGE_BINS = 20
+
+
+def _sql_bridge_branch(p: float) -> str:
+    """One UNION branch of the oracle: the histogram-interpolated
+    percentile estimate at fraction ``p`` plus the exact percentile.
+    ``p`` is CAST to DOUBLE — a bare 0.9 literal parses as DECIMAL in
+    DuckDB and p*n would run in decimal arithmetic, 1 ulp off Spark's
+    double path (caught by the sf0.01 parity gauntlet)."""
+    pd = f"CAST({p} AS DOUBLE)"
+    exact = f"CASE WHEN {p} = 0.5 THEN p50x ELSE p90x END"
+    return f"""
+SELECT l_returnflag, {pd} AS p,
+       mn + w * (bin + ({pd} * n - (cum - cnt)) / cnt) AS est,
+       {exact} AS exact,
+       abs(mn + w * (bin + ({pd} * n - (cum - cnt)) / cnt) - {exact}) AS abs_err
+FROM cum WHERE cum >= {pd} * n AND cum - cnt < {pd} * n"""
+
+
+@query(
+    "q212_percentile_bridge",
+    oracle=f"""
+WITH stats AS (
+    SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+           (MAX(l_extendedprice) - MIN(l_extendedprice)) / {_BRIDGE_BINS}.0 AS w,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(l_extendedprice, 0.5) AS p50x,
+           quantile_cont(l_extendedprice, 0.9) AS p90x
+    FROM lineitem GROUP BY l_returnflag
+),
+binned AS (
+    SELECT l.l_returnflag,
+           CAST(LEAST(FLOOR((l_extendedprice - mn) / w), {_BRIDGE_BINS - 1}) AS INTEGER)
+             AS bin
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+),
+hist AS (
+    SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM binned GROUP BY l_returnflag, bin
+),
+cum AS (
+    SELECT h.l_returnflag, bin, cnt, mn, w, n, p50x, p90x,
+           SUM(cnt) OVER (PARTITION BY h.l_returnflag ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist h JOIN stats s ON h.l_returnflag = s.l_returnflag
+)
+SELECT * FROM ({_sql_bridge_branch(0.5)}
+UNION ALL {_sql_bridge_branch(0.9)}) u
+ORDER BY l_returnflag, p
+""",
+)
+def q212_percentile_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile *bridge*: a fixed-width 20-bin histogram is the
+    mergeable sketch a 1000-executor job actually ships (per-partition
+    histograms combine by adding counts — unlike exact percentile state,
+    which is all values), and linear interpolation inside the target bin
+    recovers the percentile estimate. This query computes the estimate
+    AND the exact percentile side by side with the absolute error — the
+    calibration audit that tells you whether 20 bins is enough before
+    you swap the exact operator out at scale.
+
+    Determinism: bin width/index, interpolation, and the exact
+    percentile (q162 recipe) are all fixed-order IEEE ops over identical
+    doubles; counts are exact integers.
+
+    Scale: two scans of the fact (min/max pass, then binning pass), one
+    tiny per-(flag, bin) aggregate; the window and interpolation run on
+    the bounded bin domain. The exact-percentile column is the audit
+    reference — drop it at true scale and only the sketch remains."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"),
+        (
+            (F.max("l_extendedprice") - F.min("l_extendedprice"))
+            / F.lit(float(_BRIDGE_BINS))
+        ).alias("w"),
+        F.count("*").alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50x"),
+        F.expr("percentile(l_extendedprice, 0.9D)").alias("p90x"),
+    )
+    binned = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("w")),
+            F.lit(_BRIDGE_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "bin").agg(F.count("*").alias("cnt"))
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag", "bin", "cnt", "mn", "w", "n", "p50x", "p90x",
+        F.sum("cnt").over(wcum).alias("cum"),
+    )
+
+    def branch(p: float, exact_col: str) -> DataFrame:
+        target = F.lit(p) * F.col("n")
+        est = F.col("mn") + F.col("w") * (
+            F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        return cum.filter(
+            (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
+        ).select(
+            "l_returnflag",
+            F.lit(p).alias("p"),
+            est.alias("est"),
+            F.col(exact_col).alias("exact"),
+            F.abs(est - F.col(exact_col)).alias("abs_err"),
+        )
+
+    return (
+        branch(0.5, "p50x")
+        .unionByName(branch(0.9, "p90x"))
+        .orderBy("l_returnflag", "p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — Gini concentration coefficient per market segment.
+# ---------------------------------------------------------------------------
+@query(
+    "q213_gini_concentration",
+    oracle=f"""
+WITH rev AS (
+    SELECT c_mktsegment, o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment, o_custkey
+),
+ranked AS (
+    SELECT c_mktsegment, rev,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY rev, o_custkey) AS i
+    FROM rev
+),
+agg AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(i * rev) AS s1,
+           SUM(rev) AS s0
+    FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       {sql_double('2 * s1 - (n + 1) * s0')} / {sql_double('n * s0')} AS gini
+FROM agg ORDER BY c_mktsegment
+""",
+)
+def q213_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality scalar a data-mixing pipeline tracks per source (q191's
+    decile table gives the Lorenz curve; this is its single-number
+    summary). Rank formula G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x))
+    with x ascending: every sum is exact decimal arithmetic (rank *
+    DECIMAL revenue), tie-order-invariant because tied x contribute
+    x * sum(consecutive ranks) regardless of which tied row gets which
+    rank; the one division happens once, on VARCHAR-path doubles.
+
+    Scale: per-customer revenue co-shuffles orders on custkey once; the
+    rank window partitions by segment (bounded cardinality, heavy
+    partitions — at extreme SF swap row_number for a two-pass
+    range-partitioned rank); the final aggregate is 5 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    ranked = rev.select(
+        "c_mktsegment",
+        "rev",
+        F.row_number()
+        .over(W.partitionBy("c_mktsegment").orderBy("rev", "o_custkey"))
+        .alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("i") * F.col("rev")).alias("s1"),
+        F.sum("rev").alias("s0"),
+    )
+    num = (F.lit(2) * F.col("s1") - (F.col("n") + F.lit(1)) * F.col("s0")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("s0")).cast("double")
+    return agg.select(
+        "c_mktsegment", "n", (num / den).alias("gini")
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q214 — Herfindahl–Hirschman supplier concentration per nation.
+# ---------------------------------------------------------------------------
+@query(
+    "q214_hhi_concentration",
+    oracle=f"""
+WITH rev AS (
+    SELECT s_nationkey, l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_nationkey, l_suppkey
+),
+agg AS (
+    SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           SUM(CAST(rev AS DECIMAL(19,2)) * rev) AS ssq, SUM(rev) AS total
+    FROM rev GROUP BY s_nationkey
+)
+SELECT n_name, n_suppliers,
+       {sql_double('ssq')} / ({sql_double('total')} * {sql_double('total')}) AS hhi
+FROM agg JOIN nation ON n_nationkey = s_nationkey
+ORDER BY n_name
+""",
+)
+def q214_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue per nation: the
+    market-concentration scalar, computed shift-free as sum(rev^2) /
+    total^2 instead of summing squared *shares* — squared DECIMAL
+    revenues sum exactly in any order, whereas per-supplier share
+    division would inject order-dependent float error into the sum. The
+    two divisions-by-double happen once, after both sums are exact.
+
+    Scale: per-supplier revenue co-shuffles the fact once on l_suppkey
+    (the supplier dim broadcasts); the per-nation aggregate is bounded
+    by nation cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("rev"))
+    )
+    agg = rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("rev") * F.col("rev")).alias("ssq"),
+        F.sum("rev").alias("total"),
+    )
+    total_d = F.col("total").cast("double")
+    return (
+        agg.join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "n_name",
+            "n_suppliers",
+            (F.col("ssq").cast("double") / (total_d * total_d)).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — Benford first-digit audit of order totals.
+# ---------------------------------------------------------------------------
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}  # round(log10(1 + 1/d), 6), precomputed so no cross-engine log10
+
+
+def _sql_benford_case() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD.items()
+    )
+    return f"CASE digit {whens} END"
+
+
+@query(
+    "q215_benford_audit",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+                AS INTEGER) AS digit
+    FROM orders
+),
+counts AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / total AS share,
+       {_sql_benford_case()} AS expected_share,
+       abs(CAST(n AS DOUBLE) / total - {_sql_benford_case()}) AS abs_dev
+FROM counts, tot
+ORDER BY digit
+""",
+)
+def q215_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the fraud /
+    synthetic-data screen: observed first-significant-digit shares vs
+    the Benford expectation log10(1 + 1/d). The digit comes from the
+    DECIMAL(12,2) VARCHAR rendering (both engines print decimals in
+    plain positional form — no scientific notation, no float-to-string
+    divergence), and the expected shares are Python-precomputed literals
+    injected into BOTH dialects, so no cross-engine log evaluation
+    exists at all. Shares are single divisions of exact counts.
+
+    Scale: map-side digit extraction, a 9-row aggregate, and one
+    broadcast scalar total — embarrassingly parallel."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(dec("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = d.agg(F.count("*").alias("total"))
+    expected = F.lit(None).cast("double")
+    for dig, p in _BENFORD.items():
+        expected = F.when(F.col("digit") == dig, F.lit(p)).otherwise(expected)
+    share = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            share.alias("share"),
+            expected.alias("expected_share"),
+            F.abs(share - expected).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — CUSUM change-point detection over daily revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "q216_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderpriority, o_orderdate AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders GROUP BY o_orderpriority, o_orderdate
+),
+cu AS (
+    SELECT o_orderpriority, day,
+           CAST(CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             - CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY day) AS DOUBLE)
+               * CAST(CAST(SUM(rev) OVER (PARTITION BY o_orderpriority) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_orderpriority)
+             AS cusum,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_days
+    FROM daily
+)
+SELECT o_orderpriority, day AS changepoint_day, cusum, n_days
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY abs(cusum) DESC, day) AS rk
+    FROM cu
+) t WHERE rk = 1
+ORDER BY o_orderpriority
+""",
+)
+def q216_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per order priority: the day where the
+    cumulative deviation of daily revenue from its flat-mean expectation
+    peaks — the classic level-shift detector, complementing q199's KS
+    distribution drift with a *location in time*. cusum_k = prefix_k -
+    k * total / n, where prefix and total are exact decimal window sums
+    (order-independent) and only the final three ops (multiply, divide,
+    subtract) run in fixed-order double arithmetic.
+
+    Scale: one shuffle on the (priority, day) aggregate, then windows
+    over the bounded per-priority day domain; the argmax is a rank-1
+    filter, never a collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    wp = W.partitionBy("o_orderpriority")
+    word = wp.orderBy("day")
+    prefix = (
+        F.sum("rev")
+        .over(word.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+    )
+    k = F.row_number().over(word).cast("double")
+    total = F.sum("rev").over(wp).cast("double")
+    n = F.count("*").over(wp)
+    cu = daily.select(
+        "o_orderpriority",
+        "day",
+        (prefix - k * total / n).alias("cusum"),
+        n.cast("bigint").alias("n_days"),
+    )
+    ranked = cu.withColumn(
+        "rk",
+        F.row_number().over(wp.orderBy(F.abs(F.col("cusum")).desc(), "day")),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("day").alias("changepoint_day"),
+            "cusum",
+            "n_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — median-of-means robust mean estimator.
+# ---------------------------------------------------------------------------
+_MOM_BUCKETS = 32
+
+
+@query(
+    "q217_median_of_means",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id % {_MOM_BUCKETS} AS bucket,
+           SUM(n_chars) / COUNT(*) AS bucket_mean
+    FROM documents GROUP BY doc_id % {_MOM_BUCKETS}
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           quantile_cont(bucket_mean, 0.5) AS mom_mean
+    FROM b
+),
+plain AS (
+    SELECT SUM(n_chars) / COUNT(*) AS plain_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+)
+SELECT n_buckets, mom_mean, plain_mean, n_docs,
+       abs(mom_mean - plain_mean) AS abs_gap
+FROM mom, plain
+""",
+)
+def q217_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means over document lengths: split the corpus into 32
+    deterministic buckets (doc_id mod), take each bucket's mean, then
+    the median of the bucket means — the heavy-tail-robust mean
+    estimator whose two-level shape is *exactly* how a 1000-executor
+    job wants to compute it (per-bucket partial means combine; only 32
+    scalars meet the median). Bucket means are exact integer sums over
+    counts (single divisions); the median interpolates two identical
+    doubles (q162 recipe).
+
+    Scale: one partial-aggregate shuffle to 32 groups, then a 32-row
+    percentile — constant final state regardless of SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy((F.col("doc_id") % _MOM_BUCKETS).alias("bucket")).agg(
+        (F.sum("n_chars") / F.count("*")).alias("bucket_mean")
+    )
+    mom = b.agg(
+        F.count("*").alias("n_buckets"),
+        F.expr("percentile(bucket_mean, 0.5D)").alias("mom_mean"),
+    )
+    plain = docs.agg(
+        (F.sum("n_chars") / F.count("*")).alias("plain_mean"),
+        F.count("*").alias("n_docs"),
+    )
+    return mom.crossJoin(F.broadcast(plain)).select(
+        "n_buckets",
+        "mom_mean",
+        "plain_mean",
+        "n_docs",
+        F.abs(F.col("mom_mean") - F.col("plain_mean")).alias("abs_gap"),
+    )

@@ -463,3 +463,172 @@ def q205_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
     )
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# q206 — small-quantity-vs-part-average revenue (TPC-H Q17 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q206_correlated_avg_quantity",
+    oracle="""
+WITH t AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+),
+th AS (
+    SELECT l_partkey,
+           SUM(l_quantity) / COUNT(l_quantity) / 5.0 AS qty_threshold
+    FROM t GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM t JOIN th USING (l_partkey)
+WHERE l_quantity < qty_threshold
+""",
+)
+def q206_correlated_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity ("fragmented")
+    orders — lineitems of one brand whose quantity is below 20% of that
+    part's average quantity, summed and annualized (/7). The classic
+    correlated scalar subquery, decorrelated into a per-part aggregate
+    joined back to the fact.
+
+    Determinism: quantities are integer-valued doubles, so SUM/COUNT is
+    exact in any order; /5.0 and /7.0 are single IEEE ops; revenue sums
+    as DECIMAL(12,2) and crosses to double via the correctly-rounded
+    VARCHAR path.
+
+    Scale: the brand filter broadcasts through the part join, the
+    per-part average and the join back co-shuffle on l_partkey once
+    (same key, reused exchange); no row ever holds more than its own
+    part's scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    target = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    )
+    t = li.join(target, li.l_partkey == target.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    th = t.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("l_quantity") / F.lit(5.0)).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        t.join(th, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207 — nested semi-join chain (TPC-H Q20 shape, partsupp-free variant).
+# ---------------------------------------------------------------------------
+@query(
+    "q207_nested_semi_chain",
+    oracle="""
+SELECT s_name, n_name, s_acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red %'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 90
+)
+ORDER BY s_name
+""",
+)
+def q207_nested_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp table in the fixture, see
+    FIXTURES.md): suppliers who moved a large volume (> 90 units) of any
+    'red'-named part — the nested IN-subquery-with-HAVING chain,
+    decorrelated to filter -> aggregate -> semi-join.
+
+    Scale: the part-name filter broadcasts into the fact scan; the
+    (supplier, part) volume aggregate shuffles the filtered fact once;
+    the surviving supplier keys are a tiny relation that semi-joins the
+    supplier dim (left_semi, so supplier rows never duplicate), and the
+    nation name is a broadcast lookup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    red = F.broadcast(
+        part.filter(F.col("p_name").like("red %")).select("p_partkey")
+    )
+    big_movers = (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 90)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(big_movers, supp.s_suppkey == big_movers.l_suppkey, "left_semi")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — order-fulfillment latency percentiles per priority.
+# ---------------------------------------------------------------------------
+@query(
+    "q218_fulfillment_latency",
+    oracle="""
+WITH f AS (
+    SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+    FROM lineitem GROUP BY l_orderkey
+),
+lat AS (
+    SELECT o_orderpriority,
+           datediff('day', o_orderdate, first_ship) AS latency_days
+    FROM orders JOIN f ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       quantile_cont(latency_days, 0.5) AS p50_days,
+       quantile_cont(latency_days, 0.95) AS p95_days,
+       CAST(MAX(latency_days) AS BIGINT) AS max_days
+FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q218_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency distribution per order priority —
+    the SLA dashboard query. Per-order MIN(shipdate), day-count latency,
+    then exact percentiles per priority (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition; inputs
+    are exact integer day counts, so interpolated values are identical
+    doubles — the q162 recipe).
+
+    Scale: the per-order MIN rides one shuffle on l_orderkey, the join
+    to orders is co-keyed on the same key, and the final aggregate has
+    5 groups — percentile state is per-group sorted values, safe at any
+    SF because priorities are bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    lat = orders.join(f, orders.o_orderkey == f.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias("latency_days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("percentile(latency_days, 0.5D)").alias("p50_days"),
+            F.expr("percentile(latency_days, 0.95D)").alias("p95_days"),
+            F.max("latency_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
