@@ -1075,7 +1075,14 @@ def q182_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_signature_store,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition first (q33/q56/q152 pattern): the fixture is one parquet
+    # file = one input split, and the shingle + 8x-md5 minhash work both
+    # the store init and each batch run would otherwise execute on a
+    # single core (profiled: init_signature_store alone was 5.6 s at
+    # sf0.1 in 1 task)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     store_path = scratch_dir(prefix="kss_sigstore_") + "/store"
     init_signature_store(docs.filter(F.col("doc_id") % 2 == 0), store_path)
     batch = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
