@@ -48,30 +48,28 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round, so iteration order IS the verification budget. CORRECTNESS_r08
-# landed 50/50 green: q186 + q09/q106/q113/q114/q15-q18 settled
-# (settled = 59) and the 41 other r08 greens (the 4 round-8 additions
-# q187-q190 plus 37 backfills) became settlement-eligible. This round-9
-# window is exactly what tools/settlement_report.py --write computed
-# from CORRECTNESS_r01-r08 (no r08 failures, so no mandatory slots):
-#   15 slots — the round-9 additions (never-green, mandatory):
-#              q191 decile lift, q192 skyline, q193 n-gram novelty,
-#              q194 token entropy, q195 bigram cross-entropy, q196
-#              z-order audit, q197 MAD outliers, q198 co-purchase
-#              pairs, q199 KS drift, q200 decay attribution, q201
-#              k-anonymity, q202 transition entropy, q203 rolling
-#              distinct users, q204 inverted index, q205 referential
-#              integrity.
-#   35 slots — the settlement-eligible set (green r08, unsettled):
-#              q187-q190, q100-q105/q107, q19-q22, q24-q26, q28, q30,
-#              q32/q33, q35/q36, q41-q43, q51, q56/q57, q62-q66.
-#              One more green row settles each (settled -> 94).
-#              Displacement cost, accepted deliberately: the 6 eligible
-#              queries pushed out by batch 2 (q67-q69, q80/q81, q83)
-#              lose their r08 streak (settled_set needs ADJACENT
-#              observed greens) and will need two fresh greens later —
-#              traded for 6 more operators getting driver evidence
-#              this round.
+# round, so iteration order IS the verification budget. CORRECTNESS_r09
+# landed 50/50 green: the 35 settlement-eligible window entries settled
+# (settled = 94) and the 15 round-9 additions q191-q205 became
+# settlement-eligible. This round-10 window is exactly what
+# tools/settlement_report.py --write computed from CORRECTNESS_r01-r09
+# (no r09 failures, so no mandatory failure slots):
+#   15 slots — the round-10 additions (never-green, mandatory):
+#              q206 Q17 correlated avg, q207 Q20 semi chain, q208
+#              session bounce/dwell, q209 survival hazard, q210
+#              priority canonical, q211 co-occurrence PMI, q212
+#              percentile bridge, q213 Gini, q214 HHI, q215 Benford,
+#              q216 CUSUM change-point, q217 median-of-means, q218
+#              fulfillment latency, q219 dimension variance, q220
+#              3-itemset support.
+#   15 slots — the settlement-eligible set (green r09, unsettled):
+#              q191-q205. One more green row settles each
+#              (settled -> 109).
+#   20 slots — minimum-evidence backfills (oldest evidence first):
+#              q108-q111, q117-q132 minus the batch-displaced tail.
+#              The 15 backfills displaced by the new batch (q133-q150
+#              range) were once-green only, so no settlement streak was
+#              lost.
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -80,9 +78,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # to a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
 #
-# If r09 lands 50/50: settled -> 94, and the r10 rotation settles the
+# If r10 lands 50/50: settled -> 109, and the r11 rotation settles the
 # 15 new queries + re-queues the displaced backfills; full registry
-# settles ~r12.
+# settles ~r13.
 #
 # ROTATION RULE (mechanical, post-r07): run
 #   python tools/settlement_report.py --write
