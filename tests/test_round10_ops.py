@@ -54,3 +54,159 @@ def test_copurchase_mega_basket_cap(spark):
     df2 = spark.createDataFrame(exact, "l_orderkey int, l_partkey int")
     n = copurchase_pairs(df2, "l_orderkey", "l_partkey").count()
     assert n == MAX_BASKET * (MAX_BASKET - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Third implementations from raw parquet (pandas/pure Python), so a shared
+# formulation bug between the Spark query and its DuckDB oracle can't hide.
+# ---------------------------------------------------------------------------
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(table):
+    import pandas as pd
+
+    return pd.read_parquet(f"{SF}/{table}.parquet")
+
+
+def _run(spark, name):
+    from kinesis_sample_spark.queries import load_registry
+
+    return load_registry()[name].fn(spark, SF).collect()
+
+
+def test_session_bounce_third_impl(spark):
+    rows = {r.user_id: r for r in _run(spark, "q208_session_bounce")}
+    ev = _pd("events")
+    gap = 30 * 60 * 1_000_000
+    for uid, g in ev.groupby("user_id"):
+        ts = sorted(
+            (int(t.value), int(e))  # pandas Timestamp.value = epoch ns
+            for t, e in zip(g["ts"], g["event_id"])
+        )
+        us = [t // 1000 for t, _ in ts]
+        sessions = []
+        for i, u in enumerate(us):
+            if i == 0 or u - us[i - 1] > gap:
+                sessions.append([u])
+            else:
+                sessions[-1].append(u)
+        r = rows[uid]
+        assert r.n_sessions == len(sessions)
+        assert r.n_bounces == sum(1 for s in sessions if len(s) == 1)
+        assert r.total_dwell_us == sum(s[-1] - s[0] for s in sessions)
+        assert r.n_events == len(us)
+
+
+def test_survival_hazard_third_impl(spark):
+    rows = _run(spark, "q209_survival_hazard")
+    ev = _pd("events")
+    lifetimes = []
+    for _, g in ev.groupby("user_id"):
+        days = (g["ts"].max().normalize() - g["ts"].min().normalize()).days
+        lifetimes.append(int(days // 7))
+    from collections import Counter
+
+    ended = Counter(lifetimes)
+    for r in rows:
+        at_risk = sum(c for w, c in ended.items() if w >= r.week)
+        assert r.n_ended == ended[r.week]
+        assert r.n_at_risk == at_risk
+        assert abs(r.hazard - ended[r.week] / at_risk) < 1e-15
+    assert sum(r.n_ended for r in rows) == len(lifetimes)
+
+
+def test_gini_third_impl(spark):
+    rows = {r.c_mktsegment: r for r in _run(spark, "q213_gini_concentration")}
+    orders, cust = _pd("orders"), _pd("customer")
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    from collections import defaultdict
+
+    rev = defaultdict(lambda: defaultdict(float))
+    for _, o in orders.iterrows():
+        rev[seg_of[o["o_custkey"]]][o["o_custkey"]] += round(o["o_totalprice"], 2)
+    for seg, per_cust in rev.items():
+        xs = sorted(per_cust.values())
+        n = len(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        s0 = sum(xs)
+        gini = (2 * s1 - (n + 1) * s0) / (n * s0)
+        assert rows[seg].n == n
+        assert abs(rows[seg].gini - gini) < 1e-9
+
+
+def test_benford_third_impl(spark):
+    rows = {r.digit: r for r in _run(spark, "q215_benford_audit")}
+    import math
+    from collections import Counter
+
+    prices = _pd("orders")["o_totalprice"]
+    digits = Counter(int(f"{round(p, 2):.2f}"[0]) for p in prices)
+    total = len(prices)
+    for d, n in digits.items():
+        assert rows[d].n == n
+        assert abs(rows[d].share - n / total) < 1e-15
+        assert abs(rows[d].expected_share - math.log10(1 + 1 / d)) < 1e-6
+
+
+def test_median_of_means_third_impl(spark):
+    (r,) = _run(spark, "q217_median_of_means")
+    import numpy as np
+
+    docs = _pd("documents")
+    means = [
+        g["n_chars"].sum() / len(g) for _, g in docs.groupby(docs["doc_id"] % 32)
+    ]
+    assert r.n_buckets == len(means)
+    assert abs(r.mom_mean - float(np.percentile(means, 50))) < 1e-9
+    assert abs(r.plain_mean - docs["n_chars"].sum() / len(docs)) < 1e-9
+
+
+def test_percentile_bridge_third_impl(spark):
+    rows = {(r.l_returnflag, r.p): r for r in _run(spark, "q212_percentile_bridge")}
+    import numpy as np
+
+    li = _pd("lineitem")
+    for flag, g in li.groupby("l_returnflag"):
+        xs = np.sort(g["l_extendedprice"].to_numpy())
+        mn, mx, n = xs[0], xs[-1], len(xs)
+        w = (mx - mn) / 20.0
+        bins = np.minimum(np.floor((xs - mn) / w), 19).astype(int)
+        counts = np.bincount(bins, minlength=20)
+        for p in (0.5, 0.9):
+            target = p * n
+            cum = 0
+            for b in range(20):
+                if cum + counts[b] >= target and cum < target:
+                    est = mn + w * (b + (target - cum) / counts[b])
+                    break
+                cum += counts[b]
+            r = rows[(flag, p)]
+            assert abs(r.est - est) < 1e-9 * max(1.0, abs(est))
+            exact = float(np.percentile(xs, p * 100))
+            assert abs(r.exact - exact) < 1e-9 * max(1.0, abs(exact))
+            assert abs(r.abs_err - abs(r.est - r.exact)) < 1e-9
+
+
+def test_cusum_third_impl(spark):
+    rows = {r.o_orderpriority: r for r in _run(spark, "q216_cusum_changepoint")}
+    orders = _pd("orders")
+    for prio, g in orders.groupby("o_orderpriority"):
+        daily = {}
+        for _, o in g.iterrows():
+            d = o["o_orderdate"]
+            daily[d] = daily.get(d, 0) + round(o["o_totalprice"] * 100)  # cents
+        days = sorted(daily)
+        total = sum(daily.values())
+        n = len(days)
+        prefix = 0
+        best_day, best_cusum = None, None
+        for k, d in enumerate(days, start=1):
+            prefix += daily[d]
+            cusum = prefix / 100.0 - k * (total / 100.0) / n
+            if best_cusum is None or abs(cusum) > abs(best_cusum):
+                best_day, best_cusum = d, cusum
+        r = rows[prio]
+        assert r.n_days == n
+        assert r.changepoint_day == best_day.to_pydatetime()
+        assert abs(r.cusum - best_cusum) < 1e-6 * max(1.0, abs(best_cusum))
