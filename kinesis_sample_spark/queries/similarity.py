@@ -4,7 +4,7 @@ Three operators:
 - brute-force cosine top-k (the exactness baseline; broadcast query set)
 - LSH-bucketed approximate NN (random-hyperplane signs; deterministic
   planes shared with the oracle as literals)
-- embedding near-duplicate pairs (label-blocked cosine threshold)
+- embedding near-duplicate pairs (banded hyperplane-LSH blocking)
 
 All dot products via functions.vectors (JVM-side fold, bit-identical to the
 DuckDB oracle). At 100 TB: the query set broadcasts; candidate generation
