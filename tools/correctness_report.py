@@ -36,6 +36,14 @@ def main() -> None:
         # 184-query run those cached blocks would otherwise accumulate in
         # the one long-lived JVM and squeeze execution memory.
         spark.catalog.clearCache()
+        # ... and localCheckpoint/persist RDD blocks, which clearCache does
+        # NOT free: iterative operators (connected components, incremental
+        # dedup) pin materialized RDDs in the BlockManager for the session,
+        # and across a 200-query sweep the accumulated blocks squeeze
+        # execution memory mid-sweep (r10: q152 read 47 s mid-sweep vs
+        # 5-6.5 s in any fresh or stretch-replayed session).
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
         df = q.fn(spark, sf_dir)
         if q.oracle is None:
             n = df.count()

@@ -55,6 +55,14 @@ def main() -> None:
         # cached intermediates don't accumulate across the full registry
         # (costs ~ms; the per-query timings below are unaffected by it).
         spark.catalog.clearCache()
+        # ... and localCheckpoint/persist RDD blocks, which clearCache does
+        # NOT free: iterative operators (connected components, incremental
+        # dedup) pin materialized RDDs in the BlockManager for the session,
+        # and across a 200-query sweep the accumulated blocks squeeze
+        # execution memory mid-sweep (r10: q152 read 47 s mid-sweep vs
+        # 5-6.5 s in any fresh or stretch-replayed session).
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
         t0 = time.perf_counter()
         try:
             registry[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
