@@ -108,6 +108,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q218_fulfillment_latency",
     "q219_dimension_variance",
     "q220_itemset3_support",
+    "q221_weighted_median",
+    "q222_chi_square_independence",
+    "q223_activity_streaks",
+    "q224_transition_latency",
+    "q225_column_profile",
+    "q226_rank_fusion",
     # -- settlement-eligible (one more green settles)
     "q191_revenue_decile_lift",
     "q192_skyline_parts",
@@ -139,12 +145,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q124_pii_redaction",
     "q125_pagerank_part_supplier",
     "q126_live_stream_static_enrich",
-    "q127_canonical_selection",
-    "q128_winsorized_stats",
-    "q129_hard_negative_mining",
-    "q130_source_overlap_matrix",
-    "q131_live_session_windows",
-    "q132_countmin_heavy_hitters",
 )
 
 

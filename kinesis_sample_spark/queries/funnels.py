@@ -688,3 +688,126 @@ def q209_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_risk.cast("bigint").alias("n_at_risk"),
         (F.col("n_ended").cast("double") / at_risk).alias("hazard"),
     ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# q223 — longest consecutive-day activity streak per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q223_activity_streaks",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           datediff('day', DATE '1970-01-01', ts) AS d
+    FROM events
+),
+islands AS (
+    SELECT user_id, d,
+           d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+    FROM days
+),
+runs AS (
+    SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id ORDER BY user_id
+""",
+)
+def q223_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the engagement
+    metric behind every retention dashboard, and the day-granular
+    gaps-and-islands complement to q208's intra-day sessions. The
+    classic island key day - row_number(day) is constant exactly over a
+    consecutive run; all arithmetic is integer days since epoch.
+
+    Scale: the distinct (user, day) projection collapses the fact before
+    any window; one shuffle on user_id serves the row_number and both
+    aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).distinct()
+    islands = days.select(
+        "user_id",
+        "d",
+        (
+            F.col("d")
+            - F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+        ).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(F.count("*").alias("run_len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_active_days"),
+            F.max("run_len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — event-transition latency percentiles.
+# ---------------------------------------------------------------------------
+@query(
+    "q224_transition_latency",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us,
+           lag(event_type) OVER w AS from_type,
+           lag(epoch_us(ts)) OVER w AS from_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gaps AS (
+    SELECT from_type, event_type AS to_type, us - from_us AS gap_us
+    FROM seq WHERE from_type IS NOT NULL
+)
+SELECT from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+       quantile_cont(gap_us, 0.9) AS p90_gap_us
+FROM gaps GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+""",
+)
+def q224_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-next-event percentiles per (from, to) event-type
+    transition — q141 mines *which* transitions happen, this measures
+    *how fast* (the view->purchase latency a conversion team actually
+    tracks). Gaps are exact integer microseconds (unix_micros ≡ DuckDB
+    epoch_us); percentiles interpolate identical integers (q162 recipe).
+    Column names avoid DuckDB's reserved word `prior` (the q200 lesson).
+
+    Scale: one shuffle on user_id for the lag window, then a bounded
+    (type x type) aggregate — percentile state is per-transition-pair
+    sorted gaps, bounded domain at 25 pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        us.alias("us"),
+        F.lag("event_type").over(w).alias("from_type"),
+        F.lag(us).over(w).alias("from_us"),
+    )
+    gaps = seq.filter(F.col("from_type").isNotNull()).select(
+        "from_type", "to_type", (F.col("us") - F.col("from_us")).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("from_type", "to_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(gap_us, 0.5D)").alias("p50_gap_us"),
+            F.expr("percentile(gap_us, 0.9D)").alias("p90_gap_us"),
+        )
+        .orderBy("from_type", "to_type")
+    )

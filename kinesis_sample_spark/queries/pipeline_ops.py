@@ -622,3 +622,77 @@ def q196_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — per-column profiling audit (the ingest data-profile pass).
+# ---------------------------------------------------------------------------
+@query(
+    "q225_column_profile",
+    oracle="""
+WITH vals AS (
+    SELECT col_name, v FROM (
+        SELECT 'o_orderkey' AS col_name,
+               CAST(CAST(o_orderkey AS DECIMAL(18,0)) AS VARCHAR) AS v FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(CAST(o_custkey AS DECIMAL(18,0)) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+    ) u
+)
+SELECT col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_str,
+       MAX(v) AS max_str
+FROM vals GROUP BY col_name ORDER BY col_name
+""",
+)
+def q225_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling audit over ``orders`` — the data-profile pass
+    an ingest pipeline runs on every new drop (row count, null count,
+    distinct cardinality, lexicographic min/max) — via a stack/unpivot to
+    (column, value-string) rows. Numerics render through DECIMAL casts
+    and timestamps through a pinned format string, so both engines
+    produce byte-identical value strings (raw double->string rendering
+    differs between Java and DuckDB and is never used).
+
+    Scale: the unpivot multiplies rows by the profiled column count but
+    stays map-side; one shuffle to a 6-group aggregate. At true scale
+    profile per partition and merge (all five stats are mergeable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = [
+        ("o_orderkey", F.col("o_orderkey").cast("decimal(18,0)").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("decimal(18,0)").cast("string")),
+        ("o_totalprice", F.col("o_totalprice").cast("decimal(12,2)").cast("string")),
+        ("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+    ]
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("col_name"), expr.alias("v"))
+                for name, expr in pairs
+            ]
+        )
+    )
+    vals = orders.select(stack.alias("s")).select("s.col_name", "s.v")
+    return (
+        vals.groupBy("col_name")
+        .agg(
+            F.count("*").alias("n"),
+            (F.count("*") - F.count("v")).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("min_str"),
+            F.max("v").alias("max_str"),
+        )
+        .orderBy("col_name")
+    )

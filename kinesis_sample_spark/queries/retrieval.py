@@ -269,3 +269,86 @@ def q204_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(_IDX_TOP_TERMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — reciprocal-rank fusion of two document rankings.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 50
+
+
+@query(
+    "q226_rank_fusion",
+    oracle=f"""
+WITH ra AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+    FROM documents
+),
+rb AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY len(list_distinct(string_split(text, ' '))) DESC,
+                              doc_id) AS r
+    FROM documents
+),
+fused AS (
+    SELECT ra.doc_id,
+           CAST(round(1.0 / ({_RRF_K} + ra.r), 6) AS DECIMAL(18,6))
+         + CAST(round(1.0 / ({_RRF_K} + rb.r), 6) AS DECIMAL(18,6)) AS rrf,
+           ra.r AS rank_chars, rb.r AS rank_vocab
+    FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, CAST(CAST(rrf AS VARCHAR) AS DOUBLE) AS rrf, rank_chars, rank_vocab
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_TOP}
+""",
+)
+def q226_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two document
+    rankings — the standard way a retrieval pipeline merges BM25-style
+    and embedding-style result lists without score calibration: rrf(d) =
+    sum over rankings of 1/(k + rank_d), k=60. Here the two rankings are
+    length-by-chars and vocabulary-size (self-contained stand-ins with
+    the same shape as q154/q103 outputs). Each reciprocal is one double
+    division quantized round(.,6) -> DECIMAL, so the fusion sum is exact
+    in any order.
+
+    Scale: each ranking is a window over the corpus (at true scale a
+    top-k per ranking bounds the fused set); the fusion join is
+    doc-keyed, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ra = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rank_chars"),
+    )
+    rb = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.size(F.array_distinct(F.split("text", " "))).desc(), "doc_id"
+            )
+        )
+        .alias("rank_vocab"),
+    )
+    def recip(rank_col):
+        return F.round(F.lit(1.0) / (F.lit(_RRF_K) + F.col(rank_col)), 6).cast(
+            "decimal(18,6)"
+        )
+    return (
+        ra.join(rb, "doc_id")
+        .select(
+            "doc_id",
+            (recip("rank_chars") + recip("rank_vocab"))
+            .cast("double")
+            .alias("rrf"),
+            "rank_chars",
+            "rank_vocab",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )

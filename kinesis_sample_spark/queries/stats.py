@@ -1544,3 +1544,154 @@ def q217_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.abs(F.col("mom_mean") - F.col("plain_mean")).alias("abs_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — exact weighted median per group.
+# ---------------------------------------------------------------------------
+@query(
+    "q221_weighted_median",
+    oracle="""
+WITH w AS (
+    SELECT l_returnflag, l_extendedprice AS price,
+           CAST(l_quantity AS BIGINT) AS wt
+    FROM lineitem
+),
+cum AS (
+    SELECT l_returnflag, price, wt,
+           SUM(wt) OVER (PARTITION BY l_returnflag
+                         ORDER BY price, wt
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           SUM(wt) OVER (PARTITION BY l_returnflag) AS total_wt
+    FROM w
+)
+SELECT l_returnflag,
+       MIN(price) AS weighted_median,
+       CAST(MIN(total_wt) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * cw >= total_wt
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q221_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the group's total — what
+    a revenue-weighted "typical unit price" actually is (the unweighted
+    median over-counts small orders). Weights are integer quantities, so
+    the cumulative window, the doubled comparison (2*cw >= total, no
+    division) and the MIN-pick are all exact integer arithmetic; the
+    price passes through untouched.
+
+    Scale: one shuffle on the group key feeds both windows (same
+    partitioning); the post-filter MIN is the per-group reduction. At
+    extreme per-group cardinality swap the full sort for a two-pass
+    histogram bracket (q212's bridge) — the operator contract stays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wp = W.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt")
+        .over(wp.orderBy("price", "wt").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cw"),
+        F.sum("wt").over(wp).alias("total_wt"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("total_wt").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 — chi-square independence audit (event type x day-of-week).
+# ---------------------------------------------------------------------------
+@query(
+    "q222_chi_square_independence",
+    oracle=f"""
+WITH cell AS (
+    SELECT event_type,
+           datediff('day', DATE '1970-01-01', ts) % 7 AS dow_idx,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY event_type, datediff('day', DATE '1970-01-01', ts) % 7
+),
+margins AS (
+    SELECT c.event_type, c.dow_idx, c.o,
+           SUM(o) OVER (PARTITION BY event_type) AS row_total,
+           SUM(o) OVER (PARTITION BY dow_idx) AS col_total,
+           SUM(o) OVER () AS n
+    FROM cell c
+),
+terms AS (
+    SELECT event_type, dow_idx,
+           CAST(round(
+               (o - CAST(row_total AS DOUBLE) * col_total / n)
+             * (o - CAST(row_total AS DOUBLE) * col_total / n)
+             / (CAST(row_total AS DOUBLE) * col_total / n), 6)
+            AS DECIMAL(18,6)) AS term
+    FROM margins
+)
+SELECT {sql_double('SUM(term)')} AS chi2,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow_idx) - 1) AS BIGINT)
+         AS dof,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n
+FROM terms
+""",
+)
+def q222_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit between event type and
+    day-of-week — the contingency drift check (a seasonality-dependent
+    event mix fails it; complements q199's 1-D KS with a 2-D categorical
+    test). Day index = days-since-epoch mod 7 (identical integer on both
+    engines; avoids the engines' different dayofweek() origins). Each
+    cell's (o-e)^2/e runs in fixed-order double arithmetic and is
+    quantized round(.,6) -> DECIMAL before the sum, so the statistic is
+    order-independent (the q188/q194 rule, applied to a non-ln
+    transcendental-free term for the same reason: the SUM must commute).
+
+    Scale: one shuffle to the (type, dow) cells — bounded domain (35
+    cells) — then window margins over that tiny relation; the events
+    fact is touched once, map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) % 7)
+    cell = ev.groupBy(F.col("event_type"), dow.alias("dow_idx")).agg(
+        F.count("*").alias("o")
+    )
+    margins = cell.select(
+        "event_type",
+        "dow_idx",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_total"),
+        F.sum("o").over(W.partitionBy("dow_idx")).alias("col_total"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
+    terms = margins.select(
+        "event_type",
+        "dow_idx",
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    n_total = ev.agg(F.count("*").alias("n"))
+    return (
+        terms.agg(
+            F.sum("term").cast("double").alias("chi2"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("dow_idx") - 1)
+            )
+            .cast("bigint")
+            .alias("dof"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )

@@ -210,3 +210,65 @@ def test_cusum_third_impl(spark):
         assert r.n_days == n
         assert r.changepoint_day == best_day.to_pydatetime()
         assert abs(r.cusum - best_cusum) < 1e-6 * max(1.0, abs(best_cusum))
+
+
+def test_weighted_median_third_impl(spark):
+    rows = {r.l_returnflag: r for r in _run(spark, "q221_weighted_median")}
+    li = _pd("lineitem")
+    for flag, g in li.groupby("l_returnflag"):
+        pairs = sorted(zip(g["l_extendedprice"], g["l_quantity"].astype(int)))
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for price, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                break
+        assert rows[flag].weighted_median == price
+        assert rows[flag].total_weight == total
+
+
+def test_chi_square_third_impl(spark):
+    (r,) = _run(spark, "q222_chi_square_independence")
+    from collections import Counter
+
+    import pandas as pd
+
+    ev = _pd("events")
+    epoch = (ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    cells = Counter(zip(ev["event_type"], epoch % 7))
+    rows = Counter()
+    cols = Counter()
+    for (t, d), o in cells.items():
+        rows[t] += o
+        cols[d] += o
+    n = sum(cells.values())
+    chi2 = sum(
+        round((o - rows[t] * cols[d] / n) ** 2 / (rows[t] * cols[d] / n), 6)
+        for (t, d), o in cells.items()
+    )
+    assert r.n == n
+    assert r.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(r.chi2 - chi2) < 1e-6
+
+
+def test_activity_streaks_third_impl(spark):
+    rows = {r.user_id: r for r in _run(spark, "q223_activity_streaks")}
+    import pandas as pd
+
+    ev = _pd("events")
+    days_of = ev.groupby("user_id")["ts"].apply(
+        lambda s: sorted(set((s.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days))
+    )
+    for uid, days in days_of.items():
+        streaks, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        r = rows[uid]
+        assert r.n_active_days == len(days)
+        assert r.longest_streak == max(streaks)
+        assert r.n_streaks == len(streaks)
