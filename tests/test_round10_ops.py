@@ -272,3 +272,96 @@ def test_activity_streaks_third_impl(spark):
         assert r.n_active_days == len(days)
         assert r.longest_streak == max(streaks)
         assert r.n_streaks == len(streaks)
+
+
+def test_itemset3_third_impl(spark):
+    rows = [
+        (r.part_a, r.part_b, r.part_c, r.support)
+        for r in _run(spark, "q220_itemset3_support")
+    ]
+    li = _pd("lineitem")
+    from collections import Counter
+
+    baskets = {}
+    for o, p in set(zip(li["l_orderkey"], li["l_partkey"])):
+        baskets.setdefault(o, set()).add(p)
+    support = Counter()
+    for items in baskets.values():
+        if len(items) > MAX_BASKET:
+            continue
+        for tri in itertools.combinations(sorted(items), 3):
+            support[tri] += 1
+    expected = sorted(
+        ((a, b, c, n) for (a, b, c), n in support.items()),
+        key=lambda t: (-t[3], t[0], t[1], t[2]),
+    )[:100]
+    assert rows == expected
+
+
+def test_priority_canonical_third_impl(spark):
+    rows = {r.prefix_hash: r for r in _run(spark, "q210_priority_canonical")}
+    docs = _pd("documents")
+    import hashlib
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for _, d in docs.iterrows():
+        prefix = " ".join(d["text"].split(" ")[:3])
+        h = hashlib.md5(prefix.encode()).hexdigest()
+        prio = {"src0": 0, "src1": 1, "src2": 2}.get(d["source"], 9)
+        groups[h].append((prio, -int(d["n_chars"]), int(d["doc_id"]), d["source"]))
+    multi = {h: sorted(ms) for h, ms in groups.items() if len(ms) >= 2}
+    assert set(rows) == set(multi)
+    for h, ms in multi.items():
+        r = rows[h]
+        assert r.canonical_doc_id == ms[0][2]
+        assert r.canonical_source == ms[0][3]
+        assert r.n_members == len(ms)
+
+
+def test_cooccurrence_pmi_third_impl(spark):
+    rows = [
+        (r.token_a, r.token_b, r.c_ab, r.pmi)
+        for r in _run(spark, "q211_cooccurrence_pmi")
+    ]
+    docs = _pd("documents")
+    import math
+    from collections import Counter
+
+    doc_toks = [set(t.split(" ")) for t in docs["text"]]
+    df = Counter(tok for toks in doc_toks for tok in toks)
+    vocab = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    vset = {t for t, _ in vocab}
+    cnt = dict(vocab)
+    n_docs = len(doc_toks)
+    c_ab = Counter()
+    for toks in doc_toks:
+        present = sorted(toks & vset)
+        for a, b in itertools.combinations(present, 2):
+            c_ab[(a, b)] += 1
+    expected = sorted(
+        (
+            (a, b, n, float(round(math.log(n_docs * n / (cnt[a] * cnt[b])), 6)))
+            for (a, b), n in c_ab.items()
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:100]
+    got = [(a, b, n, round(p, 6)) for a, b, n, p in rows]
+    assert got == expected
+
+
+def test_dimension_variance_third_impl(spark):
+    rows = {r.dim: r for r in _run(spark, "q219_dimension_variance")}
+    import numpy as np
+
+    emb = _pd("embeddings")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n = mat.shape[0]
+    s = np.round(mat, 9).sum(axis=0)
+    ssq = np.round(mat * mat, 9).sum(axis=0)
+    var = (ssq - s * s / n) / n
+    top = sorted(range(mat.shape[1]), key=lambda i: (-var[i], i + 1))[:10]
+    assert set(rows) == {i + 1 for i in top}
+    for i in top:
+        assert abs(rows[i + 1].variance - var[i]) < 1e-9
+        assert rows[i + 1].n == n
