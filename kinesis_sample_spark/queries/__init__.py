@@ -114,6 +114,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q224_transition_latency",
     "q225_column_profile",
     "q226_rank_fusion",
+    "q227_pareto_coverage",
+    "q228_seasonality_index",
+    "q229_rfm_segmentation",
+    "q230_association_lift",
+    "q231_percent_of_parent",
+    "q232_vocab_growth",
+    "q233_dormant_parts",
+    "q234_semiadditive_eod",
     # -- settlement-eligible (one more green settles)
     "q191_revenue_decile_lift",
     "q192_skyline_parts",
@@ -137,14 +145,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q111_sequence_packing",
     "q117_gopher_quality_rules",
     "q118_train_split",
-    "q119_source_mixing_weights",
-    "q120_multiprobe_rerank",
-    "q121_label_centroids",
-    "q122_bloom_decontamination",
-    "q123_importance_weights",
-    "q124_pii_redaction",
-    "q125_pagerank_part_supplier",
-    "q126_live_stream_static_enrich",
 )
 
 

@@ -627,3 +627,61 @@ def q211_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "token_a", "token_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — vocabulary growth curve (Heaps'-law audit).
+# ---------------------------------------------------------------------------
+@query(
+    "q232_vocab_growth",
+    oracle="""
+WITH first_seen AS (
+    SELECT tok, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok
+),
+bounds AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+per_decile AS (
+    SELECT CAST((first_doc * 10) // n_docs AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS new_tokens
+    FROM first_seen, bounds
+    GROUP BY (first_doc * 10) // n_docs
+)
+SELECT decile, new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM per_decile ORDER BY decile
+""",
+)
+def q232_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law audit): per corpus decile
+    (by doc_id position), how many token types appear for the FIRST
+    time, and the cumulative vocabulary — sublinear growth is the
+    healthy-corpus signature; a late-decile spike means a new source or
+    language slipped in (the ingest-drift view of q193's per-doc
+    novelty). First-occurrence = MIN(doc_id) per token; all arithmetic
+    is integer (decile via integer floor-division).
+
+    Scale: one word-count-shaped shuffle to per-token minima
+    (vocabulary-sized, the same relation q204's index builds), then a
+    10-row window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    per_decile = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.floor((F.col("first_doc") * 10) / F.col("n_docs"))
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_decile.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("cum_vocab"),
+    ).orderBy("decile")

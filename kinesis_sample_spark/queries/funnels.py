@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
-from kinesis_sample_spark.functions.numeric import sql_double
+from kinesis_sample_spark.functions.numeric import dec, sql_double
 from kinesis_sample_spark.queries import query
 
 
@@ -810,4 +810,80 @@ def q224_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(gap_us, 0.9D)").alias("p90_gap_us"),
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — RFM segmentation (recency / frequency / monetary quintiles).
+# ---------------------------------------------------------------------------
+@query(
+    "q229_rfm_segmentation",
+    oracle=f"""
+WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+per_cust AS (
+    SELECT o_custkey,
+           datediff('day', MAX(o_orderdate), (SELECT d FROM maxd)) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, monetary,
+           ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+           ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+    FROM per_cust
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_double('SUM(monetary)')} AS total_monetary
+FROM scored GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+""",
+)
+def q229_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics staple: per customer,
+    recency (days since last order, vs the corpus max date so the query
+    is reproducible), frequency (order count) and monetary (exact
+    decimal revenue), each cut into quintiles (ntile over a fully
+    tie-broken order, so bucket assignment is deterministic on both
+    engines), then the (R,F,Q) cell census. Best cells (1,1,1) are the
+    champions; (5,5,*) the churned.
+
+    Scale: one shuffle to per-customer aggregates; the three ntile
+    windows are global sorts over the *customer* relation (dim-sized,
+    not fact-sized) — at extreme customer counts swap ntile for
+    percentile-bracket joins (q212's bridge shape); the cell census is
+    125 rows max."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("d"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(dec("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).alias("r_q"),
+        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_q"),
+        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
     )

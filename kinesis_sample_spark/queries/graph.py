@@ -365,3 +365,89 @@ def q220_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — association-rule lift/confidence over capped baskets.
+# ---------------------------------------------------------------------------
+@query(
+    "q230_association_lift",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+bounded AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_size
+        FROM op
+    ) s WHERE basket_size <= {MAX_BASKET}
+),
+item AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM bounded GROUP BY l_partkey
+),
+pair AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS c_ab
+    FROM bounded a JOIN bounded b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM bounded)
+SELECT part_a, part_b, c_ab,
+       CAST(ia.c AS BIGINT) AS c_a, CAST(ib.c AS BIGINT) AS c_b,
+       (CAST(n AS DOUBLE) * c_ab) / (ia.c * ib.c) AS lift,
+       CAST(c_ab AS DOUBLE) / ia.c AS confidence_a_to_b
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN nb
+WHERE c_ab >= 2
+ORDER BY lift DESC, part_a, part_b
+LIMIT 100
+""",
+)
+def q230_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift and confidence over the capped baskets —
+    the scoring step after q198's candidate pairs (lift > 1 = genuinely
+    bought together; q211 gives the log-scaled PMI view, this gives the
+    retailer's ratio view with no transcendental at all): lift = N*c_ab
+    / (c_a*c_b), confidence = c_ab/c_a, both single divisions of exact
+    integers, minimum support 2 so singleton coincidences never rank.
+
+    Scale: pair and item supports ride the same l_orderkey shuffle as
+    q198/q220 (the MAX_BASKET window cap bounds pair fan-out); the
+    support joins are pair-keyed equi-joins; top-100 is a TakeOrdered
+    heap merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sized = op.withColumn(
+        "basket_size", F.count("*").over(Window.partitionBy("l_orderkey"))
+    )
+    bounded = sized.filter(F.col("basket_size") <= MAX_BASKET).select(
+        "l_orderkey", "l_partkey"
+    )
+    item = bounded.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    pair = copurchase_pairs(op, "l_orderkey", "l_partkey").withColumnRenamed(
+        "n_orders", "c_ab"
+    )
+    nb = bounded.agg(F.countDistinct("l_orderkey").alias("n"))
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("c_ab") >= 2)
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            ((F.col("n").cast("double") * F.col("c_ab")) / (F.col("c_a") * F.col("c_b"))).alias("lift"),
+            (F.col("c_ab").cast("double") / F.col("c_a")).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(100)
+    )

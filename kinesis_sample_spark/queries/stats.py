@@ -1695,3 +1695,126 @@ def q222_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_total))
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — Pareto coverage: customers needed to reach 80% of revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "q227_pareto_coverage",
+    oracle=f"""
+WITH rev AS (
+    SELECT c_mktsegment, o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment, o_custkey
+),
+ranked AS (
+    SELECT c_mktsegment, rev,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY rev DESC, o_custkey) AS k,
+           SUM(rev) OVER (PARTITION BY c_mktsegment
+                          ORDER BY rev DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(rev) OVER (PARTITION BY c_mktsegment) AS total,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM rev
+)
+SELECT c_mktsegment,
+       CAST(MIN(n) AS BIGINT) AS n_customers,
+       CAST(MIN(k) AS BIGINT) AS k_for_80pct,
+       CAST(MIN(k) AS DOUBLE) / MIN(n) AS top_share
+FROM ranked
+WHERE 5 * cum >= 4 * total
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q227_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) coverage audit per market segment: the smallest
+    number of top customers whose cumulative revenue reaches 80% of the
+    segment's total — the single number behind "how concentrated is this
+    book of business" (q191 gives the decile curve, q213 the Gini; this
+    is the actionable cut point). The 80% threshold is the integer
+    cross-multiply 5*cum >= 4*total over exact decimal sums — no float
+    enters the filter; the final share is one division of exact counts.
+
+    Scale: same shape as q213 — one custkey co-shuffle, segment-bounded
+    rank windows, 5-row output."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    wp = W.partitionBy("c_mktsegment")
+    word = wp.orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = rev.select(
+        "c_mktsegment",
+        F.row_number().over(word).alias("k"),
+        F.sum("rev")
+        .over(word.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("rev").over(wp).alias("total"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        ranked.filter(F.lit(5) * F.col("cum") >= F.lit(4) * F.col("total"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("n").cast("bigint").alias("n_customers"),
+            F.min("k").cast("bigint").alias("k_for_80pct"),
+            (F.min("k").cast("double") / F.min("n")).alias("top_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — month-of-year seasonality index per order priority.
+# ---------------------------------------------------------------------------
+@query(
+    "q228_seasonality_index",
+    oracle=f"""
+WITH monthly AS (
+    SELECT o_orderpriority, CAST(month(o_orderdate) AS INTEGER) AS m,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority, month(o_orderdate)
+)
+SELECT o_orderpriority, m,
+       {sql_double('rev')} AS revenue,
+       n_orders,
+       12.0 * {sql_double('rev')}
+         / {sql_double('SUM(rev) OVER (PARTITION BY o_orderpriority)')}
+         AS seasonal_index
+FROM monthly
+ORDER BY o_orderpriority, m
+""",
+)
+def q228_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index per order priority: each month's
+    revenue relative to a flat-seasonality expectation (index = 12 *
+    month / total; 1.0 = no seasonality) — the demand-planning view that
+    feeds q216's change-point detection with a periodic baseline. Sums
+    are exact decimals; the index is fixed-order double ops on
+    VARCHAR-path values.
+
+    Scale: one shuffle to the (priority, month) grid — bounded at 60
+    cells — and a window over that grid; the fact is touched once."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority", F.month("o_orderdate").alias("m")
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    total = F.sum("rev").over(W.partitionBy("o_orderpriority")).cast("double")
+    return monthly.select(
+        "o_orderpriority",
+        "m",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        (F.lit(12.0) * F.col("rev").cast("double") / total).alias("seasonal_index"),
+    ).orderBy("o_orderpriority", "m")

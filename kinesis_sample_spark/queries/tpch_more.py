@@ -632,3 +632,127 @@ def q218_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — percent-of-parent hierarchical revenue shares (region > nation).
+# ---------------------------------------------------------------------------
+@query(
+    "q231_percent_of_parent",
+    oracle=f"""
+WITH nat AS (
+    SELECT r_name, n_name,
+           SUM({_SQL_DISC_PRICE}) AS rev
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(rev) OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE)
+         AS share_of_region,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE)
+         AS share_of_total
+FROM nat
+ORDER BY r_name, n_name
+""",
+)
+def q231_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical shares — the BI drill-down
+    companion to q11's rollup: each nation's discounted supplier revenue
+    as a share of its region and of the world, via two windows at
+    different grouping levels over one aggregate (never a second scan).
+    Sums are exact decimals; each share is one division of
+    VARCHAR-path doubles.
+
+    Scale: the fact co-shuffles once on the nation grain (dims
+    broadcast); both percent windows run over the nation-cardinality
+    relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nat = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_disc_price()).alias("rev"))
+    )
+    rev_d = F.col("rev").cast("double")
+    region_total = F.sum("rev").over(W.partitionBy("r_name")).cast("double")
+    grand_total = F.sum("rev").over(W.partitionBy()).cast("double")
+    return nat.select(
+        "r_name",
+        "n_name",
+        rev_d.alias("revenue"),
+        (rev_d / region_total).alias("share_of_region"),
+        (rev_d / grand_total).alias("share_of_total"),
+    ).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# q233 — dormant-parts audit (sold before the cutoff, silent after).
+# ---------------------------------------------------------------------------
+_DORMANT_CUTOFF = "2000-01-01 00:00:00"
+
+
+@query(
+    "q233_dormant_parts",
+    oracle=f"""
+WITH act AS (
+    SELECT l_partkey, MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS lifetime_rev
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_sold,
+       CAST(SUM(CASE WHEN last_ship < TIMESTAMP '{_DORMANT_CUTOFF}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dormant,
+       CAST(SUM(CASE WHEN last_ship < TIMESTAMP '{_DORMANT_CUTOFF}'
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dormant_rate,
+       CAST(CAST(SUM(CASE WHEN last_ship < TIMESTAMP '{_DORMANT_CUTOFF}'
+                          THEN lifetime_rev END) AS VARCHAR) AS DOUBLE)
+         AS dormant_lifetime_rev
+FROM act JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def q233_dormant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant-catalog audit per brand: parts that sold at least once but
+    have shipped nothing since the cutoff — the slow-mover /
+    discontinuation report (and, for a corpus, the "stale shard"
+    detector: content present historically with zero recent activity).
+    Per-part min/max/revenue in one aggregate, then a NULL-skipping
+    conditional decimal sum per brand; the rate is one division of exact
+    counts.
+
+    Scale: one shuffle on l_partkey for the per-part profile, broadcast
+    part dim, brand-bounded output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    act = li.groupBy("l_partkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.sum(dec("l_extendedprice")).alias("lifetime_rev"),
+    )
+    cutoff = F.lit(_DORMANT_CUTOFF).cast("timestamp")
+    dormant = F.when(F.col("last_ship") < cutoff, 1).otherwise(0)
+    return (
+        act.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts_sold"),
+            F.sum(dormant).cast("bigint").alias("n_dormant"),
+            (F.sum(dormant).cast("double") / F.count("*")).alias("dormant_rate"),
+            F.sum(F.when(F.col("last_ship") < cutoff, F.col("lifetime_rev")))
+            .cast("double")
+            .alias("dormant_lifetime_rev"),
+        )
+        .orderBy("p_brand")
+    )

@@ -362,3 +362,71 @@ def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — semi-additive end-of-day rollup (last value per user per day).
+# ---------------------------------------------------------------------------
+@query(
+    "q234_semiadditive_eod",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id,
+           datediff('day', DATE '1970-01-01', ts) AS d,
+           value,
+           ROW_NUMBER() OVER (PARTITION BY user_id,
+                                           datediff('day', DATE '1970-01-01', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+),
+eod AS (
+    SELECT user_id, d,
+           CAST(round(value, 6) AS DECIMAL(18,6)) AS eod_value
+    FROM ranked WHERE rn = 1
+)
+SELECT d AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(eod_value) AS VARCHAR) AS DOUBLE) AS eod_total
+FROM eod GROUP BY d ORDER BY d
+""",
+)
+def q234_semiadditive_eod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure rollup — the balance-sheet pattern every
+    warehouse needs and naive SUM gets wrong: a user's ``value`` is a
+    level, not a flow, so per day you take each user's LAST observation
+    (row_number over a fully tie-broken descending order) and only then
+    sum across users. Values are quantized round(.,6) -> DECIMAL before
+    the cross-user sum, so the total is exact in any partition order;
+    the day key is integer days-since-epoch.
+
+    Scale: one shuffle on user_id serves the per-(user, day) top-1
+    window; the per-day aggregate is bounded by the date domain. This is
+    the batch shape of the streaming last-state queries (q171/q82) —
+    same semantics, no state store."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    ranked = ev.select(
+        "user_id",
+        d.alias("d"),
+        "value",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id", d.alias("d2")).orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    eod = ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        "d",
+        F.round("value", 6).cast("decimal(18,6)").alias("eod_value"),
+    )
+    return (
+        eod.groupBy(F.col("d").alias("day_idx"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("eod_value").cast("double").alias("eod_total"),
+        )
+        .orderBy("day_idx")
+    )
