@@ -365,3 +365,81 @@ def test_dimension_variance_third_impl(spark):
     for i in top:
         assert abs(rows[i + 1].variance - var[i]) < 1e-9
         assert rows[i + 1].n == n
+
+
+def test_pareto_coverage_third_impl(spark):
+    rows = {r.c_mktsegment: r for r in _run(spark, "q227_pareto_coverage")}
+    orders, cust = _pd("orders"), _pd("customer")
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    from collections import defaultdict
+
+    rev = defaultdict(lambda: defaultdict(int))
+    for _, o in orders.iterrows():
+        rev[seg_of[o["o_custkey"]]][int(o["o_custkey"])] += round(
+            o["o_totalprice"] * 100
+        )  # cents
+    for seg, per_cust in rev.items():
+        xs = sorted(per_cust.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(v for _, v in xs)
+        cum = 0
+        for k, (_, v) in enumerate(xs, start=1):
+            cum += v
+            if 5 * cum >= 4 * total:
+                break
+        r = rows[seg]
+        assert r.n_customers == len(xs)
+        assert r.k_for_80pct == k
+        assert abs(r.top_share - k / len(xs)) < 1e-15
+
+
+def test_association_lift_third_impl(spark):
+    rows = [
+        (r.part_a, r.part_b, r.c_ab, r.c_a, r.c_b)
+        for r in _run(spark, "q230_association_lift")
+    ]
+    li = _pd("lineitem")
+    from collections import Counter
+
+    baskets = {}
+    for o, p in set(zip(li["l_orderkey"], li["l_partkey"])):
+        baskets.setdefault(o, set()).add(p)
+    bounded = {o: it for o, it in baskets.items() if len(it) <= MAX_BASKET}
+    item = Counter(p for it in bounded.values() for p in it)
+    pair = Counter()
+    for it in bounded.values():
+        for a, b in itertools.combinations(sorted(it), 2):
+            pair[(a, b)] += 1
+    n = len(bounded)
+    scored = [
+        (a, b, c, item[a], item[b], n * c / (item[a] * item[b]))
+        for (a, b), c in pair.items()
+        if c >= 2
+    ]
+    expected = [
+        t[:5] for t in sorted(scored, key=lambda t: (-t[5], t[0], t[1]))[:100]
+    ]
+    assert rows == expected
+
+
+def test_semiadditive_eod_third_impl(spark):
+    rows = {r.day_idx: r for r in _run(spark, "q234_semiadditive_eod")}
+    import pandas as pd
+
+    ev = _pd("events")
+    ev = ev.assign(d=(ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days)
+    from collections import defaultdict
+
+    last = {}
+    for _, e in ev.iterrows():
+        key = (int(e["user_id"]), int(e["d"]))
+        stamp = (e["ts"], int(e["event_id"]))
+        if key not in last or stamp > last[key][0]:
+            last[key] = (stamp, round(float(e["value"]), 6))
+    per_day = defaultdict(list)
+    for (_, d), (_, v) in last.items():
+        per_day[d].append(v)
+    for d, vals in per_day.items():
+        r = rows[d]
+        assert r.n_users == len(vals)
+        # decimal(18,6) exact sum == sum of round(.,6) floats within fp eps
+        assert abs(r.eod_total - sum(vals)) < 1e-6
