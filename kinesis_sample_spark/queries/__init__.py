@@ -54,22 +54,24 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # settlement-eligible. This round-10 window is exactly what
 # tools/settlement_report.py --write computed from CORRECTNESS_r01-r09
 # (no r09 failures, so no mandatory failure slots):
-#   15 slots — the round-10 additions (never-green, mandatory):
-#              q206 Q17 correlated avg, q207 Q20 semi chain, q208
-#              session bounce/dwell, q209 survival hazard, q210
-#              priority canonical, q211 co-occurrence PMI, q212
-#              percentile bridge, q213 Gini, q214 HHI, q215 Benford,
-#              q216 CUSUM change-point, q217 median-of-means, q218
-#              fulfillment latency, q219 dimension variance, q220
-#              3-itemset support.
+#   29 slots — the round-10 additions (never-green, mandatory),
+#              landed in three batches: q206-q220 (Q17 correlated avg,
+#              Q20 semi chain, session bounce/dwell, survival hazard,
+#              priority canonical, co-occurrence PMI, percentile
+#              bridge, Gini, HHI, Benford, CUSUM, median-of-means,
+#              fulfillment latency, dimension variance, 3-itemsets),
+#              q221-q226 (weighted median, chi-square independence,
+#              activity streaks, transition latency, column profile,
+#              rank fusion), q227-q234 (Pareto coverage, seasonality
+#              index, RFM, association lift, percent-of-parent, vocab
+#              growth, dormant parts, semi-additive EOD rollup).
 #   15 slots — the settlement-eligible set (green r09, unsettled):
 #              q191-q205. One more green row settles each
 #              (settled -> 109).
-#   20 slots — minimum-evidence backfills (oldest evidence first):
-#              q108-q111, q117-q132 minus the batch-displaced tail.
-#              The 15 backfills displaced by the new batch (q133-q150
-#              range) were once-green only, so no settlement streak was
-#              lost.
+#    6 slots — minimum-evidence backfills (oldest evidence first):
+#              q108-q111, q117, q118. The 29 backfills displaced by the
+#              new batches were once-green only, so no settlement
+#              streak was lost.
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -78,9 +80,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # to a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
 #
-# If r10 lands 50/50: settled -> 109, and the r11 rotation settles the
-# 15 new queries + re-queues the displaced backfills; full registry
-# settles ~r13.
+# If r10 lands 50/50: settled -> 109, and the r11 rotation makes the
+# 29 round-10 queries settlement-eligible + re-queues the displaced
+# backfills; full registry settles ~r13-r14.
 #
 # ROTATION RULE (mechanical, post-r07): run
 #   python tools/settlement_report.py --write
