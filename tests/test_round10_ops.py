@@ -443,3 +443,42 @@ def test_semiadditive_eod_third_impl(spark):
         assert r.n_users == len(vals)
         # decimal(18,6) exact sum == sum of round(.,6) floats within fp eps
         assert abs(r.eod_total - sum(vals)) < 1e-6
+
+
+def test_pair_counts_property(spark):
+    """Derandomized hypothesis sweep: bounded_baskets + pair_counts must
+    match the itertools reference for arbitrary basket shapes, including
+    baskets exactly at, below, and above the cap."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_sample_spark.queries.graph import bounded_baskets, pair_counts
+
+    edges_strategy = st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 40)),
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(
+        max_examples=int(os.environ.get("SPARK_GRAFT_PROPERTY_EXAMPLES", "8")),
+        derandomize=True,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=edges_strategy, cap=st.integers(1, 12))
+    def prop(edges, cap):
+        df = spark.createDataFrame(
+            list(set(edges)), "l_orderkey int, l_partkey int"
+        )
+        got = {
+            (r.part_a, r.part_b): r.n_orders
+            for r in pair_counts(
+                bounded_baskets(df, "l_orderkey", cap), "l_orderkey", "l_partkey"
+            ).collect()
+        }
+        assert got == dict(_brute_pairs(edges, cap))
+
+    prop()
