@@ -482,3 +482,134 @@ def test_pair_counts_property(spark):
         assert got == dict(_brute_pairs(edges, cap))
 
     prop()
+
+
+def _ntile(keys, k=5):
+    """Standard SQL ntile: first (n % k) buckets get one extra row.
+    ``keys`` is the fully tie-broken sort order."""
+    n = len(keys)
+    base, extra = divmod(n, k)
+    out, i = {}, 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= extra else 0)
+        for key in keys[i : i + size]:
+            out[key] = b
+        i += size
+    return out
+
+
+def test_rfm_segmentation_third_impl(spark):
+    rows = {(r.r_q, r.f_q, r.m_q): r for r in _run(spark, "q229_rfm_segmentation")}
+    orders = _pd("orders")
+    from collections import Counter, defaultdict
+
+    last, freq, monet = {}, Counter(), defaultdict(int)
+    for _, o in orders.iterrows():
+        c = int(o["o_custkey"])
+        freq[c] += 1
+        monet[c] += round(o["o_totalprice"] * 100)  # cents
+        if c not in last or o["o_orderdate"] > last[c]:
+            last[c] = o["o_orderdate"]
+    maxd = max(last.values())
+    rec = {c: (maxd - d).days for c, d in last.items()}
+    custs = list(freq)
+    r_q = _ntile(sorted(custs, key=lambda c: (rec[c], c)))
+    f_q = _ntile(sorted(custs, key=lambda c: (-freq[c], c)))
+    m_q = _ntile(sorted(custs, key=lambda c: (-monet[c], c)))
+    cells = defaultdict(lambda: [0, 0])
+    for c in custs:
+        cell = cells[(r_q[c], f_q[c], m_q[c])]
+        cell[0] += 1
+        cell[1] += monet[c]
+    assert set(rows) == set(cells)
+    for cell, (n, cents) in cells.items():
+        assert rows[cell].n_customers == n
+        assert abs(rows[cell].total_monetary - cents / 100.0) < 1e-6
+
+
+def test_hhi_third_impl(spark):
+    rows = {r.n_name: r for r in _run(spark, "q214_hhi_concentration")}
+    li, supp, nation = _pd("lineitem"), _pd("supplier"), _pd("nation")
+    nation_of = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    from collections import defaultdict
+
+    rev = defaultdict(lambda: defaultdict(int))
+    for _, l in li.iterrows():
+        nk = nation_of[l["l_suppkey"]]
+        rev[nk][int(l["l_suppkey"])] += round(l["l_extendedprice"] * 100)  # cents
+    for nk, per_supp in rev.items():
+        total = sum(per_supp.values())
+        hhi = sum(v * v for v in per_supp.values()) / (total * total)
+        r = rows[name_of[nk]]
+        assert r.n_suppliers == len(per_supp)
+        assert abs(r.hhi - hhi) < 1e-12
+
+
+def test_rank_fusion_third_impl(spark):
+    rows = [(r.doc_id, r.rank_chars, r.rank_vocab) for r in _run(spark, "q226_rank_fusion")]
+    docs = _pd("documents")
+    recs = [
+        (int(d["doc_id"]), int(d["n_chars"]), len(set(d["text"].split(" "))))
+        for _, d in docs.iterrows()
+    ]
+    ra = {doc: i + 1 for i, (doc, _, _) in enumerate(sorted(recs, key=lambda t: (-t[1], t[0])))}
+    rb = {doc: i + 1 for i, (doc, _, _) in enumerate(sorted(recs, key=lambda t: (-t[2], t[0])))}
+    fused = sorted(
+        (
+            (round(1.0 / (60 + ra[doc]), 6) + round(1.0 / (60 + rb[doc]), 6), doc)
+            for doc, _, _ in recs
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    assert rows == [(doc, ra[doc], rb[doc]) for _, doc in fused]
+
+
+def test_percent_of_parent_third_impl(spark):
+    rows = {(r.r_name, r.n_name): r for r in _run(spark, "q231_percent_of_parent")}
+    li, supp = _pd("lineitem"), _pd("supplier")
+    nation, region = _pd("nation"), _pd("region")
+    nk_of = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    rkey = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    from collections import defaultdict
+
+    # exact cents * (10000 - discount-bps) integer arithmetic mirrors the
+    # DECIMAL(12,2)*(1-DECIMAL(6,4)) product: units of 1e-6 currency
+    rev = defaultdict(int)
+    for _, l in li.iterrows():
+        nk = nk_of[l["l_suppkey"]]
+        cents = round(l["l_extendedprice"] * 100)
+        bps = round(l["l_discount"] * 10000)
+        rev[(rname[rkey[nk]], nname[nk])] += cents * (10000 - bps)
+    grand = sum(rev.values())
+    region_tot = defaultdict(int)
+    for (rn, _), v in rev.items():
+        region_tot[rn] += v
+    for key, v in rev.items():
+        r = rows[key]
+        assert abs(r.revenue - v / 1e6) < 1e-6 * max(1.0, v / 1e6)
+        assert abs(r.share_of_region - v / region_tot[key[0]]) < 1e-12
+        assert abs(r.share_of_total - v / grand) < 1e-12
+
+
+def test_nested_semi_chain_third_impl(spark):
+    rows = [(r.s_name, r.n_name) for r in _run(spark, "q207_nested_semi_chain")]
+    li, part, supp = _pd("lineitem"), _pd("part"), _pd("supplier")
+    nation = _pd("nation")
+    red = set(part[part["p_name"].str.startswith("red ")]["p_partkey"])
+    from collections import defaultdict
+
+    qty = defaultdict(float)
+    for _, l in li.iterrows():
+        if l["l_partkey"] in red:
+            qty[(int(l["l_suppkey"]), int(l["l_partkey"]))] += l["l_quantity"]
+    movers = {s for (s, _), q in qty.items() if q > 90}
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    expected = sorted(
+        (s["s_name"], nname[s["s_nationkey"]])
+        for _, s in supp.iterrows()
+        if s["s_suppkey"] in movers
+    )
+    assert rows == expected
