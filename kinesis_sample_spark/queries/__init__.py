@@ -54,8 +54,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # settlement-eligible. This round-10 window is exactly what
 # tools/settlement_report.py --write computed from CORRECTNESS_r01-r09
 # (no r09 failures, so no mandatory failure slots):
-#   29 slots — the round-10 additions (never-green, mandatory),
-#              landed in three batches: q206-q220 (Q17 correlated avg,
+#   32 slots — the round-10 additions (never-green, mandatory),
+#              landed in four batches: q206-q220 (Q17 correlated avg,
 #              Q20 semi chain, session bounce/dwell, survival hazard,
 #              priority canonical, co-occurrence PMI, percentile
 #              bridge, Gini, HHI, Benford, CUSUM, median-of-means,
@@ -64,14 +64,15 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              activity streaks, transition latency, column profile,
 #              rank fusion), q227-q234 (Pareto coverage, seasonality
 #              index, RFM, association lift, percent-of-parent, vocab
-#              growth, dormant parts, semi-additive EOD rollup).
+#              growth, dormant parts, semi-additive EOD rollup),
+#              q235-q237 (OHLC bars, new-vs-returning census,
+#              brand-affinity matrix).
 #   15 slots — the settlement-eligible set (green r09, unsettled):
 #              q191-q205. One more green row settles each
 #              (settled -> 109).
-#    6 slots — minimum-evidence backfills (oldest evidence first):
-#              q108-q111, q117, q118. The 29 backfills displaced by the
-#              new batches were once-green only, so no settlement
-#              streak was lost.
+#    3 slots — minimum-evidence backfills (oldest evidence first):
+#              q108-q110. The 32 backfills displaced by the new batches
+#              were once-green only, so no settlement streak was lost.
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -81,7 +82,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # strictly-less-evidenced query may sit outside the window).
 #
 # If r10 lands 50/50: settled -> 109, and the r11 rotation makes the
-# 29 round-10 queries settlement-eligible + re-queues the displaced
+# 32 round-10 queries settlement-eligible + re-queues the displaced
 # backfills; full registry settles ~r13-r14.
 #
 # ROTATION RULE (mechanical, post-r07): run
@@ -124,6 +125,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q232_vocab_growth",
     "q233_dormant_parts",
     "q234_semiadditive_eod",
+    "q235_ohlc_bars",
+    "q236_new_vs_returning",
+    "q237_brand_affinity",
     # -- settlement-eligible (one more green settles)
     "q191_revenue_decile_lift",
     "q192_skyline_parts",
@@ -144,9 +148,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
     "q110_funnel_conversion",
-    "q111_sequence_packing",
-    "q117_gopher_quality_rules",
-    "q118_train_split",
 )
 
 

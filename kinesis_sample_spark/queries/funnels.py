@@ -887,3 +887,59 @@ def q229_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — new vs returning daily active users.
+# ---------------------------------------------------------------------------
+@query(
+    "q236_new_vs_returning",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           datediff('day', DATE '1970-01-01', ts) AS d
+    FROM events
+),
+first_day AS (
+    SELECT user_id, MIN(d) AS f FROM ud GROUP BY user_id
+)
+SELECT d AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN d = f THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN d > f THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM ud JOIN first_day USING (user_id)
+GROUP BY d ORDER BY d
+""",
+)
+def q236_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active user census — the growth-accounting
+    view product analytics leads with (q109's cohort triangle collapsed
+    to its diagonal readout): per day, actives split by whether it is
+    the user's first-ever active day. Pure integer day arithmetic; the
+    first-seen relation is user-dimension-sized.
+
+    Scale: distinct (user, day) collapses the fact; first-seen is one
+    user-keyed aggregate that joins back on the same key (one shuffle,
+    reused), and the daily census is bounded by the date domain."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("d").alias("f"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy(F.col("d").alias("day_idx"))
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(F.when(F.col("d") == F.col("f"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("f"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day_idx")
+    )

@@ -458,3 +458,68 @@ def q230_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — brand-affinity matrix (co-purchase projected to brand grain).
+# ---------------------------------------------------------------------------
+@query(
+    "q237_brand_affinity",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+bounded AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_size
+        FROM op
+    ) s WHERE basket_size <= {MAX_BASKET}
+),
+ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM bounded JOIN part ON p_partkey = l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 100
+""",
+)
+def q237_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-affinity matrix: q198's co-purchase projection lifted to the
+    bounded-cardinality brand grain (the heat-map a merchandiser reads;
+    for a corpus, the source-cosampling matrix) — dedup to distinct
+    (order, brand) FIRST so two parts of the same brand in one basket
+    count once, then the ordered pair count. The part->brand lookup is a
+    broadcast dim join before the self-join.
+
+    Scale: same single orderkey shuffle as q198/q220/q230 (the cap rides
+    it); the brand pair space is bounded by brand cardinality squared,
+    so the aggregate state is constant at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    bounded = bounded_baskets(op, "l_orderkey")
+    ob = (
+        bounded.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(100)
+    )

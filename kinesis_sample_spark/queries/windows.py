@@ -430,3 +430,71 @@ def q234_semiadditive_eod(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — OHLC downsampling bars (open/high/low/close per day).
+# ---------------------------------------------------------------------------
+@query(
+    "q235_ohlc_bars",
+    oracle="""
+WITH seq AS (
+    SELECT datediff('day', DATE '1970-01-01', ts) AS d,
+           value,
+           ROW_NUMBER() OVER (PARTITION BY datediff('day', DATE '1970-01-01', ts)
+                              ORDER BY ts, event_id) AS rn_open,
+           ROW_NUMBER() OVER (PARTITION BY datediff('day', DATE '1970-01-01', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM events
+)
+SELECT d AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(CAST(round(MIN(CASE WHEN rn_open = 1 THEN value END), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS open,
+       CAST(CAST(CAST(round(MAX(value), 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS high,
+       CAST(CAST(CAST(round(MIN(value), 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS low,
+       CAST(CAST(CAST(round(MIN(CASE WHEN rn_close = 1 THEN value END), 6)
+            AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS close
+FROM seq GROUP BY d ORDER BY d
+""",
+)
+def q235_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the time-series bar aggregation every metrics
+    store needs: per day, the first (open), max (high), min (low) and
+    last (close) observation of ``value``. First/last are pinned by
+    fully tie-broken row_number windows in BOTH directions (never
+    first_value over an unspecified frame, never min_by with
+    nondeterministic ties); outputs are round(.,6) -> DECIMAL so the
+    hash is rendering-stable.
+
+    Scale: the two windows share one shuffle on the day key; the bar
+    aggregate is bounded by the date domain. Per-symbol bars at 100 TB
+    partition by (symbol, day) the same way."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    wd = W.partitionBy(d)
+    seq = ev.select(
+        d.alias("d"),
+        "value",
+        F.row_number().over(wd.orderBy("ts", "event_id")).alias("rn_open"),
+        F.row_number()
+        .over(wd.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_close"),
+    )
+
+    def dec6(col):
+        # quantize for rendering stability, then surface as double (the
+        # dtype gate compares pandas dtypes; DECIMAL arrives as object)
+        return F.round(col, 6).cast("decimal(18,6)").cast("double")
+
+    return (
+        seq.groupBy(F.col("d").alias("day_idx"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec6(F.min(F.when(F.col("rn_open") == 1, F.col("value")))).alias("open"),
+            dec6(F.max("value")).alias("high"),
+            dec6(F.min("value")).alias("low"),
+            dec6(F.min(F.when(F.col("rn_close") == 1, F.col("value")))).alias("close"),
+        )
+        .orderBy("day_idx")
+    )
