@@ -613,3 +613,42 @@ def test_nested_semi_chain_third_impl(spark):
         if s["s_suppkey"] in movers
     )
     assert rows == expected
+
+
+def test_ohlc_third_impl(spark):
+    rows = {r.day_idx: r for r in _run(spark, "q235_ohlc_bars")}
+    import pandas as pd
+
+    ev = _pd("events")
+    ev = ev.assign(d=(ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days)
+    for d, g in ev.groupby("d"):
+        ordered = sorted(zip(g["ts"], g["event_id"], g["value"]))
+        r = rows[d]
+        assert r.n_events == len(ordered)
+        assert r.open == round(ordered[0][2], 6)
+        assert r.close == round(ordered[-1][2], 6)
+        assert r.high == round(max(g["value"]), 6)
+        assert r.low == round(min(g["value"]), 6)
+
+
+def test_new_vs_returning_third_impl(spark):
+    rows = {r.day_idx: r for r in _run(spark, "q236_new_vs_returning")}
+    import pandas as pd
+    from collections import defaultdict
+
+    ev = _pd("events")
+    ev = ev.assign(d=(ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days)
+    ud = set(zip(ev["user_id"], ev["d"]))
+    first = {}
+    for u, d in ud:
+        if u not in first or d < first[u]:
+            first[u] = d
+    per_day = defaultdict(lambda: [0, 0])
+    for u, d in ud:
+        per_day[d][0 if d == first[u] else 1] += 1
+    for d, (new, ret) in per_day.items():
+        r = rows[d]
+        assert r.new_users == new
+        assert r.returning_users == ret
+        assert r.active_users == new + ret
+    assert sum(v[0] for v in per_day.values()) == len(first)
