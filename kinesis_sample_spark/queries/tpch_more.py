@@ -489,11 +489,17 @@ WHERE l_quantity < qty_threshold
 """,
 )
 def q206_correlated_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: revenue lost to small-quantity ("fragmented")
-    orders — lineitems of one brand whose quantity is below 20% of that
-    part's average quantity, summed and annualized (/7). The classic
-    correlated scalar subquery, decorrelated into a per-part aggregate
-    joined back to the fact.
+    """TPC-H Q17 at its published parameters: revenue lost to
+    small-quantity ("fragmented") orders — lineitems of ONE BRAND whose
+    quantity is below 20% of that part's average, summed and annualized
+    (/7). Third member of the deliberate Q17 family, each pinning a
+    different engine path: q46 keeps the correlated scalar subquery in
+    SQL (exercises Catalyst's decorrelation itself), q90 decorrelates by
+    hand over the UNFILTERED fact at a 50% threshold (the heavy-hitter
+    variant), and this one adds the selective dim prefilter — the plan
+    property under test is that the brand filter BROADCASTS into the
+    fact scan before any aggregation (asserted in
+    tests/test_plans_round10.py), which neither sibling exhibits.
 
     Determinism: quantities are integer-valued doubles, so SUM/COUNT is
     exact in any order; /5.0 and /7.0 are single IEEE ops; revenue sums
@@ -551,7 +557,13 @@ def q207_nested_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (no partsupp table in the fixture, see
     FIXTURES.md): suppliers who moved a large volume (> 90 units) of any
     'red'-named part — the nested IN-subquery-with-HAVING chain,
-    decorrelated to filter -> aggregate -> semi-join.
+    decorrelated to filter -> aggregate -> semi-join. Differs from q91
+    (the same chain collapsed to its minimal form) in what it pins:
+    here the semi-join target is the supplier DIM enriched through a
+    broadcast nation join, and the plan contract is LeftSemi — supplier
+    rows must be provably un-duplicatable (asserted in
+    tests/test_plans_round10.py); q91 gates the aggregate-threshold
+    arithmetic instead.
 
     Scale: the part-name filter broadcasts into the fact scan; the
     (supplier, part) volume aggregate shuffles the filtered fact once;
