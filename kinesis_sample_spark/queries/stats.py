@@ -1135,10 +1135,12 @@ def q212_percentile_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable sketch a 1000-executor job actually ships (per-partition
     histograms combine by adding counts — unlike exact percentile state,
     which is all values), and linear interpolation inside the target bin
-    recovers the percentile estimate. This query computes the estimate
-    AND the exact percentile side by side with the absolute error — the
-    calibration audit that tells you whether 20 bins is enough before
-    you swap the exact operator out at scale.
+    recovers the percentile estimate. q159 gates the sketch itself
+    (global, 128 bins); what THIS query adds is the calibration audit —
+    the estimate AND the exact percentile side by side with the absolute
+    error, per group at a deliberately coarse 20 bins, so the error
+    column is non-trivial and tells you whether the bin budget is enough
+    before you swap the exact operator out at scale.
 
     Determinism: bin width/index, interpolation, and the exact
     percentile (q162 recipe) are all fixed-order IEEE ops over identical
