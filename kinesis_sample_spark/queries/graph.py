@@ -172,7 +172,8 @@ def q150_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct's shuffle output is already reused across them
         # (ReusedExchange) — an A/B at sf0.1 measured persist SLOWER
         # (10.9 s vs 8.5 s): cache materialization cost more than the
-        # recompute it avoided
+        # recompute it avoided. localCheckpoint retried in r10: also no
+        # win (6.5/8.0 s vs 7.5/6.4 s baseline — inside noise); leave
     )
     deg = (
         e.select(F.col("u").alias("node"))
