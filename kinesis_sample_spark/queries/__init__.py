@@ -54,8 +54,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # settlement-eligible. This round-10 window is exactly what
 # tools/settlement_report.py --write computed from CORRECTNESS_r01-r09
 # (no r09 failures, so no mandatory failure slots):
-#   32 slots — the round-10 additions (never-green, mandatory),
-#              landed in four batches: q206-q220 (Q17 correlated avg,
+#   35 slots — the round-10 additions (never-green, mandatory),
+#              landed in five batches: q206-q220 (Q17 correlated avg,
 #              Q20 semi chain, session bounce/dwell, survival hazard,
 #              priority canonical, co-occurrence PMI, percentile
 #              bridge, Gini, HHI, Benford, CUSUM, median-of-means,
@@ -66,13 +66,15 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              index, RFM, association lift, percent-of-parent, vocab
 #              growth, dormant parts, semi-additive EOD rollup),
 #              q235-q237 (OHLC bars, new-vs-returning census,
-#              brand-affinity matrix).
+#              brand-affinity matrix), q238-q240 (join-cardinality
+#              audit, session conversion by entry type, mix-shift
+#              drift series).
 #   15 slots — the settlement-eligible set (green r09, unsettled):
 #              q191-q205. One more green row settles each
 #              (settled -> 109).
-#    3 slots — minimum-evidence backfills (oldest evidence first):
-#              q108-q110. The 32 backfills displaced by the new batches
-#              were once-green only, so no settlement streak was lost.
+#    0 slots — backfills: the 35 displaced by the new batches were
+#              once-green only, so no settlement streak was lost; the
+#              window is now exactly never-green + eligible.
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -82,7 +84,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # strictly-less-evidenced query may sit outside the window).
 #
 # If r10 lands 50/50: settled -> 109, and the r11 rotation makes the
-# 32 round-10 queries settlement-eligible + re-queues the displaced
+# 35 round-10 queries settlement-eligible + re-queues the displaced
 # backfills; full registry settles ~r13-r14.
 #
 # ROTATION RULE (mechanical, post-r07): run
@@ -128,6 +130,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q235_ohlc_bars",
     "q236_new_vs_returning",
     "q237_brand_affinity",
+    "q238_join_cardinality_audit",
+    "q239_session_conversion",
+    "q240_mix_shift",
     # -- settlement-eligible (one more green settles)
     "q191_revenue_decile_lift",
     "q192_skyline_parts",
@@ -144,10 +149,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q203_rolling_distinct_users",
     "q204_inverted_index",
     "q205_referential_integrity",
-    # -- minimum-evidence backfill (oldest evidence first)
-    "q108_partition_fingerprints",
-    "q109_retention_cohorts",
-    "q110_funnel_conversion",
 )
 
 

@@ -943,3 +943,100 @@ def q236_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — session conversion rate by entry event type.
+# ---------------------------------------------------------------------------
+@query(
+    "q239_session_conversion",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_id, event_type, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+marked AS (
+    SELECT user_id, event_id, event_type, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM seq
+),
+sessions AS (
+    SELECT user_id, session_id,
+           MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM marked
+    ) t GROUP BY user_id, session_id
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+FROM sessions GROUP BY entry_type ORDER BY entry_type
+""",
+)
+def q239_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session conversion rate keyed by ENTRY event type — the landing-
+    page analysis: of sessions that OPEN with a given event, how many
+    contain a purchase before the 30-minute inactivity break. Composes
+    q208's gaps-and-islands sessionization with a session-level argfirst
+    (tie-broken row_number) and a containment flag; the rate is one
+    division of exact counts.
+
+    Scale: the same single user_id shuffle as q208 carries the gap
+    window, the session numbering, and the in-session rank; the final
+    aggregate is bounded by event-type cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(gap > _SESSION_GAP_US, 1)
+        .when(F.lag(us).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    marked = seq.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    ranked = marked.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ),
+    )
+    sessions = ranked.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry_type"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    return (
+        sessions.groupBy("entry_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count("*")).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )

@@ -1820,3 +1820,75 @@ def q228_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.lit(12.0) * F.col("rev").cast("double") / total).alias("seasonal_index"),
     ).orderBy("o_orderpriority", "m")
+
+
+# ---------------------------------------------------------------------------
+# q240 — year-over-year priority-mix shift (categorical drift in time).
+# ---------------------------------------------------------------------------
+@query(
+    "q240_mix_shift",
+    oracle=f"""
+WITH grid AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY year(o_orderdate), o_orderpriority
+),
+shares AS (
+    SELECT y, o_orderpriority, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY y) AS share
+    FROM grid
+),
+diffs AS (
+    SELECT y, o_orderpriority, n,
+           CAST(round(abs(share - lag(share) OVER (PARTITION BY o_orderpriority
+                                                   ORDER BY y)), 6)
+                AS DECIMAL(18,6)) AS d
+    FROM shares
+)
+SELECT y AS year,
+       {sql_double('SUM(d)')} AS l1_mix_shift,
+       CAST(SUM(n) AS BIGINT) AS n_orders
+FROM diffs WHERE d IS NOT NULL
+GROUP BY y ORDER BY y
+""",
+)
+def q240_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year categorical mix shift: the L1 (total-variation x2)
+    distance between consecutive years' order-priority share vectors —
+    the composition-drift monitor that complements q199 (numeric KS,
+    two fixed samples) and q222 (categorical chi-square, static) with a
+    *time series* of drift. Shares are single divisions of exact counts;
+    each |delta| is quantized round(.,6) -> DECIMAL so the per-year sum
+    is order-independent (the q222 rule).
+
+    Scale: one shuffle to the bounded (year x priority) grid; the share
+    window, lag, and the final sum all run on dozens of rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    grid = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    shares = grid.select(
+        "y",
+        "o_orderpriority",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(W.partitionBy("y"))).alias(
+            "share"
+        ),
+    )
+    d = F.round(
+        F.abs(
+            F.col("share")
+            - F.lag("share").over(W.partitionBy("o_orderpriority").orderBy("y"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    diffs = shares.select("y", "n", d.alias("d"))
+    return (
+        diffs.filter(F.col("d").isNotNull())
+        .groupBy(F.col("y").alias("year"))
+        .agg(
+            F.sum("d").cast("double").alias("l1_mix_shift"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("year")
+    )

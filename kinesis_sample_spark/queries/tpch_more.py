@@ -768,3 +768,98 @@ def q233_dormant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — join-cardinality estimator audit per FK edge.
+# ---------------------------------------------------------------------------
+@query(
+    "q238_join_cardinality_audit",
+    oracle="""
+SELECT 'lineitem->orders' AS edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_parent,
+       (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS ndv_child,
+       (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv_parent,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS actual_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) * CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+         / GREATEST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+                    (SELECT COUNT(DISTINCT o_orderkey) FROM orders)) AS est_rows
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM part),
+       (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+       (SELECT COUNT(DISTINCT p_partkey) FROM part),
+       (SELECT COUNT(*) FROM lineitem JOIN part ON l_partkey = p_partkey),
+       (SELECT COUNT(*) FROM lineitem) * CAST((SELECT COUNT(*) FROM part) AS DOUBLE)
+         / GREATEST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+                    (SELECT COUNT(DISTINCT p_partkey) FROM part))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+       (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+       (SELECT COUNT(*) FROM orders JOIN customer ON o_custkey = c_custkey),
+       (SELECT COUNT(*) FROM orders) * CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)
+         / GREATEST((SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                    (SELECT COUNT(DISTINCT c_custkey) FROM customer))
+ORDER BY edge
+""",
+)
+def q238_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimator audit: for each star-schema edge, the
+    textbook equi-join estimate |A|*|B| / max(ndv_A, ndv_B) next to the
+    ACTUAL join cardinality — the optimizer-diagnostics query a platform
+    team runs when CBO row estimates drift from reality (q147 audits the
+    *distribution* of a join key; this audits the *size model*). q205
+    checks the same edges for orphans; here the contract under test is
+    the uniformity assumption behind every cost-based join reorder.
+    Counts and NDVs are exact integers; the estimate is one double
+    division.
+
+    Scale: each edge is one co-shuffled count join plus scalar
+    aggregates composed lazily (broadcast single-row relations, no
+    driver collect); NDV is exact here because it doubles as the
+    estimate's input — swap approx_count_distinct at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def audit(edge, child, ckey, parent, pkey):
+        stats_c = child.agg(
+            F.count("*").alias("n_child"),
+            F.countDistinct(ckey).alias("ndv_child"),
+        )
+        stats_p = parent.agg(
+            F.count("*").alias("n_parent"),
+            F.countDistinct(pkey).alias("ndv_parent"),
+        )
+        actual = child.join(parent, child[ckey] == parent[pkey]).agg(
+            F.count("*").alias("actual_rows")
+        )
+        est = (
+            F.col("n_child")
+            * F.col("n_parent").cast("double")
+            / F.greatest("ndv_child", "ndv_parent")
+        )
+        return (
+            stats_c.crossJoin(stats_p)
+            .crossJoin(actual)
+            .select(
+                F.lit(edge).alias("edge"),
+                "n_child",
+                "n_parent",
+                "ndv_child",
+                "ndv_parent",
+                "actual_rows",
+                est.alias("est_rows"),
+            )
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .orderBy("edge")
+    )
