@@ -652,3 +652,71 @@ def test_new_vs_returning_third_impl(spark):
         assert r.returning_users == ret
         assert r.active_users == new + ret
     assert sum(v[0] for v in per_day.values()) == len(first)
+
+
+def test_join_cardinality_third_impl(spark):
+    rows = {r.edge: r for r in _run(spark, "q238_join_cardinality_audit")}
+    li, orders = _pd("lineitem"), _pd("orders")
+    part, cust = _pd("part"), _pd("customer")
+    cases = {
+        "lineitem->orders": (li["l_orderkey"], orders["o_orderkey"]),
+        "lineitem->part": (li["l_partkey"], part["p_partkey"]),
+        "orders->customer": (orders["o_custkey"], cust["c_custkey"]),
+    }
+    from collections import Counter
+
+    for edge, (ck, pk) in cases.items():
+        cc, pc = Counter(ck), Counter(pk)
+        actual = sum(cc[k] * pc[k] for k in cc)
+        r = rows[edge]
+        assert r.n_child == len(ck) and r.n_parent == len(pk)
+        assert r.ndv_child == len(cc) and r.ndv_parent == len(pc)
+        assert r.actual_rows == actual
+        est = len(ck) * len(pk) / max(len(cc), len(pc))
+        assert abs(r.est_rows - est) < 1e-9 * est
+
+
+def test_session_conversion_third_impl(spark):
+    rows = {r.entry_type: r for r in _run(spark, "q239_session_conversion")}
+    ev = _pd("events")
+    gap = 30 * 60 * 1_000_000
+    from collections import defaultdict
+
+    per_entry = defaultdict(lambda: [0, 0])
+    for _, g in ev.groupby("user_id"):
+        seq = sorted(zip(g["ts"], g["event_id"], g["event_type"]))
+        us = [int(t.value) // 1000 for t, _, _ in seq]
+        sessions = []
+        for i, (u, row) in enumerate(zip(us, seq)):
+            if i == 0 or u - us[i - 1] > gap:
+                sessions.append([row])
+            else:
+                sessions[-1].append(row)
+        for sess in sessions:
+            entry = sess[0][2]
+            per_entry[entry][0] += 1
+            per_entry[entry][1] += int(any(t == "purchase" for _, _, t in sess))
+    assert set(rows) == set(per_entry)
+    for entry, (n, conv) in per_entry.items():
+        r = rows[entry]
+        assert r.n_sessions == n and r.n_converted == conv
+        assert abs(r.conversion_rate - conv / n) < 1e-15
+
+
+def test_mix_shift_third_impl(spark):
+    rows = {r.year: r for r in _run(spark, "q240_mix_shift")}
+    orders = _pd("orders")
+    from collections import Counter, defaultdict
+
+    grid = Counter(zip(orders["o_orderdate"].dt.year, orders["o_orderpriority"]))
+    years = sorted({y for y, _ in grid})
+    prios = sorted({p for _, p in grid})
+    shares = {
+        y: {p: grid[(y, p)] / sum(grid[(y, q)] for q in prios) for p in prios}
+        for y in years
+    }
+    for prev, y in zip(years, years[1:]):
+        l1 = sum(round(abs(shares[y][p] - shares[prev][p]), 6) for p in prios)
+        r = rows[y]
+        assert abs(r.l1_mix_shift - l1) < 1e-9
+        assert r.n_orders == sum(grid[(y, p)] for p in prios)
