@@ -97,58 +97,57 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-green (mandatory)
-    "q206_correlated_avg_quantity",
-    "q207_nested_semi_chain",
-    "q208_session_bounce",
-    "q209_survival_hazard",
-    "q210_priority_canonical",
-    "q211_cooccurrence_pmi",
-    "q212_percentile_bridge",
-    "q213_gini_concentration",
-    "q214_hhi_concentration",
-    "q215_benford_audit",
-    "q216_cusum_changepoint",
-    "q217_median_of_means",
-    "q218_fulfillment_latency",
-    "q219_dimension_variance",
-    "q220_itemset3_support",
-    "q221_weighted_median",
-    "q222_chi_square_independence",
-    "q223_activity_streaks",
-    "q224_transition_latency",
-    "q225_column_profile",
-    "q226_rank_fusion",
-    "q227_pareto_coverage",
-    "q228_seasonality_index",
-    "q229_rfm_segmentation",
-    "q230_association_lift",
-    "q231_percent_of_parent",
-    "q232_vocab_growth",
-    "q233_dormant_parts",
-    "q234_semiadditive_eod",
-    "q235_ohlc_bars",
-    "q236_new_vs_returning",
-    "q237_brand_affinity",
-    "q238_join_cardinality_audit",
-    "q239_session_conversion",
-    "q240_mix_shift",
-    # -- settlement-eligible (one more green settles)
-    "q191_revenue_decile_lift",
-    "q192_skyline_parts",
-    "q193_ngram_novelty",
-    "q194_token_entropy",
-    "q195_bigram_cross_entropy",
-    "q196_zorder_layout_audit",
-    "q197_mad_outliers",
-    "q198_copurchase_pairs",
-    "q199_ks_drift",
-    "q200_decay_attribution",
-    "q201_k_anonymity_audit",
-    "q202_transition_entropy",
-    "q203_rolling_distinct_users",
-    "q204_inverted_index",
-    "q205_referential_integrity",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q108_partition_fingerprints",
+    "q109_retention_cohorts",
+    "q110_funnel_conversion",
+    "q111_sequence_packing",
+    "q117_gopher_quality_rules",
+    "q118_train_split",
+    "q119_source_mixing_weights",
+    "q120_multiprobe_rerank",
+    "q121_label_centroids",
+    "q122_bloom_decontamination",
+    "q123_importance_weights",
+    "q124_pii_redaction",
+    "q125_pagerank_part_supplier",
+    "q126_live_stream_static_enrich",
+    "q127_canonical_selection",
+    "q128_winsorized_stats",
+    "q129_hard_negative_mining",
+    "q130_source_overlap_matrix",
+    "q131_live_session_windows",
+    "q132_countmin_heavy_hitters",
+    "q133_frame_sampling",
+    "q137_curriculum_bins",
+    "q138_dedup_rate_per_source",
+    "q139_scd2_intervals",
+    "q140_workspace_manifest",
+    "q141_transition_mining",
+    "q142_int8_quantization",
+    "q143_snapshot_diff",
+    "q144_bpe_pair_counts",
+    "q145_covariance_moments",
+    "q146_interval_overlap_join",
+    "q147_join_key_skew_audit",
+    "q148_content_defined_chunks",
+    "q149_top_terms_per_source",
+    "q150_triangle_count",
+    "q151_udtf_user_sessions",
+    "q152_prefix_filter_simjoin",
+    "q153_live_left_outer_join",
+    "q40_token_stats",
+    "q50_media_features",
+    "q58_array_ops",
+    "q59_string_extras",
+    "q99_ols_regression",
+    "q134_json_roundtrip_agg",
+    "q135_csv_roundtrip_agg",
+    "q136_orc_roundtrip_agg",
+    "q154_bm25_topk",
+    "q155_window_frame_gallery",
+    "q156_hof_gallery",
+    "q157_cogroup_reconcile",
 )
 
 
