@@ -24,6 +24,11 @@ here: a 200-node path hung the old persist-only loop). On a cluster,
 swap for reliable ``checkpoint`` (localCheckpoint trades executor-loss
 recoverability for speed). tests/test_components_convergence.py pins
 long paths and random graphs against a Python union-find.
+
+Session hygiene: localCheckpoint blocks persist for the session (and
+``spark.catalog.clearCache()`` does NOT free them) — long-lived sessions
+should call :func:`kinesis_sample_spark.session.release_checkpoints`
+between jobs, as the evidence sweep tools do.
 """
 
 from __future__ import annotations

@@ -143,7 +143,10 @@ def dedup_batch_against_store(
     # *post-append* store and mark the whole batch duplicate. A checkpoint
     # is immune (its plan is a materialized RDD, not a file relation). On a
     # cluster use reliable checkpointing (spark.sparkContext.setCheckpointDir
-    # on shared storage + .checkpoint()) instead of localCheckpoint.
+    # on shared storage + .checkpoint()) instead of localCheckpoint. The
+    # checkpoint blocks outlive this call (the returned DataFrames read
+    # them); long-lived sessions free them between jobs via
+    # kinesis_sample_spark.session.release_checkpoints.
     dups = dups.localCheckpoint(eager=True)
     accepted_sig = sig_new.join(
         dups.select("doc_id"), "doc_id", "left_anti"

@@ -428,7 +428,13 @@ def q230_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair and item supports ride the same l_orderkey shuffle as
     q198/q220 (the MAX_BASKET window cap bounds pair fan-out); the
     support joins are pair-keyed equi-joins; top-100 is a TakeOrdered
-    heap merge."""
+    heap merge.
+
+    Session hygiene: the shared ``bounded`` subtree stays persisted for
+    the returned (lazy) DataFrame's execution — the blocks outlive this
+    call by design. Long-lived sessions running many queries should call
+    :func:`kinesis_sample_spark.session.release_checkpoints` between
+    jobs to free them (the evidence sweep tools do)."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     # bound ONCE and persist: pairs, item supports, and the basket count

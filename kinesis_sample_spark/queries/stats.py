@@ -1090,11 +1090,12 @@ def _sql_bridge_branch(p: float) -> str:
     double path (caught by the sf0.01 parity gauntlet)."""
     pd = f"CAST({p} AS DOUBLE)"
     exact = f"CASE WHEN {p} = 0.5 THEN p50x ELSE p90x END"
+    est = f"CASE WHEN w = 0 THEN mn ELSE mn + w * (bin + ({pd} * n - (cum - cnt)) / cnt) END"
     return f"""
 SELECT l_returnflag, {pd} AS p,
-       mn + w * (bin + ({pd} * n - (cum - cnt)) / cnt) AS est,
+       {est} AS est,
        {exact} AS exact,
-       abs(mn + w * (bin + ({pd} * n - (cum - cnt)) / cnt) - {exact}) AS abs_err
+       abs({est} - {exact}) AS abs_err
 FROM cum WHERE cum >= {pd} * n AND cum - cnt < {pd} * n"""
 
 
@@ -1111,8 +1112,9 @@ WITH stats AS (
 ),
 binned AS (
     SELECT l.l_returnflag,
-           CAST(LEAST(FLOOR((l_extendedprice - mn) / w), {_BRIDGE_BINS - 1}) AS INTEGER)
-             AS bin
+           CAST(CASE WHEN w = 0 THEN 0
+                     ELSE LEAST(FLOOR((l_extendedprice - mn) / w), {_BRIDGE_BINS - 1})
+                END AS INTEGER) AS bin
     FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
 ),
 hist AS (
@@ -1163,9 +1165,15 @@ def q212_percentile_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = li.join(F.broadcast(stats), "l_returnflag").select(
         "l_returnflag",
-        F.least(
-            F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("w")),
-            F.lit(_BRIDGE_BINS - 1),
+        # w = 0 guard (constant-price group: max = min): everything lands in
+        # bin 0 instead of dividing by a zero width (NaN/Inf bins). The
+        # oracle carries the identical CASE.
+        F.when(F.col("w") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("w")),
+                F.lit(_BRIDGE_BINS - 1),
+            )
         )
         .cast("int")
         .alias("bin"),
@@ -1183,8 +1191,13 @@ def q212_percentile_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def branch(p: float, exact_col: str) -> DataFrame:
         target = F.lit(p) * F.col("n")
-        est = F.col("mn") + F.col("w") * (
-            F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        # w = 0 ⇒ the group is a single point mass: the estimate IS mn
+        # (interpolating inside a zero-width bin is 0/0). Mirrored in the
+        # oracle's CASE so both engines emit mn exactly.
+        est = F.when(F.col("w") == 0, F.col("mn")).otherwise(
+            F.col("mn")
+            + F.col("w")
+            * (F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
         )
         return cum.filter(
             (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
@@ -1838,17 +1851,22 @@ shares AS (
            CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY y) AS share
     FROM grid
 ),
-diffs AS (
-    SELECT y, o_orderpriority, n,
-           CAST(round(abs(share - lag(share) OVER (PARTITION BY o_orderpriority
-                                                   ORDER BY y)), 6)
-                AS DECIMAL(18,6)) AS d
-    FROM shares
+valid AS (
+    SELECT a.y FROM (SELECT DISTINCT y FROM grid) a
+    JOIN (SELECT DISTINCT y FROM grid) b ON b.y = a.y - 1
+),
+paired AS (
+    SELECT COALESCE(c.y, p.y + 1) AS y,
+           CAST(round(abs(COALESCE(c.share, 0) - COALESCE(p.share, 0)), 6)
+                AS DECIMAL(18,6)) AS d,
+           COALESCE(c.n, 0) AS n
+    FROM shares c FULL OUTER JOIN shares p
+      ON c.o_orderpriority = p.o_orderpriority AND c.y = p.y + 1
 )
 SELECT y AS year,
        {sql_double('SUM(d)')} AS l1_mix_shift,
        CAST(SUM(n) AS BIGINT) AS n_orders
-FROM diffs WHERE d IS NOT NULL
+FROM paired JOIN valid USING (y)
 GROUP BY y ORDER BY y
 """,
 )
@@ -1861,8 +1879,18 @@ def q240_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     each |delta| is quantized round(.,6) -> DECIMAL so the per-year sum
     is order-independent (the q222 rule).
 
+    Category churn is handled, not silently dropped: consecutive years'
+    share vectors are FULL-OUTER-joined on priority with
+    ``COALESCE(share, 0)``, so a priority present in only one of the two
+    years contributes its full share to the distance (the earlier
+    lag-based form skipped such categories and undercounted drift — and
+    worse, ``lag`` over the priority partition reaches back to the last
+    year *where that priority appeared*, not y-1). Year y enters the
+    series only when y-1 has data at all (the ``valid`` set).
+
     Scale: one shuffle to the bounded (year x priority) grid; the share
-    window, lag, and the final sum all run on dozens of rows."""
+    window, the consecutive-year self-join, and the final sum all run on
+    dozens of rows."""
     orders = load_table(spark, sf_dir, "orders")
     grid = orders.groupBy(
         F.year("o_orderdate").cast("int").alias("y"), "o_orderpriority"
@@ -1875,16 +1903,29 @@ def q240_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
-    d = F.round(
-        F.abs(
-            F.col("share")
-            - F.lag("share").over(W.partitionBy("o_orderpriority").orderBy("y"))
-        ),
-        6,
-    ).cast("decimal(18,6)")
-    diffs = shares.select("y", "n", d.alias("d"))
+    years = grid.select("y").distinct()
+    valid = years.alias("a").join(
+        years.alias("b"), F.col("b.y") == F.col("a.y") - 1
+    ).select(F.col("a.y").alias("y"))
+    cur = shares.select(
+        F.col("y"), F.col("o_orderpriority"), F.col("share").alias("cs"), F.col("n")
+    )
+    prev = shares.select(
+        (F.col("y") + 1).alias("y"),
+        F.col("o_orderpriority"),
+        F.col("share").alias("ps"),
+    )
+    paired = cur.join(prev, ["y", "o_orderpriority"], "full_outer").select(
+        "y",
+        F.round(
+            F.abs(F.coalesce("cs", F.lit(0.0)) - F.coalesce("ps", F.lit(0.0))), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("d"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
     return (
-        diffs.filter(F.col("d").isNotNull())
+        paired.join(F.broadcast(valid), "y")
         .groupBy(F.col("y").alias("year"))
         .agg(
             F.sum("d").cast("double").alias("l1_mix_shift"),

@@ -122,6 +122,38 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
     return spark
 
 
+def release_checkpoints(spark: SparkSession) -> int:
+    """Free every persistent RDD block in the session — ``persist()``ed
+    relations AND ``localCheckpoint()`` materializations — plus the SQL
+    cache, returning the number of RDDs released.
+
+    ``spark.catalog.clearCache()`` alone is NOT enough for a long-lived
+    session: it drops SQL-cache entries but leaves RDD blocks pinned in
+    the BlockManager. Iterative operators (connected-components pointer
+    jumping, incremental MinHash stores) localCheckpoint per round, and
+    multi-consumer queries persist shared subtrees (q230's bounded
+    baskets); across hundreds of queries in one session those blocks
+    accumulate and squeeze execution memory — measured: a 6 s query
+    degraded to 47 s mid-sweep, fully recovered after this release.
+
+    Call BETWEEN logical jobs in any long-lived session (the evidence
+    sweep tools call it between every query) — not while a plan you
+    still intend to execute holds a live localCheckpoint: ordinary
+    persisted relations recompute from lineage on next use (worst case
+    is lost caching), but a localCheckpoint *truncates* lineage, so its
+    plan cannot be re-executed once the blocks are gone.
+
+    Mechanics: ``clearCache()`` covers ``DataFrame.persist`` (those
+    entries live in the SQL CacheManager); the explicit RDD loop covers
+    what it misses — ``localCheckpoint`` materializations and raw-RDD
+    persists. The return value counts only the latter."""
+    spark.catalog.clearCache()
+    rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for rdd in rdds:
+        rdd.unpersist()
+    return len(rdds)
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

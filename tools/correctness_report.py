@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_sample_spark.queries import load_registry
-from kinesis_sample_spark.session import get_spark
+from kinesis_sample_spark.session import get_spark, release_checkpoints
 
 
 def main() -> None:
@@ -31,19 +31,11 @@ def main() -> None:
     results = {}
     n_ok = n_rows_only = 0
     for name, q in sorted(registry.items()):
-        # ADVICE r08: several queries persist() intermediates to keep the
-        # terminal sort from re-executing their pipeline; across a
-        # 184-query run those cached blocks would otherwise accumulate in
-        # the one long-lived JVM and squeeze execution memory.
-        spark.catalog.clearCache()
-        # ... and localCheckpoint/persist RDD blocks, which clearCache does
-        # NOT free: iterative operators (connected components, incremental
-        # dedup) pin materialized RDDs in the BlockManager for the session,
-        # and across a 200-query sweep the accumulated blocks squeeze
-        # execution memory mid-sweep (r10: q152 read 47 s mid-sweep vs
-        # 5-6.5 s in any fresh or stretch-replayed session).
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
+        # Long-lived-session hygiene between queries: SQL cache AND
+        # persist/localCheckpoint RDD blocks (clearCache alone leaves the
+        # latter pinned; r10's q152 47 s mid-sweep outlier). The shared
+        # helper owns the rationale — see session.release_checkpoints.
+        release_checkpoints(spark)
         df = q.fn(spark, sf_dir)
         if q.oracle is None:
             n = df.count()

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_sample_spark.queries import load_registry
-from kinesis_sample_spark.session import get_spark
+from kinesis_sample_spark.session import get_spark, release_checkpoints
 
 
 def main() -> None:
@@ -51,18 +51,12 @@ def main() -> None:
     todo = [n for n in registry if n not in done]
     print(f"sweep {len(todo)} queries (skipping {len(done)} done) at {sf_dir}")
     for n in todo:
-        # ADVICE r08: drop any blocks persist()ed by the previous query so
-        # cached intermediates don't accumulate across the full registry
-        # (costs ~ms; the per-query timings below are unaffected by it).
-        spark.catalog.clearCache()
-        # ... and localCheckpoint/persist RDD blocks, which clearCache does
-        # NOT free: iterative operators (connected components, incremental
-        # dedup) pin materialized RDDs in the BlockManager for the session,
-        # and across a 200-query sweep the accumulated blocks squeeze
-        # execution memory mid-sweep (r10: q152 read 47 s mid-sweep vs
-        # 5-6.5 s in any fresh or stretch-replayed session).
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
+        # Long-lived-session hygiene between queries (costs ~ms; per-query
+        # timings below are unaffected): SQL cache AND persist/
+        # localCheckpoint RDD blocks — clearCache alone leaves the latter
+        # pinned (r10's q152 47 s mid-sweep outlier). Rationale lives on
+        # the shared helper, session.release_checkpoints.
+        release_checkpoints(spark)
         t0 = time.perf_counter()
         try:
             registry[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
