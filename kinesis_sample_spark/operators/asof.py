@@ -27,15 +27,26 @@ def asof_join(
     right_ts: str = "ts",
     *,
     inclusive: bool = True,
+    direction: str = "backward",
     right_prefix: str = "r_",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` (or ``<`` when ``inclusive=False``), matching on
-    the equi key(s) ``on``. Right columns come back prefixed.
+    """For each left row, attach the nearest right row, matching on the
+    equi key(s) ``on``:
 
-    Right-side ties on (key, ts) are resolved deterministically by keeping
-    the lexicographically-last right payload struct.
+    - ``direction="backward"`` (default): latest right with
+      ``right.ts <= left.ts`` (``<`` when ``inclusive=False``),
+    - ``direction="forward"``: earliest right with
+      ``right.ts >= left.ts`` (``>`` when ``inclusive=False``) — the
+      mirror image, implemented with ``first()`` over the following
+      frame instead of ``last()`` over the preceding one; same single
+      shuffle + sort cost shape.
+
+    Right columns come back prefixed. Right-side ties on (key, ts) are
+    resolved deterministically by keeping the lexicographically-last
+    right payload struct.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
     r_payload_cols = [c for c in right.columns if c not in keys]
@@ -65,15 +76,31 @@ def asof_join(
         )
     )
 
-    # inclusive: right sorts before left at equal ts (side 0 < 1), so the
-    # running last() sees it; exclusive: flip the side order.
-    side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), side_order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = unioned.withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
+    if direction == "backward":
+        # inclusive: right sorts before left at equal ts (side 0 < 1), so
+        # the running last() sees it; exclusive: flip the side order.
+        side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), side_order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        matched = unioned.withColumn(
+            "__match", F.last("__rp", ignorenulls=True).over(w)
+        )
+    else:
+        # forward mirror: inclusive means a right row AT the left ts must
+        # be inside the [current, following] frame, so left sorts first
+        # at equal ts (side 1 before 0 → desc); exclusive flips it.
+        side_order = F.col("__side").desc() if inclusive else F.col("__side").asc()
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), side_order)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        matched = unioned.withColumn(
+            "__match", F.first("__rp", ignorenulls=True).over(w)
+        )
 
     out_cols: list[Column] = [F.col(k) for k in keys]
     out_cols += [F.col("__lp").getField(c).alias(c) for c in l_payload_cols]

@@ -184,6 +184,11 @@ _MODULES = (
     "kinesis_sample_spark.queries.sketches",
     "kinesis_sample_spark.queries.pysource",
     "kinesis_sample_spark.queries.spark4",
+    "kinesis_sample_spark.queries.graph_metrics",
+    "kinesis_sample_spark.queries.temporal",
+    "kinesis_sample_spark.queries.robuststats",
+    "kinesis_sample_spark.queries.bizaudit",
+    "kinesis_sample_spark.queries.textcal",
 )
 
 

@@ -1,0 +1,950 @@
+"""Temporal analytics — round-12 additions.
+
+The time-dimension family the earlier registry touched only pointwise
+(q23-q26 windows, q55 gap fill, q175 time-weighted avg, q228 seasonality,
+q235 OHLC): inter-session gaps, bidirectional as-of spreads, cohort LTV
+curves, interval-stabbing backlog, point-in-time (SCD-style) joins, peak
+detection, finite-window EWMA, autocorrelation, inter-arrival statistics,
+and time-spread revenue recognition.
+
+Determinism rules (cumulative recipe from SCALING.md / earlier rounds):
+timestamps difference via ``unix_micros`` ≡ ``epoch_us`` (exact BIGINT);
+day arithmetic via datediff-from-epoch (exact INT, weekday = day % 7,
+day 0 = Thursday); money quantized round(.,2) → DECIMAL before any SUM;
+every transcendental-free compound double expression is written with
+identical operation order in both engines and quantized round(.,6) →
+DECIMAL → double on output.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import sql_double
+from kinesis_sample_spark.operators.asof import asof_join
+from kinesis_sample_spark.queries import query
+
+_EPOCH = "DATE '1970-01-01'"
+
+SESSION_GAP_S = 1800  # q242: 30-min inactivity ends a session
+
+
+def _dec2(col):
+    return F.round(col, 2).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# q242 — inter-session gap statistics.
+# ---------------------------------------------------------------------------
+@query(
+    "q242_session_gap_stats",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id))
+                     > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS new_s,
+           event_id
+    FROM events
+),
+sessions AS (
+    SELECT user_id, sid, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ) t GROUP BY user_id, sid
+),
+gaps AS (
+    SELECT user_id, start_ts,
+           epoch_us(start_ts)
+             - epoch_us(lag(end_ts) OVER (PARTITION BY user_id ORDER BY sid))
+             AS gap_us
+    FROM sessions
+)
+SELECT CAST(datediff('day', {_EPOCH}, start_ts) % 7 AS INTEGER) AS weekday,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0 AS avg_gap_s,
+       quantile_cont(gap_us / 1000000.0, 0.5) AS p50_gap_s,
+       quantile_cont(gap_us / 1000000.0, 0.9) AS p90_gap_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1 ORDER BY weekday
+""",
+)
+def q242_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-SESSION gaps (q25/q131 sessionize; this measures the time
+    BETWEEN a user's sessions — the return-frequency signal): sessionize
+    at a 30-min inactivity gap, then lag each session's start against
+    the previous session's end per user, aggregated by weekday of the
+    returning session's start (day-%7 arithmetic, day 0 = Thursday).
+
+    Gap seconds derive from exact epoch-microsecond BIGINTs; avg is one
+    division of exact sums; percentiles interpolate identical doubles.
+
+    Scale: two windows over the user-partitioned shuffle (session
+    numbering, then session lag) and a 7-row aggregate — the sessionize
+    shuffle is the only data movement."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(wu))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_us.isNull()
+            | (F.unix_micros("ts") - prev_us > SESSION_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sid = F.sum("new_s").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow))
+    sessions = (
+        marked.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    ws = W.partitionBy("user_id").orderBy("sid")
+    gaps = sessions.select(
+        "start_ts",
+        (F.unix_micros("start_ts") - F.unix_micros(F.lag("end_ts").over(ws))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    weekday = F.pmod(
+        F.datediff(F.col("start_ts"), F.lit("1970-01-01").cast("date")), F.lit(7)
+    ).cast("int")
+    return (
+        gaps.groupBy(weekday.alias("weekday"))
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (
+                F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1_000_000.0)
+            ).alias("avg_gap_s"),
+            F.expr("percentile(gap_us / 1000000.0, 0.5D)").alias("p50_gap_s"),
+            F.expr("percentile(gap_us / 1000000.0, 0.9D)").alias("p90_gap_s"),
+        )
+        .orderBy("weekday")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243 — bidirectional as-of join + spread.
+# ---------------------------------------------------------------------------
+@query(
+    "q243_asof_forward_spread",
+    oracle=f"""
+WITH matched AS (
+    SELECT o.o_orderkey, o.o_orderpriority,
+           MAX(CASE WHEN e.ts <= o.o_orderdate THEN e.ts END) AS bwd_ts,
+           MIN(CASE WHEN e.ts >= o.o_orderdate THEN e.ts END) AS fwd_ts
+    FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
+    GROUP BY o.o_orderkey, o.o_orderpriority
+),
+spreads AS (
+    SELECT o_orderpriority,
+           CASE WHEN bwd_ts IS NOT NULL AND fwd_ts IS NOT NULL
+                THEN epoch_us(fwd_ts) - epoch_us(bwd_ts) END AS spread_us
+    FROM matched
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(spread_us) AS BIGINT) AS n_both,
+       CAST(SUM(spread_us) AS DOUBLE) / COUNT(spread_us) / 1000000.0
+         AS avg_spread_s,
+       quantile_cont(spread_us / 1000000.0, 0.5) AS p50_spread_s
+FROM spreads GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q243_asof_forward_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AND forward as-of join in one pipeline: for each order,
+    the latest user event at-or-before the order date and the earliest
+    at-or-after; the spread between them is the activity-coverage window
+    around the purchase. q27 exercises the backward direction on events
+    alone — this adds the forward mirror (operators/asof.py
+    ``direction="forward"``: first() over the following frame) and an
+    outer-join accounting (orders whose customer has no events stay,
+    with NULL spread).
+
+    The oracle computes both extremes with a conditional-aggregate
+    LEFT JOIN — a completely different plan shape than the engine's
+    union + running first/last composition.
+
+    Scale: each as-of pass is one shuffle+sort on the key — no row
+    explosion, unlike the oracle's join-then-aggregate (fine at oracle
+    scale, quadratic-prone at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    bwd = asof_join(
+        orders, ev, on="user_id", left_ts="o_orderdate", right_ts="ts",
+        right_prefix="bwd_",
+    )
+    both = asof_join(
+        bwd, ev, on="user_id", left_ts="o_orderdate", right_ts="ts",
+        direction="forward", right_prefix="fwd_",
+    )
+    spread_us = F.when(
+        F.col("bwd_ts").isNotNull() & F.col("fwd_ts").isNotNull(),
+        F.unix_micros("fwd_ts") - F.unix_micros("bwd_ts"),
+    )
+    return (
+        both.select("o_orderpriority", spread_us.alias("spread_us"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("spread_us").alias("n_both"),
+            (
+                F.sum("spread_us").cast("double")
+                / F.count("spread_us")
+                / F.lit(1_000_000.0)
+            ).alias("avg_spread_s"),
+            F.expr("percentile(spread_us / 1000000.0, 0.5D)").alias("p50_spread_s"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — cohort LTV curves.
+# ---------------------------------------------------------------------------
+_LTV_MONTHS = 12
+
+
+@query(
+    "q250_cohort_ltv",
+    oracle=f"""
+WITH om AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER) AS idx,
+           CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS rev
+    FROM orders
+),
+first_m AS (SELECT o_custkey, MIN(idx) AS m0 FROM om GROUP BY o_custkey),
+cohort_size AS (
+    SELECT m0, CAST(COUNT(*) AS BIGINT) AS customers FROM first_m GROUP BY m0
+),
+rev_k AS (
+    SELECT f.m0, om.idx - f.m0 AS k, SUM(om.rev) AS rev
+    FROM om JOIN first_m f ON f.o_custkey = om.o_custkey
+    WHERE om.idx - f.m0 < {_LTV_MONTHS}
+    GROUP BY f.m0, om.idx - f.m0
+),
+cum AS (
+    SELECT m0, k,
+           SUM(rev) OVER (PARTITION BY m0 ORDER BY k
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev
+    FROM rev_k
+)
+SELECT CAST((c.m0 // 12) * 100 + (c.m0 % 12) + 1 AS INTEGER) AS cohort,
+       CAST(c.k AS INTEGER) AS k,
+       s.customers,
+       {sql_double('c.cum_rev')} AS cum_rev,
+       {sql_double('c.cum_rev')} / s.customers AS ltv_per_customer
+FROM cum c JOIN cohort_size s ON s.m0 = c.m0
+ORDER BY cohort, k
+""",
+)
+def q250_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort member at month offsets
+    0..{m} — the curve whose flattening tells you when a cohort stops
+    paying back. Complements q109 (retention = activity counts) with the
+    revenue integral.
+
+    Month index = year*12+month-1 (exact INT); revenue quantized
+    round(.,2) -> DECIMAL so cumulative sums are exact; LTV is one
+    division of the exact cumulative by the cohort size.
+
+    Scale: one aggregate to find each customer's first month (runs on
+    the customer-keyed shuffle), one grid aggregate, and a window over
+    the bounded (cohort x {m}) grid.""".format(m=_LTV_MONTHS)
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("idx"),
+        _dec2(F.col("o_totalprice")).alias("rev"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("idx").alias("m0"))
+    cohort_size = first_m.groupBy("m0").agg(F.count("*").alias("customers"))
+    rev_k = (
+        om.join(first_m, "o_custkey")
+        .filter(F.col("idx") - F.col("m0") < _LTV_MONTHS)
+        .groupBy("m0", (F.col("idx") - F.col("m0")).alias("k"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    cum = rev_k.withColumn(
+        "cum_rev",
+        F.sum("rev").over(
+            W.partitionBy("m0").orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        cum.join(cohort_size, "m0")
+        .select(
+            (
+                F.floor(F.col("m0") / 12) * 100 + F.pmod(F.col("m0"), F.lit(12)) + 1
+            )
+            .cast("int")
+            .alias("cohort"),
+            F.col("k").cast("int").alias("k"),
+            "customers",
+            F.col("cum_rev").cast("double").alias("cum_rev"),
+            (F.col("cum_rev").cast("double") / F.col("customers")).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort", "k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 — daily backlog via interval stabbing (event-delta cumsum).
+# ---------------------------------------------------------------------------
+@query(
+    "q251_daily_backlog",
+    oracle=f"""
+WITH iv AS (
+    SELECT o.o_orderkey,
+           CAST(datediff('day', {_EPOCH}, o.o_orderdate) AS BIGINT) AS d0,
+           CAST(datediff('day', {_EPOCH}, MAX(l.l_shipdate)) AS BIGINT) AS d1
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT d0 AS day, 1 AS delta FROM iv
+    UNION ALL
+    SELECT d1, -1 FROM iv
+),
+series AS (
+    SELECT day, SUM(delta) AS net FROM deltas GROUP BY day
+),
+cum AS (
+    SELECT day,
+           CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS backlog
+    FROM series
+)
+SELECT CAST(year({_EPOCH} + CAST(day AS INTEGER)) * 100
+            + month({_EPOCH} + CAST(day AS INTEGER)) AS INTEGER) AS month,
+       CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+       CAST(MAX_BY(backlog, day) AS BIGINT) AS eom_backlog,
+       CAST(COUNT(*) AS BIGINT) AS n_change_days
+FROM cum GROUP BY 1 ORDER BY month
+""",
+)
+def q251_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by interval stabbing: an order is
+    "open" from order date until its last line ships. The scalable plan
+    is NOT an interval join against a date spine (that's a range join
+    whose cost is intervals x days): each interval becomes a +1 at start
+    and a -1 at end, net per day, and ONE running sum over the date
+    axis gives the exact backlog at every change point — O(n) rows, one
+    sort. backlog(d) counts orders with start <= d < end.
+
+    Output per month: peak backlog, end-of-month backlog (value at the
+    month's last change day — backlog is piecewise constant in
+    between), and change-day count. All integers.
+
+    Scale: the per-order MAX(shipdate) rides the orderkey join shuffle;
+    the global running sum is a single ordered window (the date axis is
+    a range-partitionable sort at cluster scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d0"),
+            F.datediff(F.col("ship_end"), epoch).cast("bigint").alias("d1"),
+        )
+    )
+    deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    series = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    cum = series.withColumn(
+        "backlog",
+        F.sum("net")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    day_date = F.date_add(epoch, F.col("day").cast("int"))
+    return (
+        cum.groupBy(
+            (F.year(day_date) * 100 + F.month(day_date)).cast("int").alias("month")
+        )
+        .agg(
+            F.max("backlog").alias("peak_backlog"),
+            F.max_by("backlog", "day").alias("eom_backlog"),
+            F.count("*").alias("n_change_days"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — point-in-time (SCD-style interval) join.
+# ---------------------------------------------------------------------------
+@query(
+    "q253_point_in_time_join",
+    oracle="""
+WITH iv AS (
+    SELECT o_custkey AS user_id, o_orderpriority AS state, o_orderdate AS vf,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS vt
+    FROM orders
+),
+tagged AS (
+    SELECT e.event_id, e.user_id, i.state
+    FROM events e LEFT JOIN iv i
+      ON i.user_id = e.user_id AND e.ts >= i.vf AND (i.vt IS NULL OR e.ts < i.vt)
+)
+SELECT COALESCE(state, 'NONE') AS state,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tagged GROUP BY 1 ORDER BY state
+""",
+)
+def q253_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against a versioned dimension: each customer's
+    order history becomes SCD2-style validity intervals (state = the
+    priority of the order in force, valid [order date, next order
+    date)), and every event is tagged with the state valid AT ITS
+    TIMESTAMP — the canonical "don't leak the future" join of any
+    training-data pipeline. Events before the user's first order (or
+    with no orders at all) keep state 'NONE' rather than being dropped.
+
+    Distinct from q27 (as-of composition): this is the interval form —
+    a user-equi-join with a range predicate against disjoint intervals
+    (each event matches at most one), the plan you use when the
+    dimension is already interval-shaped (SCD2 tables, q139).
+
+    Zero-width intervals (two orders at the same timestamp) match
+    nothing, deterministically, because [vf, vt) is empty — ties are
+    ordered by (date, orderkey) so interval construction is stable.
+
+    Scale: the join is hash-partitioned on user_id with the range
+    predicate applied post-join; per-user interval counts are bounded
+    by order history, so the fan-out is per-user orders, not a range
+    join over the time axis."""
+    orders = load_table(spark, sf_dir, "orders")
+    wv = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = orders.select(
+        F.col("o_custkey").alias("iv_user"),
+        F.col("o_orderpriority").alias("state"),
+        F.col("o_orderdate").alias("vf"),
+        F.lead("o_orderdate").over(wv).alias("vt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    tagged = ev.join(
+        iv,
+        (F.col("iv_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ts") < F.col("vt"))),
+        "left",
+    )
+    return (
+        tagged.groupBy(F.coalesce("state", F.lit("NONE")).alias("state"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256 — revenue peak detection (local maxima over change days).
+# ---------------------------------------------------------------------------
+_PEAK_TOP = 20
+
+
+@query(
+    "q256_peak_days",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                + day(o_orderdate) AS INTEGER) AS day_int,
+           CAST(datediff('day', {_EPOCH}, o_orderdate) AS BIGINT) AS d,
+           SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1, 2
+),
+nbr AS (
+    SELECT day_int, rev,
+           MAX(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+             AS lmax,
+           MAX(rev) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+             AS rmax
+    FROM daily
+),
+peaks AS (
+    -- CASE, not GREATEST: DuckDB's GREATEST promotes DECIMAL args to
+    -- DOUBLE (measured), which would turn the exact subtraction into
+    -- float arithmetic; the CASE preserves DECIMAL in both engines.
+    SELECT day_int, rev,
+           {sql_double(
+               "rev - (CASE WHEN COALESCE(lmax, CAST(0 AS DECIMAL(18,2)))"
+               " >= COALESCE(rmax, CAST(0 AS DECIMAL(18,2)))"
+               " THEN COALESCE(lmax, CAST(0 AS DECIMAL(18,2)))"
+               " ELSE COALESCE(rmax, CAST(0 AS DECIMAL(18,2))) END)"
+           )}
+             AS prominence
+    FROM nbr
+    WHERE (lmax IS NULL OR rev > lmax) AND (rmax IS NULL OR rev > rmax)
+)
+SELECT day_int, {sql_double('rev')} AS rev, prominence
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rev DESC, day_int) AS rk FROM peaks
+) t WHERE rk <= {_PEAK_TOP}
+ORDER BY rev DESC, day_int
+""",
+)
+def q256_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily revenue series: a day is a
+    peak when it strictly exceeds the max of its 3 observed neighbors
+    on each side (partial neighborhoods at the series edges count — a
+    boundary day only needs to beat the side it has). Top {k} peaks by
+    revenue with their prominence over the taller shoulder.
+
+    Revenue is exact DECIMAL, so the strict comparisons cannot wobble;
+    prominence is quantified exactly then surfaced as double.
+
+    Scale: one date-keyed aggregate plus two ROWS-frame windows over
+    the (bounded) day axis.""".format(k=_PEAK_TOP)
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = orders.groupBy(
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        )
+        .cast("int")
+        .alias("day_int"),
+        F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d"),
+    ).agg(F.sum(_dec2(F.col("o_totalprice"))).alias("rev"))
+    wl = W.orderBy("d").rowsBetween(-3, -1)
+    wr = W.orderBy("d").rowsBetween(1, 3)
+    nbr = daily.select(
+        "day_int",
+        "rev",
+        F.max("rev").over(wl).alias("lmax"),
+        F.max("rev").over(wr).alias("rmax"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    peaks = nbr.filter(
+        (F.col("lmax").isNull() | (F.col("rev") > F.col("lmax")))
+        & (F.col("rmax").isNull() | (F.col("rev") > F.col("rmax")))
+    ).select(
+        "day_int",
+        "rev",
+        (
+            F.col("rev")
+            - F.greatest(F.coalesce("lmax", zero), F.coalesce("rmax", zero))
+        )
+        .cast("double")
+        .alias("prominence"),
+    )
+    wk = W.orderBy(F.col("rev").desc(), "day_int")
+    return (
+        peaks.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _PEAK_TOP)
+        .select("day_int", F.col("rev").cast("double").alias("rev"), "prominence")
+        .orderBy(F.col("rev").desc(), "day_int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — finite-window EWMA (literal weight table shared by both engines).
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = Decimal("0.3")
+_EWMA_WINDOW = 30
+_EWMA_WEIGHTS = [
+    (
+        i,
+        (
+            _EWMA_ALPHA * (Decimal(1) - _EWMA_ALPHA) ** i
+        ).quantize(Decimal("1e-12")),
+    )
+    for i in range(_EWMA_WINDOW)
+]
+_SQL_WEIGHTS = ", ".join(
+    f"({i}, CAST({w} AS DECIMAL(14,12)))" for i, w in _EWMA_WEIGHTS
+)
+
+
+@query(
+    "q258_ewma_smoothing",
+    oracle=f"""
+WITH weights AS (
+    SELECT * FROM (VALUES {_SQL_WEIGHTS}) AS t(i, wt)
+),
+daily AS (
+    -- the daily total is cast back to DECIMAL(18,2): Spark's SUM widens
+    -- to (28,2), and (14,12)x(28,2) would exceed precision 38, where
+    -- allowPrecisionLoss silently drops the product to scale 9 — the
+    -- term values would round differently between engines.
+    SELECT o_orderpriority,
+           CAST(datediff('day', {_EPOCH}, o_orderdate) AS BIGINT) AS d,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS month,
+           -- (19,2), not (18,2): DuckDB multiplies two int64-backed
+           -- decimals in int64 and overflows; 19 digits forces the
+           -- int128 path (same value, exact). Spark side keeps (18,2).
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DECIMAL(19,2)) AS rev
+    FROM orders GROUP BY 1, 2, 3
+),
+targets AS (
+    SELECT o_orderpriority, month, MAX(d) AS d
+    FROM daily GROUP BY o_orderpriority, month
+),
+terms AS (
+    -- each term quantized to DECIMAL(18,8) BEFORE the sum: the raw
+    -- product is DECIMAL(32,14), and summing that would push Spark past
+    -- precision 38, where allowPrecisionLoss silently drops scale —
+    -- the engines would round differently. (18,8) sums stay exact in
+    -- both.
+    SELECT t.o_orderpriority, t.month,
+           SUM(CAST(round(w.wt * s.rev, 8) AS DECIMAL(18,8))) AS num,
+           SUM(w.wt) AS den
+    FROM targets t
+    JOIN weights w ON TRUE
+    JOIN daily s ON s.o_orderpriority = t.o_orderpriority AND s.d = t.d - w.i
+    GROUP BY t.o_orderpriority, t.month
+)
+SELECT o_orderpriority, month,
+       {sql_double('num')} / {sql_double('den')} AS ewma_rev
+FROM terms ORDER BY o_orderpriority, month
+""",
+)
+def q258_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA of daily revenue per priority, evaluated at
+    each month's last observed day: ewma = sum(w_i * x_(d-i)) /
+    sum(w_i) over the trailing {n} days present, w_i = a(1-a)^i,
+    a = {a}. The weights are PRE-COMPUTED decimal literals shared
+    verbatim by both engines — no runtime pow(), whose cross-libm
+    rounding is exactly the trap the ln/log10 rule exists for. Missing
+    days drop out of numerator and denominator symmetrically (the
+    standard irregular-series renormalization).
+
+    Scale: the weight join fans each target out x{n} (a broadcast of a
+    30-row table), and the series lookup is an equi-join on
+    (priority, day) — no window over unbounded history, which is what
+    makes the finite-window form the one you can actually run
+    incrementally at scale.""".format(n=_EWMA_WINDOW, a=_EWMA_ALPHA)
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    ).agg(
+        F.sum(_dec2(F.col("o_totalprice"))).cast("decimal(18,2)").alias("rev")
+    )
+    targets = daily.groupBy("o_orderpriority", "month").agg(F.max("d").alias("d"))
+    weights = spark.createDataFrame(
+        _EWMA_WEIGHTS, "i INT, wt DECIMAL(14,12)"
+    )
+    series = daily.select(
+        F.col("o_orderpriority").alias("s_pri"), F.col("d").alias("s_d"), "rev"
+    )
+    terms = (
+        targets.crossJoin(F.broadcast(weights))
+        .join(
+            series,
+            (F.col("s_pri") == F.col("o_orderpriority"))
+            & (F.col("s_d") == F.col("d") - F.col("i")),
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(
+            F.sum(
+                F.round(F.col("wt") * F.col("rev"), 8).cast("decimal(18,8)")
+            ).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+    )
+    return terms.select(
+        "o_orderpriority",
+        "month",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("ewma_rev"),
+    ).orderBy("o_orderpriority", "month")
+
+
+# ---------------------------------------------------------------------------
+# q260 — autocorrelation of daily revenue at several lags.
+# ---------------------------------------------------------------------------
+_ACF_LAGS = (1, 7, 28)
+
+
+def _sql_acf_branch(lag: int) -> str:
+    return f"""
+SELECT {lag} AS lag, n_pairs,
+       {sql_double(
+           "CAST(round("
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           "  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+           ", 6) AS DECIMAL(18,6))"
+       )} AS autocorr
+FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_double('SUM(a.rev)')} AS sx, {sql_double('SUM(b.rev)')} AS sy,
+           {sql_double('SUM(a.rev * b.rev)')} AS sxy,
+           {sql_double('SUM(a.rev * a.rev)')} AS sxx,
+           {sql_double('SUM(b.rev * b.rev)')} AS syy,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM daily a JOIN daily b ON b.d = a.d - {lag}
+) s"""
+
+
+@query(
+    "q260_revenue_autocorr",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(datediff('day', {_EPOCH}, o_orderdate) AS BIGINT) AS d,
+           SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT * FROM ({_sql_acf_branch(_ACF_LAGS[0])}
+UNION ALL {_sql_acf_branch(_ACF_LAGS[1])}
+UNION ALL {_sql_acf_branch(_ACF_LAGS[2])}) u
+ORDER BY lag
+""",
+)
+def q260_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1/7/28 — the
+    weekly-cycle detector that complements q228 (seasonality index is a
+    mean ratio; this is the correlation structure). Pairs are formed by
+    an exact self-join on day-minus-lag, so calendar gaps drop pairs
+    instead of misaligning them.
+
+    Determinism: revenue is DECIMAL; every moment is an exact DECIMAL
+    sum surfaced to double through the correctly-rounded VARCHAR path;
+    the Pearson expression is identical in both engines and the result
+    is quantized round(.,6).
+
+    Scale: the daily aggregate is tiny; each lag is a self-equi-join on
+    the day key over that tiny series."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d")
+    ).agg(F.sum(_dec2(F.col("o_totalprice"))).alias("rev"))
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("xb"))
+    outs = []
+    for lag in _ACF_LAGS:
+        j = a.join(b, F.col("db") == F.col("da") - F.lit(lag))
+        s = j.agg(
+            F.count("*").alias("n"),
+            F.sum("xa").cast("double").alias("sx"),
+            F.sum("xb").cast("double").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("double").alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).cast("double").alias("syy"),
+        )
+        nd = F.col("n").cast("double")
+        r = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        outs.append(
+            s.select(
+                F.lit(lag).alias("lag"),
+                F.col("n").alias("n_pairs"),
+                F.round(r, 6).cast("decimal(18,6)").cast("double").alias("autocorr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# q261 — order inter-arrival statistics per market segment.
+# ---------------------------------------------------------------------------
+@query(
+    "q261_interarrival_stats",
+    oracle=f"""
+WITH gaps AS (
+    SELECT o.o_custkey,
+           CAST(datediff('day', {_EPOCH}, o.o_orderdate) AS BIGINT)
+             - lag(CAST(datediff('day', {_EPOCH}, o.o_orderdate) AS BIGINT))
+               OVER (PARTITION BY o.o_custkey
+                     ORDER BY o.o_orderdate, o.o_orderkey) AS g
+    FROM orders o
+),
+seg AS (
+    SELECT c.c_mktsegment, g.g
+    FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.g IS NOT NULL
+),
+s AS (
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g * g) AS BIGINT) AS sgg,
+           quantile_cont(CAST(g AS DOUBLE), 0.5) AS p50_days,
+           quantile_cont(CAST(g AS DOUBLE), 0.9) AS p90_days
+    FROM seg GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n AS n_gaps,
+       {sql_double('CAST(round(CAST(sg AS DOUBLE) / n, 6) AS DECIMAL(18,6))')}
+         AS mean_days,
+       {sql_double(
+           "CAST(round("
+           "sqrt((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)"
+           "      - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+           "     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+           " / (CAST(sg AS DOUBLE) / n)"
+           ", 6) AS DECIMAL(18,6))"
+       )} AS cv,
+       p50_days, p90_days
+FROM s ORDER BY c_mktsegment
+""",
+)
+def q261_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order inter-arrival gaps per customer (days between consecutive
+    orders, tie-broken by orderkey), aggregated by market segment: mean,
+    coefficient of variation (cv ~ 1 is the memoryless/Poisson
+    signature; q218 measures fulfillment latency, this measures demand
+    cadence), and p50/p90.
+
+    Gaps are exact day INTs; mean/cv derive from exact BIGINT moments
+    with an identical double expression in both engines, quantized
+    round(.,6); percentiles interpolate identical doubles.
+
+    Scale: one window over the customer-partitioned sort, a broadcast
+    join to the customer dimension, and a 5-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    epoch = F.lit("1970-01-01").cast("date")
+    d = F.datediff(F.col("o_orderdate"), epoch).cast("bigint")
+    wg = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey", (d - F.lag(d).over(wg)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    seg = gaps.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        gaps.o_custkey == F.col("c_custkey"),
+    )
+    s = seg.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        F.expr("percentile(CAST(g AS DOUBLE), 0.5D)").alias("p50_days"),
+        F.expr("percentile(CAST(g AS DOUBLE), 0.9D)").alias("p90_days"),
+    )
+    nd = F.col("n").cast("double")
+    sgd = F.col("sg").cast("double")
+    sggd = F.col("sgg").cast("double")
+    mean = sgd / F.col("n")
+    sd = F.sqrt(
+        (nd * sggd - sgd * sgd) / (nd * (F.col("n") - 1).cast("double"))
+    )
+    return s.select(
+        "c_mktsegment",
+        F.col("n").alias("n_gaps"),
+        F.round(mean, 6).cast("decimal(18,6)").cast("double").alias("mean_days"),
+        F.round(sd / mean, 6).cast("decimal(18,6)").cast("double").alias("cv"),
+        "p50_days",
+        "p90_days",
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q272 — time-spread revenue recognition.
+# ---------------------------------------------------------------------------
+_SPREAD_CAP = 12
+
+
+@query(
+    "q272_revenue_spread",
+    oracle=f"""
+WITH li AS (
+    SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS INTEGER)
+             AS om,
+           GREATEST(1, LEAST({_SPREAD_CAP},
+               CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS INTEGER)
+               - CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                      AS INTEGER) + 1)) AS span,
+           l.l_extendedprice AS price
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+exploded AS (
+    SELECT om + t.i AS idx,
+           CAST(round(price / span, 6) AS DECIMAL(18,6)) AS monthly
+    FROM li, UNNEST(generate_series(0, span - 1)) AS t(i)
+)
+SELECT CAST((idx // 12) * 100 + (idx % 12) + 1 AS INTEGER) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_slices,
+       {sql_double('SUM(monthly)')} AS recognized_rev
+FROM exploded GROUP BY 1 ORDER BY month
+""",
+)
+def q272_revenue_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue recognition spread over time: each line's extended price
+    is recognized evenly across the months from order to ship
+    (inclusive, capped at {cap} months), then re-aggregated per
+    calendar month — the explode-and-reaggregate pattern behind any
+    deferred-revenue or capacity-amortization schedule.
+
+    The per-month slice is ONE double division quantized round(.,6) ->
+    DECIMAL, so the monthly re-sum is exact; the even-split rounding
+    residue (< 1e-6 per line) is deliberately dropped rather than
+    assigned, and the contract is documented here (q270 shows the
+    largest-remainder alternative when the residue must land).
+
+    Scale: the explode factor is bounded by the {cap}-month cap (the
+    MAX_BASKET idea on the time axis); the re-aggregation is one
+    month-keyed shuffle.""".format(cap=_SPREAD_CAP)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int")
+    sm = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).cast("int")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        om.alias("om"),
+        F.greatest(F.lit(1), F.least(F.lit(_SPREAD_CAP), sm - om + 1)).alias("span"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    exploded = j.select(
+        "om",
+        F.explode(F.sequence(F.lit(0), F.col("span") - 1)).alias("i"),
+        F.round(F.col("price") / F.col("span"), 6)
+        .cast("decimal(18,6)")
+        .alias("monthly"),
+    ).select((F.col("om") + F.col("i")).alias("idx"), "monthly")
+    return (
+        exploded.groupBy(
+            (
+                F.floor(F.col("idx") / 12) * 100 + F.pmod(F.col("idx"), F.lit(12)) + 1
+            )
+            .cast("int")
+            .alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_slices"),
+            F.sum("monthly").cast("double").alias("recognized_rev"),
+        )
+        .orderBy("month")
+    )
