@@ -1,0 +1,497 @@
+"""Robust / nonparametric statistics — round-12 additions.
+
+The registry's earlier statistics family is mostly parametric moments
+(q99 OLS, q145 covariance, q197 MAD, q199 KS, q222 chi-square). This
+module adds the rank- and resistance-based estimators a data-quality
+pipeline reaches for when the parametric assumptions fail, plus two
+distributed-sketch laws:
+
+- q244: histogram MERGE law — per-nation mergeable histograms combined
+  into region sketches (add counts), estimate vs exact percentile.
+  q212 calibrates one sketch; this proves the merge.
+- q252: Theil-Sen slope — median of pairwise slopes, the robust trend.
+- q255: Markov stationary distribution by decimal-quantized power
+  iteration (the one iterative fixpoint in the registry with an exact
+  cross-engine oracle: the SAME unrolled SQL text runs on both engines).
+- q262: Wilcoxon/Mann-Whitney rank-sum test with average-tie ranks.
+- q271: Spearman rank correlation (Pearson over average-tie ranks).
+
+Rank determinism: average ranks are carried as ``2*rank`` BIGINTs
+(2*RANK() + ties - 1), so every rank statistic is exact integer math
+until a single final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import sql_double
+from kinesis_sample_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# q244 — mergeable-histogram rollup (nation sketches → region estimate).
+# ---------------------------------------------------------------------------
+_MERGE_BINS = 32
+
+
+@query(
+    "q244_histogram_merge_rollup",
+    oracle=f"""
+WITH g AS (
+    SELECT MIN(c_acctbal) AS mn,
+           (MAX(c_acctbal) - MIN(c_acctbal)) / {_MERGE_BINS}.0 AS w
+    FROM customer
+),
+binned AS (
+    SELECT n.n_regionkey AS region, c.c_nationkey AS nat,
+           CAST(CASE WHEN g.w = 0 THEN 0
+                     ELSE LEAST(FLOOR((c.c_acctbal - g.mn) / g.w),
+                                {_MERGE_BINS - 1})
+                END AS INTEGER) AS bin
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, g
+),
+nation_hist AS (
+    -- the per-nation sketch a 1000-executor job would ship: counts over
+    -- GLOBAL bin edges, so merging = adding counts
+    SELECT region, nat, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM binned GROUP BY region, nat, bin
+),
+merged AS (
+    SELECT region, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM nation_hist GROUP BY region, bin
+),
+tot AS (SELECT region, CAST(SUM(cnt) AS BIGINT) AS n FROM merged GROUP BY region),
+cum AS (
+    SELECT m.region, m.bin, m.cnt, t.n, g.mn, g.w,
+           SUM(m.cnt) OVER (PARTITION BY m.region ORDER BY m.bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM merged m JOIN tot t ON t.region = m.region, g
+),
+exact AS (
+    SELECT n.n_regionkey AS region,
+           quantile_cont(c.c_acctbal, 0.5) AS exact_p50
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_regionkey
+)
+SELECT c.region, c.n,
+       CASE WHEN c.w = 0 THEN c.mn
+            ELSE c.mn + c.w * (c.bin + (CAST(0.5 AS DOUBLE) * c.n
+                                        - (c.cum - c.cnt)) / c.cnt)
+       END AS est_p50,
+       e.exact_p50,
+       abs(CASE WHEN c.w = 0 THEN c.mn
+                ELSE c.mn + c.w * (c.bin + (CAST(0.5 AS DOUBLE) * c.n
+                                            - (c.cum - c.cnt)) / c.cnt)
+           END - e.exact_p50) AS abs_err
+FROM cum c JOIN exact e ON e.region = c.region
+WHERE c.cum >= CAST(0.5 AS DOUBLE) * c.n
+  AND c.cum - c.cnt < CAST(0.5 AS DOUBLE) * c.n
+ORDER BY c.region
+""",
+)
+def q244_histogram_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch MERGE law, proven end-to-end: per-nation fixed-width
+    histograms over GLOBAL bin edges (global min/max pass first — that
+    alignment is what makes the sketches mergeable at all), merged up
+    the nation→region hierarchy by adding counts, then the region-level
+    median estimated from the MERGED sketch against the exact region
+    median. q212 calibrates a single sketch; this is the distributed
+    half: estimate(merge(sketches)) with no access to raw rows.
+
+    Same determinism recipe as q212 (w = 0 guard included), interp and
+    exact percentile over identical doubles.
+
+    Scale: two scans of customer (global min/max, then binning), a
+    bounded (nation x bin) aggregate, a bounded merge, and broadcast
+    dimension joins. The exact column is the audit reference — at true
+    scale only the sketch path runs."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    g = cust.agg(
+        F.min("c_acctbal").alias("mn"),
+        (
+            (F.max("c_acctbal") - F.min("c_acctbal")) / F.lit(float(_MERGE_BINS))
+        ).alias("w"),
+    )
+    cn = cust.join(
+        F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    )
+    binned = cn.crossJoin(F.broadcast(g)).select(
+        F.col("n_regionkey").alias("region"),
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("w") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("c_acctbal") - F.col("mn")) / F.col("w")),
+                F.lit(_MERGE_BINS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    nation_hist = binned.groupBy("region", "nat", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    merged = nation_hist.groupBy("region", "bin").agg(F.sum("cnt").alias("cnt"))
+    tot = merged.groupBy("region").agg(F.sum("cnt").alias("n"))
+    wcum = (
+        W.partitionBy("region")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        merged.join(tot, "region")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "region", "bin", "cnt", "n", "mn", "w",
+            F.sum("cnt").over(wcum).alias("cum"),
+        )
+    )
+    exact = cn.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.expr("percentile(c_acctbal, 0.5D)").alias("exact_p50")
+    )
+    target = F.lit(0.5) * F.col("n")
+    est = F.when(F.col("w") == 0, F.col("mn")).otherwise(
+        F.col("mn")
+        + F.col("w")
+        * (F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+    )
+    return (
+        cum.filter((F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target))
+        .join(exact, "region")
+        .select(
+            "region",
+            "n",
+            est.alias("est_p50"),
+            "exact_p50",
+            F.abs(est - F.col("exact_p50")).alias("abs_err"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — Theil-Sen robust trend (median of pairwise slopes).
+# ---------------------------------------------------------------------------
+@query(
+    "q252_theil_sen_trend",
+    oracle=f"""
+WITH monthly AS (
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER) AS t,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS rev
+    FROM orders GROUP BY 1, 2
+),
+slopes AS (
+    SELECT a.o_orderpriority,
+           {sql_double('(b.rev - a.rev)')} / (b.t - a.t) AS slope
+    FROM monthly a
+    JOIN monthly b ON b.o_orderpriority = a.o_orderpriority AND b.t > a.t
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_cont(slope, 0.5) AS sen_slope
+FROM slopes GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q252_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend of monthly revenue per priority: the median of
+    all pairwise slopes — up to 29% contaminated months cannot move it,
+    unlike q99's least-squares line. The slope set is all C(84, 2) ≈
+    3.5k pairs per priority: a bounded self-join of the pre-aggregated
+    series, which is the point — the robustness pass runs on the tiny
+    aggregate, never the fact table.
+
+    Each slope is ONE double division of an exact decimal difference
+    (through the correctly-rounded VARCHAR path on the oracle side);
+    the median interpolates identical doubles.
+
+    Scale: fact scan aggregates to (priority x month); the quadratic
+    step is quadratic only in months."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("t"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    a = monthly.select(
+        "o_orderpriority", F.col("t").alias("ta"), F.col("rev").alias("ra")
+    )
+    b = monthly.select(
+        F.col("o_orderpriority").alias("pb"),
+        F.col("t").alias("tb"),
+        F.col("rev").alias("rb"),
+    )
+    slopes = a.join(
+        b, (F.col("pb") == F.col("o_orderpriority")) & (F.col("tb") > F.col("ta"))
+    ).select(
+        "o_orderpriority",
+        (
+            (F.col("rb") - F.col("ra")).cast("double") / (F.col("tb") - F.col("ta"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("percentile(slope, 0.5D)").alias("sen_slope"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q255 — Markov stationary distribution (decimal power iteration).
+# ---------------------------------------------------------------------------
+_MARKOV_ITERS = 20
+
+
+def _markov_sql() -> str:
+    """The ENTIRE query as dialect-shared SQL: transition counts, the
+    row-normalized matrix quantized to DECIMAL(12,9), and
+    ``_MARKOV_ITERS`` unrolled power-iteration steps. Each step's terms
+    are quantized round(.,9) -> DECIMAL(18,9) before summing (after
+    widening one factor to 19 digits for DuckDB's int128 path), so every
+    iteration is exact decimal arithmetic — both engines run this text
+    verbatim and must agree bit-for-bit."""
+    ctes = [
+        """seq AS (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+    FROM events
+)""",
+        """tc AS (
+    SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+)""",
+        """p AS (
+    SELECT prev, cur,
+           CAST(round(cnt / SUM(cnt) OVER (PARTITION BY prev), 9)
+                AS DECIMAL(12,9)) AS pr
+    FROM tc
+)""",
+        """s0 AS (
+    SELECT prev AS state,
+           CAST(round(CAST(1 AS DOUBLE)
+                      / (SELECT COUNT(DISTINCT prev) FROM p), 9)
+                AS DECIMAL(12,9)) AS prob
+    FROM (SELECT DISTINCT prev FROM p) d
+)""",
+    ]
+    for i in range(_MARKOV_ITERS):
+        ctes.append(
+            f"""s{i + 1} AS (
+    SELECT p.cur AS state,
+           CAST(SUM(CAST(round(CAST(s.prob AS DECIMAL(19,9)) * p.pr, 9)
+                         AS DECIMAL(18,9))) AS DECIMAL(12,9)) AS prob
+    FROM s{i} s JOIN p ON p.prev = s.state
+    GROUP BY p.cur
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT state, CAST(CAST(prob AS STRING) AS DOUBLE) AS stationary_prob
+FROM s{_MARKOV_ITERS} ORDER BY state"""
+    )
+
+
+_MARKOV_SQL = _markov_sql()
+
+
+@query("q255_markov_stationary", oracle=_MARKOV_SQL)
+def q255_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by power
+    iteration — the steady-state answer to q141/q202's transition
+    descriptions. {n} unrolled iterations from the uniform vector.
+
+    The cross-engine trap here is float summation order inside an
+    ITERATION (20 rounds would amplify any divergence), solved by
+    making every round exact: the transition matrix is quantized
+    round(.,9) -> DECIMAL once, and each step's products are quantized
+    to DECIMAL(18,9) before the (exact) sum. The semantic IS
+    quantized-decimal power iteration, and the identical SQL text runs
+    on both engines (the state space is the handful of event types, so
+    each round is a k×k join).
+
+    Scale: the transition count rides the user-partitioned window
+    shuffle over the fact; all {n} iterations run on the k×k matrix —
+    driver-independent, executor-trivial. A growing state space would
+    swap the unrolled CTEs for the loop in operators/pagerank.py
+    (same quantization trick applies).""".format(n=_MARKOV_ITERS)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MARKOV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q262 — Mann-Whitney/Wilcoxon rank-sum test.
+# ---------------------------------------------------------------------------
+_RS_A, _RS_B = "purchase", "click"
+
+
+@query(
+    "q262_rank_sum_test",
+    oracle=f"""
+WITH s AS (
+    SELECT value, event_type AS grp FROM events
+    WHERE event_type IN ('{_RS_A}', '{_RS_B}') AND value IS NOT NULL
+),
+ranked AS (
+    -- 2*avg_rank = 2*RANK() + ties - 1, exact BIGINT
+    SELECT grp,
+           CAST(2 * RANK() OVER (ORDER BY value)
+                + COUNT(*) OVER (PARTITION BY value) - 1 AS BIGINT) AS r2
+    FROM s
+),
+agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN grp = '{_RS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN grp = '{_RS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN grp = '{_RS_A}' THEN r2 ELSE 0 END) AS BIGINT) AS s2a
+    FROM ranked
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(s2a AS DOUBLE) / 2 - CAST(na * (na + 1) AS DOUBLE) / 2 AS u_stat,
+       {sql_double(
+           "CAST(round("
+           "(CAST(s2a AS DOUBLE) / 2 - CAST(na * (na + 1) AS DOUBLE) / 2"
+           " - CAST(na * nb AS DOUBLE) / 2)"
+           " / sqrt(CAST(na * nb AS DOUBLE) * CAST(na + nb + 1 AS DOUBLE) / 12.0)"
+           ", 6) AS DECIMAL(18,6))"
+       )} AS z
+FROM agg
+""",
+)
+def q262_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the '{a}' and '{b}'
+    value samples — the nonparametric two-sample location test the
+    registry lacked (q199 KS tests shape, q222 chi-square tests
+    categorical independence; this tests stochastic dominance). Ties get
+    average ranks, carried as exact 2*rank BIGINTs (2*RANK() + ties - 1)
+    so U is exact integer math until two final divisions; z uses the
+    normal approximation WITHOUT the tie correction (documented
+    contract — value ties are floats, vanishingly rare).
+
+    Scale: one global sort for the rank window (range-partitionable),
+    one scalar aggregate.""".format(a=_RS_A, b=_RS_B)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isin(_RS_A, _RS_B) & F.col("value").isNotNull()
+    ).select("value", F.col("event_type").alias("grp"))
+    r2 = (
+        2 * F.rank().over(W.orderBy("value"))
+        + F.count("*").over(W.partitionBy("value"))
+        - 1
+    ).cast("bigint")
+    ranked = s.select("grp", r2.alias("r2"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == _RS_A, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == _RS_B, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("grp") == _RS_A, F.col("r2")).otherwise(0)).alias("s2a"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("s2a").cast("double") / 2 - (na * (na + 1)).cast("double") / 2
+    z = (u - (na * nb).cast("double") / 2) / F.sqrt(
+        (na * nb).cast("double") * (na + nb + 1).cast("double") / F.lit(12.0)
+    )
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        u.alias("u_stat"),
+        F.round(z, 6).cast("decimal(18,6)").cast("double").alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271 — Spearman rank correlation per group.
+# ---------------------------------------------------------------------------
+@query(
+    "q271_spearman_rank_corr",
+    oracle=f"""
+WITH ranked AS (
+    SELECT l_returnflag,
+           CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+                AS BIGINT) AS rx,
+           CAST(2 * RANK() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice)
+                + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+                AS BIGINT) AS ry
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+           CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+           CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+           CAST(SUM(ry * ry) AS BIGINT) AS syy
+    FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {sql_double(
+           "CAST(round("
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           "  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+           ", 6) AS DECIMAL(18,6))"
+       )} AS spearman_rho
+FROM s ORDER BY l_returnflag
+""",
+)
+def q271_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag: Pearson over average-tie ranks — monotone association
+    without q145's linearity assumption, robust to the price outliers
+    that move covariance. The tie-heavy quantity column is exactly why
+    average ranks (2*rank BIGINT trick, see q262) matter here: min-rank
+    or row-number ranks would bias rho under ties.
+
+    All five moments are exact BIGINT sums; rho is one identical double
+    expression quantized round(.,6).
+
+    Scale: two rank windows over the same group partition (one sort
+    each) and a per-group moment aggregate; the 2x scale factor on
+    ranks cancels algebraically in rho."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rx = (
+        2 * F.rank().over(W.partitionBy("l_returnflag").orderBy("l_quantity"))
+        + F.count("*").over(W.partitionBy("l_returnflag", "l_quantity"))
+        - 1
+    ).cast("bigint")
+    ry = (
+        2 * F.rank().over(W.partitionBy("l_returnflag").orderBy("l_extendedprice"))
+        + F.count("*").over(W.partitionBy("l_returnflag", "l_extendedprice"))
+        - 1
+    ).cast("bigint")
+    ranked = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    s = ranked.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(rho, 6).cast("decimal(18,6)").cast("double").alias("spearman_rho"),
+    ).orderBy("l_returnflag")
