@@ -48,33 +48,29 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round, so iteration order IS the verification budget. CORRECTNESS_r09
-# landed 50/50 green: the 35 settlement-eligible window entries settled
-# (settled = 94) and the 15 round-9 additions q191-q205 became
-# settlement-eligible. This round-10 window is exactly what
-# tools/settlement_report.py --write computed from CORRECTNESS_r01-r09
-# (no r09 failures, so no mandatory failure slots):
-#   35 slots — the round-10 additions (never-green, mandatory),
-#              landed in five batches: q206-q220 (Q17 correlated avg,
-#              Q20 semi chain, session bounce/dwell, survival hazard,
-#              priority canonical, co-occurrence PMI, percentile
-#              bridge, Gini, HHI, Benford, CUSUM, median-of-means,
-#              fulfillment latency, dimension variance, 3-itemsets),
-#              q221-q226 (weighted median, chi-square independence,
-#              activity streaks, transition latency, column profile,
-#              rank fusion), q227-q234 (Pareto coverage, seasonality
-#              index, RFM, association lift, percent-of-parent, vocab
-#              growth, dormant parts, semi-additive EOD rollup),
-#              q235-q237 (OHLC bars, new-vs-returning census,
-#              brand-affinity matrix), q238-q240 (join-cardinality
-#              audit, session conversion by entry type, mix-shift
-#              drift series).
-#   15 slots — the settlement-eligible set (green r09, unsettled):
-#              q191-q205. One more green row settles each
-#              (settled -> 109).
-#    0 slots — backfills: the 35 displaced by the new batches were
-#              once-green only, so no settlement streak was lost; the
-#              window is now exactly never-green + eligible.
+# round, so iteration order IS the verification budget. After
+# CORRECTNESS_r11 (50/50 green on the inherited window), q206-q240
+# settled and the registry reached 143 settled / 0 never-green / 0
+# eligible — the first fully-discretionary window of the project. This
+# round-12 window spends it on the largest batch so far:
+#   33 slots — never-green (mandatory): the 32 round-12 additions in
+#              five modules — graph_metrics (q241 communities, q246
+#              degree distribution, q247 assortativity), temporal
+#              (q242 session gaps, q243 as-of spread, q250 cohort LTV,
+#              q251 backlog, q253 point-in-time, q256 peaks, q258
+#              EWMA, q260 autocorr, q261 inter-arrival, q272 revenue
+#              spread), robuststats (q244 histogram merge, q252
+#              Theil-Sen, q255 Markov stationary, q262 rank-sum, q271
+#              Spearman), bizaudit (q254 FD audit, q265 shift-share,
+#              q266 double billing, q267 band migration, q268 key
+#              density, q269 MoM contribution, q270 largest-remainder),
+#              textcal (q245 LCP near-dup, q248 Zipf, q249 minhash
+#              calibration, q257 cosine distribution, q259 agreement,
+#              q263 burstiness, q264 shingle duplication) — PLUS
+#              q36_embedding_neardup, re-entering as never-green via
+#              settlement.REVERIFY_SINCE: its settled greens predate
+#              the round-10 banded-LSH rewrite (ADVICE item 1).
+#   17 slots — minimum-evidence backfill (oldest evidence first).
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -82,10 +78,6 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # (twice-consecutive-green) query; and every other slot must go either
 # to a settlement-eligible query or to a minimum-evidence query (no
 # strictly-less-evidenced query may sit outside the window).
-#
-# If r10 lands 50/50: settled -> 109, and the r11 rotation makes the
-# 35 round-10 queries settlement-eligible + re-queues the displaced
-# backfills; full registry settles ~r13-r14.
 #
 # ROTATION RULE (mechanical, post-r07): run
 #   python tools/settlement_report.py --write
@@ -97,6 +89,40 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- never-green (mandatory)
+    "q241_copurchase_communities",
+    "q242_session_gap_stats",
+    "q243_asof_forward_spread",
+    "q244_histogram_merge_rollup",
+    "q245_prefix_lcp_neardup",
+    "q246_degree_distribution",
+    "q247_degree_assortativity",
+    "q248_zipf_slope",
+    "q249_minhash_calibration",
+    "q250_cohort_ltv",
+    "q251_daily_backlog",
+    "q252_theil_sen_trend",
+    "q253_point_in_time_join",
+    "q254_fd_audit",
+    "q255_markov_stationary",
+    "q256_peak_days",
+    "q257_cosine_pair_distribution",
+    "q258_ewma_smoothing",
+    "q259_dedup_agreement",
+    "q260_revenue_autocorr",
+    "q261_interarrival_stats",
+    "q262_rank_sum_test",
+    "q263_term_burstiness",
+    "q264_shingle_duplication_rate",
+    "q265_shift_share",
+    "q266_double_billing_audit",
+    "q267_value_band_migration",
+    "q268_key_density_audit",
+    "q269_mom_contribution",
+    "q270_largest_remainder_alloc",
+    "q271_spearman_rank_corr",
+    "q272_revenue_spread",
+    "q36_embedding_neardup",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -115,39 +141,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q127_canonical_selection",
     "q128_winsorized_stats",
     "q129_hard_negative_mining",
-    "q130_source_overlap_matrix",
-    "q131_live_session_windows",
-    "q132_countmin_heavy_hitters",
-    "q133_frame_sampling",
-    "q137_curriculum_bins",
-    "q138_dedup_rate_per_source",
-    "q139_scd2_intervals",
-    "q140_workspace_manifest",
-    "q141_transition_mining",
-    "q142_int8_quantization",
-    "q143_snapshot_diff",
-    "q144_bpe_pair_counts",
-    "q145_covariance_moments",
-    "q146_interval_overlap_join",
-    "q147_join_key_skew_audit",
-    "q148_content_defined_chunks",
-    "q149_top_terms_per_source",
-    "q150_triangle_count",
-    "q151_udtf_user_sessions",
-    "q152_prefix_filter_simjoin",
-    "q153_live_left_outer_join",
-    "q40_token_stats",
-    "q50_media_features",
-    "q58_array_ops",
-    "q59_string_extras",
-    "q99_ols_regression",
-    "q134_json_roundtrip_agg",
-    "q135_csv_roundtrip_agg",
-    "q136_orc_roundtrip_agg",
-    "q154_bm25_topk",
-    "q155_window_frame_gallery",
-    "q156_hof_gallery",
-    "q157_cogroup_reconcile",
 )
 
 

@@ -65,11 +65,33 @@ def _is_green(row: dict) -> bool:
     return bool(row.get("rows_match") and row.get("schema_match") and row.get("hash_match"))
 
 
+#: Settled queries whose implementation was SEMANTICALLY REWRITTEN after
+#: the evidence that settled them was earned: green rows from rounds
+#: before the rewrite round prove the OLD implementation, not the one
+#: that ships. Mapping query name -> first round whose evidence counts.
+#: Both the planner (tools/settlement_report.py) and the enforcer
+#: (tests/test_registry_hygiene.py) read greens through the filter below,
+#: so a listed query re-enters the window as never-green until it
+#: re-settles on the new form — then its entry here should be removed.
+REVERIFY_SINCE: dict[str, int] = {
+    # round-10 banded-hyperplane-LSH rewrite (ADVICE r10/r11 item 1):
+    # its settled greens were earned by the label-blocked implementation.
+    "q36_embedding_neardup": 10,
+}
+
+
 def green_sets_by_round(repo: pathlib.Path = REPO) -> dict[int, set[str]]:
     """Queries with all three gates true, per OBSERVED round (empty
-    CORRECTNESS reports are skipped — no observations, no round)."""
+    CORRECTNESS reports are skipped — no observations, no round).
+    Greens earned before a query's ``REVERIFY_SINCE`` round are
+    dropped: pre-rewrite evidence does not speak for the shipped
+    code."""
     return {
-        rnd: {n for n, r in rows.items() if _is_green(r)}
+        rnd: {
+            n
+            for n, r in rows.items()
+            if _is_green(r) and rnd >= REVERIFY_SINCE.get(n, 0)
+        }
         for rnd, rows in _observed_rounds(repo).items()
     }
 
