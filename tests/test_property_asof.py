@@ -76,3 +76,51 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
     for _, row in merged.iterrows():
         expect = None if pd.isna(row["r_ts"]) else row["r_ts"].to_pydatetime()
         assert got[(row["k"], row["lv"])] == expect, (row["k"], row["lv"])
+
+
+@pytest.mark.slow
+@given(left=rows_strategy, right=rows_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_forward_asof_matches_pandas_merge_asof(spark, left, right):
+    """The round-12 ``direction="forward"`` mirror (first() over the
+    following frame) against pandas merge_asof(direction="forward")."""
+    lsecs, lkeys = left
+    rsecs, rkeys = right
+    n_l, n_r = min(len(lsecs), len(lkeys)), min(len(rsecs), len(rkeys))
+    lrows = _mk_rows(lsecs[:n_l], lkeys[:n_l], "l")
+    rrows = _mk_rows(rsecs[:n_r], rkeys[:n_r], "r")
+    if not lrows:
+        return
+
+    ldf = spark.createDataFrame(lrows, "k long, ts timestamp, lv string")
+    if rrows:
+        rdf = spark.createDataFrame(rrows, "k long, ts timestamp, rv string")
+    else:
+        rdf = spark.createDataFrame([], "k long, ts timestamp, rv string")
+
+    got = {
+        (r["k"], r["lv"]): r["r_ts"]
+        for r in asof_join(ldf, rdf, on="k", direction="forward").collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(rrows, columns=["k", "ts", "rv"])
+        .sort_values("ts", kind="stable")
+        .drop_duplicates()
+    )
+    if rrows:
+        merged = pd.merge_asof(
+            lp, rp.rename(columns={"ts": "r_ts"}), left_on="ts", right_on="r_ts",
+            by="k", direction="forward", allow_exact_matches=True,
+        )
+    else:
+        merged = lp.assign(r_ts=pd.NaT)
+
+    for _, row in merged.iterrows():
+        expect = None if pd.isna(row["r_ts"]) else row["r_ts"].to_pydatetime()
+        assert got[(row["k"], row["lv"])] == expect, (row["k"], row["lv"])

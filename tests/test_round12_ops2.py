@@ -1,0 +1,585 @@
+"""Brute-force cross-checks for round-12 operators, part 2
+(robuststats, bizaudit, textcal). Methodology as test_round12_ops.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.test_round12_ops import SF, _pd, _run
+
+
+# ---------------------------------------------------------------------------
+# robuststats
+# ---------------------------------------------------------------------------
+def test_q244_histogram_merge_third_impl(spark):
+    cust = _pd("customer")
+    nation = _pd("nation")
+    region_of = dict(zip(nation.n_nationkey, nation.n_regionkey))
+    bal = cust.c_acctbal.values
+    mn, mx = bal.min(), bal.max()
+    w = (mx - mn) / 32.0
+    regions = cust.c_nationkey.map(region_of).values
+    rows = {r.region: r for r in _run(spark, "q244_histogram_merge_rollup")}
+    for reg in set(regions):
+        v = np.sort(bal[regions == reg])
+        bins = np.minimum(np.floor((v - mn) / w), 31).astype(int) if w else 0 * v
+        hist = Counter(bins.tolist())
+        n = len(v)
+        cum = 0
+        for b in sorted(hist):
+            prev = cum
+            cum += hist[b]
+            if cum >= 0.5 * n and prev < 0.5 * n:
+                est = mn + w * (b + (0.5 * n - prev) / hist[b])
+                break
+        exact = np.percentile(v, 50)
+        r = rows[reg]
+        assert r.n == n
+        assert r.est_p50 == pytest.approx(est, rel=1e-12)
+        assert r.exact_p50 == pytest.approx(exact, rel=1e-12)
+        assert r.abs_err == pytest.approx(abs(est - exact), rel=1e-9, abs=1e-12)
+
+
+def test_q252_theil_sen_third_impl(spark):
+    orders = _pd("orders")
+    m = orders.o_orderdate.dt.year * 12 + orders.o_orderdate.dt.month - 1
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    monthly = (
+        pd.DataFrame({"pri": orders.o_orderpriority, "m": m, "c": cents})
+        .groupby(["pri", "m"])
+        .c.sum()
+    )
+    rows = {r.o_orderpriority: r for r in _run(spark, "q252_theil_sen_trend")}
+    for pri in monthly.index.get_level_values(0).unique():
+        s = monthly[pri]
+        slopes = [
+            (s[t2] - s[t1]) / 100.0 / (t2 - t1)
+            for t1, t2 in itertools.combinations(sorted(s.index), 2)
+        ]
+        r = rows[pri]
+        assert r.n_pairs == len(slopes)
+        assert r.sen_slope == pytest.approx(np.percentile(slopes, 50), rel=1e-12)
+
+
+def _q9(x: float) -> Decimal:
+    """round(double, 9) the way both engines do it (half away from zero;
+    inputs here are positive, so HALF_UP matches)."""
+    return Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+
+def test_q255_markov_third_impl(spark):
+    ev = _pd("events").sort_values(["user_id", "ts", "event_id"])
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = list(g.event_type)
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    totals = Counter()
+    for (a, _b), c in trans.items():
+        totals[a] += c
+    P = {(a, b): _q9(c / totals[a]) for (a, b), c in trans.items()}
+    states = sorted(totals)
+    s = {st: _q9(1.0 / len(states)) for st in states}
+    for _ in range(20):
+        nxt = defaultdict(Decimal)
+        for (a, b), p in P.items():
+            if a in s:
+                nxt[b] += (s[a] * p).quantize(
+                    Decimal("1e-9"), rounding=ROUND_HALF_UP
+                )
+        s = dict(nxt)
+    rows = _run(spark, "q255_markov_stationary")
+    got = {r.state: r.stationary_prob for r in rows}
+    assert set(got) == set(s)
+    for st in s:
+        assert got[st] == float(s[st])
+
+
+def _avg_ranks(values):
+    """value -> exact 2*average-rank (int)."""
+    sv = sorted(values)
+    first = {}
+    cnt = Counter(values)
+    r = 1
+    for v in sv:
+        if v not in first:
+            first[v] = r
+        r += 1
+    return {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+
+
+def test_q262_rank_sum_third_impl(spark):
+    ev = _pd("events")
+    a = ev[ev.event_type == "purchase"].value.dropna().tolist()
+    b = ev[ev.event_type == "click"].value.dropna().tolist()
+    r2 = _avg_ranks(a + b)
+    s2a = sum(r2[v] for v in a)
+    na, nb = len(a), len(b)
+    u = s2a / 2 - na * (na + 1) / 2
+    z = (u - na * nb / 2) / math.sqrt(na * nb * (na + nb + 1) / 12.0)
+    row = _run(spark, "q262_rank_sum_test")[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.u_stat == pytest.approx(u, rel=1e-12)
+    assert row.z == pytest.approx(z, abs=2e-6)
+
+
+def test_q271_spearman_third_impl(spark):
+    li = _pd("lineitem")
+    rows = {r.l_returnflag: r for r in _run(spark, "q271_spearman_rank_corr")}
+    for flag, g in li.groupby("l_returnflag"):
+        rx_map = _avg_ranks(g.l_quantity.tolist())
+        ry_map = _avg_ranks(g.l_extendedprice.tolist())
+        rx = np.array([rx_map[v] for v in g.l_quantity], dtype=float)
+        ry = np.array([ry_map[v] for v in g.l_extendedprice], dtype=float)
+        rho = np.corrcoef(rx, ry)[0, 1]
+        r = rows[flag]
+        assert r.n == len(g)
+        assert r.spearman_rho == pytest.approx(rho, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# bizaudit
+# ---------------------------------------------------------------------------
+def test_q254_fd_audit_third_impl(spark):
+    from kinesis_sample_spark.queries.bizaudit import _FDS
+
+    rows = {r.fd: r for r in _run(spark, "q254_fd_audit")}
+    assert set(rows) == {f[0] for f in _FDS}
+    for label, table, lhs, rhs in _FDS:
+        t = _pd(table)
+        nd = t.groupby(lhs)[rhs].nunique()
+        r = rows[label]
+        assert r.n_groups == len(nd)
+        assert r.violating_groups == int((nd > 1).sum())
+        assert r.violation_rate == pytest.approx(
+            (nd > 1).sum() / len(nd), rel=1e-12
+        )
+        assert r.max_rhs_distinct == int(nd.max())
+
+
+def test_q265_shift_share_third_impl(spark):
+    orders = _pd("orders")
+    cust = _pd("customer")
+    nat = dict(zip(cust.c_custkey, cust.c_nationkey))
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    df = pd.DataFrame(
+        {
+            "nation": orders.o_custkey.map(nat),
+            "y": orders.o_orderdate.dt.year,
+            "c": cents,
+        }
+    )
+    g = df.groupby(["nation", "y"]).agg(vol=("c", "size"), cents=("c", "sum"))
+    rows = _run(spark, "q265_shift_share")
+    assert len(rows) > 0
+    for r in rows:
+        cur = g.loc[(r.nation, r.year)]
+        prev = g.loc[(r.nation, r.year - 1)]
+        ap_c = (cur.cents / 100.0) / cur.vol
+        ap_p = (prev.cents / 100.0) / prev.vol
+        assert r.volume_effect == pytest.approx(
+            (cur.vol - prev.vol) * ap_p, abs=2e-6
+        )
+        assert r.price_effect == pytest.approx((ap_c - ap_p) * cur.vol, abs=2e-6)
+        assert r.total_change == pytest.approx(
+            (cur.cents - prev.cents) / 100.0, rel=1e-12
+        )
+
+
+def test_q266_double_billing_third_impl(spark):
+    orders = _pd("orders")
+    agg = defaultdict(lambda: [0, set(), 0, Decimal(0)])
+    by_cust = dict(tuple(orders.groupby("o_custkey")))
+    for ck, g in by_cust.items():
+        recs = list(
+            g[["o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"]]
+            .itertuples(index=False)
+        )
+        for a, b in itertools.combinations(recs, 2):
+            if a[0] > b[0]:
+                a, b = b, a
+            if abs((a[1].normalize() - b[1].normalize()).days) <= 3:
+                st = agg[a[2]]
+                st[0] += 1
+                st[1].add(ck)
+                st[2] += int(a[2] == b[2])
+                ratio = min(a[3], b[3]) / max(a[3], b[3])
+                st[3] += Decimal(ratio).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+    rows = _run(spark, "q266_double_billing_audit")
+    assert {r.o_orderpriority for r in rows} == set(agg)
+    for r in rows:
+        n, custs, same, rsum = agg[r.o_orderpriority]
+        assert (r.n_pairs, r.n_customers, r.n_same_priority) == (n, len(custs), same)
+        assert r.avg_amount_ratio == pytest.approx(float(rsum) / n, rel=1e-12)
+
+
+def _ntile(sorted_keys, k):
+    n = len(sorted_keys)
+    out = {}
+    base, rem = divmod(n, k)
+    i = 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= rem else 0)
+        for key in sorted_keys[i : i + size]:
+            out[key] = b
+        i += size
+    return out
+
+
+def test_q267_band_migration_third_impl(spark):
+    orders = _pd("orders")
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    df = pd.DataFrame(
+        {"cust": orders.o_custkey, "y": orders.o_orderdate.dt.year, "c": cents}
+    )
+    yearly = df.groupby(["cust", "y"]).c.sum()
+    band = {}
+    for y in yearly.index.get_level_values(1).unique():
+        s = yearly.xs(y, level=1)
+        order = sorted(s.index, key=lambda ck: (s[ck], ck))
+        band.update({(ck, y): b for ck, b in _ntile(order, 10).items()})
+    moves = Counter()
+    for (ck, y), b in band.items():
+        if (ck, y + 1) in band:
+            moves[(b, band[(ck, y + 1)])] += 1
+    from_tot = Counter()
+    for (bf, _bt), n in moves.items():
+        from_tot[bf] += n
+    rows = _run(spark, "q267_value_band_migration")
+    got = {(r.band_from, r.band_to): (r.n, r.share_of_from) for r in rows}
+    assert set(got) == set(moves)
+    for k, (n, share) in got.items():
+        assert n == moves[k]
+        assert share == pytest.approx(moves[k] / from_tot[k[0]], rel=1e-12)
+
+
+def test_q268_key_density_third_impl(spark):
+    orders = _pd("orders")
+    df = pd.DataFrame({"b": orders.o_orderkey // 1000, "k": orders.o_orderkey})
+    g = df.groupby("b").k.agg(["size", "min", "max"])
+    bands = defaultdict(lambda: [0, 0, Decimal(0)])
+    for _, row in g.iterrows():
+        dens = row["size"] / (row["max"] - row["min"] + 1)
+        name = (
+            "dense" if dens > 0.75 else "mixed" if dens > 0.5
+            else "sparse" if dens > 0.25 else "fragmented"
+        )
+        st = bands[name]
+        st[0] += 1
+        st[1] += int(row["size"])
+        st[2] += Decimal(dens).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    rows = _run(spark, "q268_key_density_audit")
+    assert {r.density_band for r in rows} == set(bands)
+    for r in rows:
+        nb, tot, dsum = bands[r.density_band]
+        assert (r.n_buckets, r.total_rows) == (nb, tot)
+        assert r.avg_density == pytest.approx(float(dsum) / nb, rel=1e-12)
+
+
+def test_q269_mom_contribution_third_impl(spark):
+    orders = _pd("orders")
+    cust = _pd("customer")
+    seg = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    m = orders.o_orderdate.dt.year * 12 + orders.o_orderdate.dt.month - 1
+    df = pd.DataFrame({"seg": orders.o_custkey.map(seg), "m": m, "c": cents})
+    grid = df.groupby(["seg", "m"]).c.sum()
+    months = sorted(grid.index.get_level_values(1).unique())
+    valid = {mm for mm in months if mm - 1 in months}
+    deltas = {}
+    for mm in valid:
+        for s in grid.index.get_level_values(0).unique():
+            rc = grid.get((s, mm), 0)
+            rp = grid.get((s, mm - 1), 0)
+            if rc != 0 or rp != 0:
+                deltas[(mm, s)] = rc - rp
+    tot = Counter()
+    for (mm, _s), d in deltas.items():
+        tot[mm] += d
+    rows = _run(spark, "q269_mom_contribution")
+    got = {
+        ((r.month // 100) * 12 + r.month % 100 - 1, r.segment): r for r in rows
+    }
+    assert set(got) == set(deltas)
+    for k, r in got.items():
+        assert r.seg_delta == pytest.approx(deltas[k] / 100.0, rel=1e-12)
+        if tot[k[0]] == 0:
+            assert r.contribution is None
+        else:
+            assert r.contribution == pytest.approx(
+                deltas[k] / tot[k[0]], rel=1e-12
+            )
+
+
+def test_q270_largest_remainder_third_impl(spark):
+    li = _pd("lineitem")
+    orders = _pd("orders")
+    pri = dict(zip(orders.o_orderkey, orders.o_orderpriority))
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # orders, points, balanced, max
+    for ok, g in li.groupby("l_orderkey"):
+        cents = [
+            (int(round(p * 100)), int(ln))
+            for p, ln in zip(g.l_extendedprice, g.l_linenumber)
+        ]
+        total = sum(c for c, _ in cents)
+        base = [(100 * c) // total for c, _ in cents]
+        rems = [(100 * c) % total for c, _ in cents]
+        leftover = 100 - sum(base)
+        order = sorted(
+            range(len(cents)), key=lambda i: (-rems[i], cents[i][1])
+        )
+        alloc = list(base)
+        for i in order[:leftover]:
+            alloc[i] += 1
+        st = stats[pri[ok]]
+        st[0] += 1
+        st[1] += sum(alloc)
+        st[2] += int(sum(alloc) == 100)
+        st[3] = max(st[3], max(alloc))
+    rows = _run(spark, "q270_largest_remainder_alloc")
+    got = {
+        r.o_orderpriority: (
+            r.n_orders, r.total_points, r.orders_balanced, r.max_single_alloc
+        )
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in stats.items()}
+    # the invariant the operator exists for:
+    for n_orders, total_points, balanced, _mx in got.values():
+        assert total_points == 100 * n_orders and balanced == n_orders
+
+
+# ---------------------------------------------------------------------------
+# textcal
+# ---------------------------------------------------------------------------
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str):
+    toks = text.split(" ")
+    return [
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    ] if len(toks) >= 3 else []
+
+
+def _brute_minhash(docs):
+    """doc_id -> (signature tuple, distinct shingle set)."""
+    out = {}
+    for doc_id, text in docs:
+        shl = _shingles(text)
+        if not shl:
+            continue
+        sig = tuple(
+            min(_md5_60(f"{s}:{x}") for x in shl) for s in range(8)
+        )
+        out[doc_id] = (sig, set(shl))
+    return out
+
+
+def _brute_lsh_candidates(mh):
+    buckets = defaultdict(list)
+    for doc_id, (sig, _) in mh.items():
+        buckets[(0, "_".join(map(str, sig[:4])))].append(doc_id)
+        buckets[(1, "_".join(map(str, sig[4:])))].append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            cand.add((a, b))
+    return cand
+
+
+def test_q249_minhash_calibration_third_impl(spark):
+    docs = list(zip(_pd("documents").doc_id, _pd("documents").text))
+    mh = _brute_minhash(docs)
+    cand = _brute_lsh_candidates(mh)
+    assert cand, "fixture should produce LSH candidates"
+    per = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for a, b in cand:
+        (sa, seta), (sb, setb) = mh[a], mh[b]
+        est8 = sum(x == y for x, y in zip(sa, sb))
+        inter = len(seta & setb)
+        jac = inter / (len(seta) + len(setb) - inter)
+        st = per[est8]
+        st[0] += 1
+        st[1] += Decimal(jac).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        st[2] += Decimal(abs(est8 / 8 - jac)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+    rows = _run(spark, "q249_minhash_calibration")
+    got = {r.est8: r for r in rows}
+    assert set(got) == set(per)
+    for est8, (n, jsum, esum) in per.items():
+        r = got[est8]
+        assert r.n_pairs == n
+        assert r.avg_jaccard == pytest.approx(float(jsum) / n, rel=1e-12)
+        assert r.avg_abs_err == pytest.approx(float(esum) / n, rel=1e-12)
+
+
+def test_q259_agreement_third_impl(spark):
+    docs = list(zip(_pd("documents").doc_id, _pd("documents").text))
+    mh = _brute_minhash(docs)
+    lsh = _brute_lsh_candidates(mh)
+    blocks = defaultdict(list)
+    for doc_id, text in docs:
+        blocks[text[:12]].append(doc_id)
+    prefix = set()
+    for ids in blocks.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            prefix.add((a, b))
+    row = _run(spark, "q259_dedup_agreement")[0]
+    assert row.n_lsh == len(lsh)
+    assert row.n_prefix == len(prefix)
+    assert row.n_both == len(lsh & prefix)
+    assert row.n_lsh_only == len(lsh - prefix)
+    assert row.n_prefix_only == len(prefix - lsh)
+
+
+def test_q245_lcp_third_impl(spark):
+    docs = list(zip(_pd("documents").doc_id, _pd("documents").text))
+    blocks = defaultdict(list)
+    for doc_id, text in sorted(docs):
+        if len(blocks[text[:12]]) < 64:
+            blocks[text[:12]].append((doc_id, text))
+    pairs_per = Counter()
+    docs_per = defaultdict(set)
+    for members in blocks.values():
+        for (da, ta), (db, tb) in itertools.combinations(members, 2):
+            bucket = 12
+            for p in (16, 32, 64, 128, 256):
+                if ta[:p] == tb[:p]:
+                    bucket = p
+                else:
+                    break
+            # largest passing probe wins (probes nest, so scan up)
+            bucket = max(
+                [12] + [p for p in (16, 32, 64, 128, 256) if ta[:p] == tb[:p]]
+            )
+            pairs_per[bucket] += 1
+            docs_per[bucket].update((da, db))
+    rows = _run(spark, "q245_prefix_lcp_neardup")
+    got = {r.lcp_bucket: (r.n_pairs, r.n_docs) for r in rows}
+    expected = {b: (n, len(docs_per[b])) for b, n in pairs_per.items()}
+    assert got == expected and got
+
+
+def test_q248_zipf_third_impl(spark):
+    docs = _pd("documents")
+    freq = Counter()
+    for text in docs.text:
+        freq.update(text.split(" "))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+
+    def q6(x):
+        return Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+
+    lr = [q6(math.log10(i + 1)) for i in range(len(ranked))]
+    lf = [q6(math.log10(c)) for _, c in ranked]
+    n = len(ranked)
+    sx, sy = sum(lr), sum(lf)
+    sxy = sum(a * b for a, b in zip(lr, lf))
+    sxx = sum(a * a for a in lr)
+    slope = (n * float(sxy) - float(sx) * float(sy)) / (
+        n * float(sxx) - float(sx) * float(sx)
+    )
+    row = _run(spark, "q248_zipf_slope")[0]
+    assert row.n_ranks == n
+    assert row.zipf_slope == pytest.approx(slope, abs=2e-6)
+    # sanity: a rank-frequency law should slope downward
+    assert row.zipf_slope < 0
+
+
+def test_q257_cosine_distribution_third_impl(spark):
+    emb = _pd("embeddings").sort_values("vec_id")
+    vecs = {int(i): list(map(float, v)) for i, v in zip(emb.vec_id, emb.embedding)}
+
+    def cos(a, b):
+        # sequential fold, matching the engines' exact evaluation order
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    per = defaultdict(lambda: [0, Decimal(0)])
+    for stride in (1, 101):
+        for i, a in vecs.items():
+            b = vecs.get(i + stride)
+            if b is None:
+                continue
+            c = cos(a, b)
+            bin_ = min(int(math.floor((c + 1) * 10)), 19)
+            st = per[(stride, bin_)]
+            st[0] += 1
+            st[1] += Decimal(c).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    rows = _run(spark, "q257_cosine_pair_distribution")
+    got = {(r.stride, r.bin): r for r in rows}
+    assert set(got) == set(per)
+    for k, (n, csum) in per.items():
+        assert got[k].n_pairs == n
+        assert got[k].avg_cos == pytest.approx(float(csum) / n, rel=1e-12)
+
+
+def test_q263_burstiness_third_impl(spark):
+    docs = _pd("documents")
+    tc = Counter()
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        for tok, c in Counter(text.split(" ")).items():
+            tc[(tok, doc_id)] = c
+    per_tok = defaultdict(lambda: [0, 0, 0])
+    for (tok, _d), c in tc.items():
+        st = per_tok[tok]
+        st[0] += 1
+        st[1] += c
+        st[2] += c * c
+    eligible = sorted(
+        ((tok, st) for tok, st in per_tok.items() if st[0] >= 5),
+        key=lambda kv: (-kv[1][0], kv[0]),
+    )[:50]
+    rows = _run(spark, "q263_term_burstiness")
+    assert [r.tok for r in rows] == [tok for tok, _ in eligible]
+    for r, (tok, (df, n, scc)) in zip(rows, eligible):
+        var = (df * scc - n * n) / (df * (df - 1))
+        vmr = var / (n / df)
+        assert (r.df, r.n_total) == (df, n)
+        assert r.vmr == pytest.approx(vmr, abs=2e-6)
+
+
+def test_q264_shingle_duplication_third_impl(spark):
+    docs = _pd("documents")
+    slots = set()
+    for doc_id, source, text in zip(docs.doc_id, docs.source, docs.text):
+        for s in set(_shingles(text)):
+            slots.add((doc_id, source, s))
+    dfreq = Counter()
+    for doc_id, _src, s in slots:
+        dfreq[s] += 0  # init
+    sh_docs = defaultdict(set)
+    for doc_id, _src, s in slots:
+        sh_docs[s].add(doc_id)
+    per_src = defaultdict(lambda: [set(), 0, 0])
+    for doc_id, src, s in slots:
+        st = per_src[src]
+        st[0].add(doc_id)
+        st[1] += 1
+        st[2] += int(len(sh_docs[s]) > 1)
+    rows = _run(spark, "q264_shingle_duplication_rate")
+    assert {r.source for r in rows} == set(per_src)
+    for r in rows:
+        d, tot, dup = per_src[r.source]
+        assert (r.n_docs, r.n_shingle_slots, r.n_duplicated) == (len(d), tot, dup)
+        assert r.dup_rate == pytest.approx(dup / tot, rel=1e-12)
