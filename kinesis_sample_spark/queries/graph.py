@@ -153,7 +153,15 @@ def q150_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors, the classic mitigation that keeps the wedge join from
     exploding on hubs; residual skew falls to AQE skew-join splitting.
     Counts are exact integers; the coefficient divides identical
-    integers on both engines."""
+    integers on both engines.
+
+    Degree-ordered orientation (rank nodes by (degree, id), relabel
+    edges low-rank→high-rank — the arboricity-bounded variant) was A/B
+    tested in round 12 at sf0.1: 8.5–10.2 s vs 6.6–8.3 s for this
+    id-ordered form, identical triangle count. The two rank-mapping
+    joins cost more than the wedge-fan-out reduction saves because
+    co-purchase degrees are basket-bounded (no true hubs); revisit only
+    for graphs with power-law hubs."""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

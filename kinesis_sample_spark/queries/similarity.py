@@ -190,6 +190,10 @@ def _band_bucket(vec, lo: int, hi: int):
 
 @query(
     "q36_embedding_neardup",
+    bench=True,  # round-12: the LSH-path heavyweight the bench set lacked
+    # (all other headliners are sub-1.2 s noise-bound; this one makes
+    # BENCH sensitive to the banded-LSH pipeline — see SCALING.md for the
+    # set-change note and the cross-round comparison rule)
     oracle=f"""
 WITH e AS (
     SELECT vec_id, embedding,
