@@ -53,8 +53,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # settled and the registry reached 143 settled / 0 never-green / 0
 # eligible — the first fully-discretionary window of the project. This
 # round-12 window spends it on the largest batch so far:
-#   33 slots — never-green (mandatory): the 32 round-12 additions in
-#              five modules — graph_metrics (q241 communities, q246
+#   43 slots — never-green (mandatory): the 42 round-12 additions in
+#              six modules — graph_metrics (q241 communities, q246
 #              degree distribution, q247 assortativity), temporal
 #              (q242 session gaps, q243 as-of spread, q250 cohort LTV,
 #              q251 backlog, q253 point-in-time, q256 peaks, q258
@@ -66,11 +66,16 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              density, q269 MoM contribution, q270 largest-remainder),
 #              textcal (q245 LCP near-dup, q248 Zipf, q249 minhash
 #              calibration, q257 cosine distribution, q259 agreement,
-#              q263 burstiness, q264 shingle duplication) — PLUS
+#              q263 burstiness, q264 shingle duplication), opstats
+#              (q273 runs test, q274 Kendall tau, q275 ABC-XYZ, q276
+#              Bowley/Moors, q277 two-proportion z, q278 demand
+#              intermittency, q279 embedding norms, q280 source-lang
+#              JSD, q281 basket fan-out audit, q282 Shewhart chart)
+#              — PLUS
 #              q36_embedding_neardup, re-entering as never-green via
 #              settlement.REVERIFY_SINCE: its settled greens predate
 #              the round-10 banded-LSH rewrite (ADVICE item 1).
-#   17 slots — minimum-evidence backfill (oldest evidence first).
+#    7 slots — minimum-evidence backfill (oldest evidence first).
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -122,6 +127,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q270_largest_remainder_alloc",
     "q271_spearman_rank_corr",
     "q272_revenue_spread",
+    "q273_runs_test",
+    "q274_kendall_tau",
+    "q275_abc_xyz",
+    "q276_bowley_moors",
+    "q277_two_proportion_ztest",
+    "q278_demand_intermittency",
+    "q279_embedding_norm_profile",
+    "q280_source_lang_jsd",
+    "q281_basket_fanout_audit",
+    "q282_control_chart",
     "q36_embedding_neardup",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
@@ -131,16 +146,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q117_gopher_quality_rules",
     "q118_train_split",
     "q119_source_mixing_weights",
-    "q120_multiprobe_rerank",
-    "q121_label_centroids",
-    "q122_bloom_decontamination",
-    "q123_importance_weights",
-    "q124_pii_redaction",
-    "q125_pagerank_part_supplier",
-    "q126_live_stream_static_enrich",
-    "q127_canonical_selection",
-    "q128_winsorized_stats",
-    "q129_hard_negative_mining",
 )
 
 
@@ -182,6 +187,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.robuststats",
     "kinesis_sample_spark.queries.bizaudit",
     "kinesis_sample_spark.queries.textcal",
+    "kinesis_sample_spark.queries.opstats",
 )
 
 

@@ -106,3 +106,25 @@ def test_q270_allocation_single_orderkey_lineage(spark):
     orders."""
     plan = _plan(spark, "q270_largest_remainder_alloc")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q275_abc_no_cartesian_and_partial_agg(spark):
+    """Per-part revenue and monthly-demand rollups must map-side combine;
+    no nested loop anywhere (the only broadcast-nested-loop allowed in
+    the family is a deliberate single-row scalar, absent here)."""
+    df = _df(spark, "q275_abc_xyz")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in _plan(spark, "q275_abc_xyz")
+
+
+def test_q276_customer_dim_broadcasts(spark):
+    """The segment dimension must broadcast into the order scan."""
+    assert has_broadcast_join(_df(spark, "q276_bowley_moors"))
+
+
+def test_q281_fanout_audit_partial_agg(spark):
+    """Both aggregates (basket sizes, size distribution) must map-side
+    combine; the scalar total joins back as a broadcast."""
+    df = _df(spark, "q281_basket_fanout_audit")
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in _plan(spark, "q281_basket_fanout_audit")

@@ -583,3 +583,270 @@ def test_q264_shingle_duplication_third_impl(spark):
         d, tot, dup = per_src[r.source]
         assert (r.n_docs, r.n_shingle_slots, r.n_duplicated) == (len(d), tot, dup)
         assert r.dup_rate == pytest.approx(dup / tot, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# opstats (batch 2: q273-q282)
+# ---------------------------------------------------------------------------
+def _daily_cents(orders):
+    epoch = pd.Timestamp("1970-01-01")
+    d = (orders.o_orderdate.dt.normalize() - epoch).dt.days
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    return pd.DataFrame({"d": d, "c": cents}).groupby("d").c.sum().sort_index()
+
+
+def test_q273_runs_test_third_impl(spark):
+    daily = _daily_cents(_pd("orders"))
+    vals = (daily / 100.0).values
+    med = np.percentile(vals, 50)
+    s = [1 if v > med else 0 for v in vals]
+    n1, n2 = sum(s), len(s) - sum(s)
+    r = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1
+    sig = math.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1))
+    )
+    row = _run(spark, "q273_runs_test")[0]
+    assert (row.n_above, row.n_below, row.n_runs) == (n1, n2, r)
+    assert row.z == pytest.approx((r - mu) / sig, abs=2e-6)
+
+
+def test_q274_kendall_tau_third_impl(spark):
+    orders = _pd("orders")
+    m = orders.o_orderdate.dt.year * 12 + orders.o_orderdate.dt.month - 1
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    monthly = (
+        pd.DataFrame({"pri": orders.o_orderpriority, "m": m, "c": cents})
+        .groupby(["pri", "m"]).c.sum()
+    )
+    rows = {r.o_orderpriority: r for r in _run(spark, "q274_kendall_tau")}
+    for pri in monthly.index.get_level_values(0).unique():
+        s = monthly[pri].sort_index()
+        conc = disc = tot = 0
+        for t1, t2 in itertools.combinations(s.index, 2):
+            tot += 1
+            conc += int(s[t2] > s[t1])
+            disc += int(s[t2] < s[t1])
+        r = rows[pri]
+        assert (r.n_pairs, r.concordant, r.discordant) == (tot, conc, disc)
+        assert r.tau_a == pytest.approx((conc - disc) / tot, rel=1e-12)
+
+
+def test_q275_abc_xyz_third_impl(spark):
+    li = _pd("lineitem")
+    cents = (li.l_extendedprice.round(2) * 100).round().astype("int64")
+    rev = pd.DataFrame({"p": li.l_partkey, "c": cents}).groupby("p").c.sum()
+    order = sorted(rev.index, key=lambda p: (-rev[p], p))
+    tot = rev.sum()
+    abc = {}
+    cum = 0
+    for p in order:
+        cum += rev[p]
+        abc[p] = "A" if 5 * cum <= 4 * tot else ("B" if 20 * cum <= 19 * tot else "C")
+    qc = (li.l_quantity.round(2) * 100).round().astype("int64")
+    mm = li.l_shipdate.dt.year * 12 + li.l_shipdate.dt.month - 1
+    monthly = (
+        pd.DataFrame({"p": li.l_partkey, "m": mm, "q": qc})
+        .groupby(["p", "m"]).q.sum()
+    )
+    xyz = {}
+    for p in rev.index:
+        s = monthly[p].values / 100.0
+        nm = len(s)
+        if nm < 2:
+            xyz[p] = "Z"
+            continue
+        mean = s.sum() / nm
+        sd = math.sqrt((nm * (s * s).sum() - s.sum() ** 2) / (nm * (nm - 1)))
+        cv = round(sd / mean, 6)
+        xyz[p] = "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+    cells = defaultdict(lambda: [0, 0])
+    for p in rev.index:
+        st = cells[(abc[p], xyz[p])]
+        st[0] += 1
+        st[1] += rev[p]
+    rows = _run(spark, "q275_abc_xyz")
+    got = {(r.class_abc, r.class_xyz): (r.n_parts, r.revenue) for r in rows}
+    assert set(got) == set(cells)
+    for k, (n, revc) in cells.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(revc / 100.0, rel=1e-12)
+
+
+def test_q276_bowley_moors_third_impl(spark):
+    orders = _pd("orders")
+    cust = _pd("customer")
+    seg = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    df = pd.DataFrame(
+        {"seg": orders.o_custkey.map(seg), "x": orders.o_totalprice}
+    )
+    rows = {r.c_mktsegment: r for r in _run(spark, "q276_bowley_moors")}
+    for s, g in df.groupby("seg"):
+        x = g.x.values
+        q1, q2, q3 = (np.percentile(x, p) for p in (25, 50, 75))
+        e1, e3, e5, e7 = (np.percentile(x, p) for p in (12.5, 37.5, 62.5, 87.5))
+        r = rows[s]
+        assert r.n == len(x)
+        assert r.bowley_skew == pytest.approx(
+            (q3 + q1 - 2 * q2) / (q3 - q1), abs=2e-6
+        )
+        assert r.moors_kurtosis == pytest.approx(
+            ((e7 - e5) + (e3 - e1)) / (q3 - q1), abs=2e-6
+        )
+
+
+def test_q277_two_proportion_third_impl(spark):
+    ev = _pd("events")
+    epoch = pd.Timestamp("1970-01-01")
+    wd = ((ev.ts.dt.normalize() - epoch).dt.days % 7).isin([2, 3])
+    conv = ev.event_type == "purchase"
+    x1, n1 = int((wd & conv).sum()), int(wd.sum())
+    x2, n2 = int((~wd & conv).sum()), int((~wd).sum())
+    p = (x1 + x2) / (n1 + n2)
+    diff = x1 / n1 - x2 / n2
+    z = diff / math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    row = _run(spark, "q277_two_proportion_ztest")[0]
+    assert (row.weekend_purchases, row.weekend_events) == (x1, n1)
+    assert (row.weekday_purchases, row.weekday_events) == (x2, n2)
+    assert row.rate_diff == pytest.approx(diff, rel=1e-12)
+    assert row.z == pytest.approx(z, abs=2e-6)
+
+
+def test_q278_intermittency_third_impl(spark):
+    li = _pd("lineitem")
+    qc = (li.l_quantity.round(2) * 100).round().astype("int64")
+    mm = li.l_shipdate.dt.year * 12 + li.l_shipdate.dt.month - 1
+    monthly = (
+        pd.DataFrame({"p": li.l_partkey, "m": mm, "q": qc})
+        .groupby(["p", "m"]).q.sum()
+    )
+    n_periods = monthly.index.get_level_values(1).nunique()
+    per_class = defaultdict(lambda: [0, Decimal(0)])
+    for p in monthly.index.get_level_values(0).unique():
+        s = monthly[p].values / 100.0
+        nm = len(s)
+        adi = Decimal(n_periods / nm).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+        if nm < 2:
+            cls = "lumpy"
+        else:
+            mean = s.sum() / nm
+            var = (nm * (s * s).sum() - s.sum() ** 2) / (nm * (nm - 1))
+            cv2 = round(var / (mean * mean), 6)
+            if adi < Decimal("1.32") and cv2 < 0.49:
+                cls = "smooth"
+            elif adi >= Decimal("1.32") and cv2 < 0.49:
+                cls = "intermittent"
+            elif adi < Decimal("1.32"):
+                cls = "erratic"
+            else:
+                cls = "lumpy"
+        st = per_class[cls]
+        st[0] += 1
+        st[1] += adi
+    rows = _run(spark, "q278_demand_intermittency")
+    got = {r.demand_class: r for r in rows}
+    assert set(got) == set(per_class)
+    for cls, (n, asum) in per_class.items():
+        assert got[cls].n_parts == n
+        assert got[cls].avg_adi == pytest.approx(float(asum) / n, rel=1e-12)
+
+
+def test_q279_embedding_norms_third_impl(spark):
+    emb = _pd("embeddings")
+    per = defaultdict(list)
+    for lab, v in zip(emb.label, emb.embedding):
+        acc = 0.0
+        for x in map(float, v):
+            acc += x * x
+        per[int(lab)].append(math.sqrt(acc))
+    rows = {r.label: r for r in _run(spark, "q279_embedding_norm_profile")}
+    assert set(rows) == set(per)
+    for lab, norms in per.items():
+        r = rows[lab]
+        qsum = sum(
+            Decimal(v).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+            for v in norms
+        )
+        assert r.n_vecs == len(norms)
+        assert r.mean_norm == pytest.approx(float(qsum) / len(norms), rel=1e-12)
+        assert r.p50_norm == pytest.approx(np.percentile(norms, 50), rel=1e-12)
+        assert (r.min_norm, r.max_norm) == (
+            pytest.approx(min(norms), rel=1e-12),
+            pytest.approx(max(norms), rel=1e-12),
+        )
+
+
+def test_q280_jsd_third_impl(spark):
+    docs = _pd("documents")
+    sl = Counter(zip(docs.source, docs.lang))
+    src_tot = Counter(docs.source)
+    glob = Counter(docs.lang)
+    ng = sum(glob.values())
+
+    def q6(x):
+        return Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+
+    rows = {r.source: r for r in _run(spark, "q280_source_lang_jsd")}
+    assert set(rows) == set(src_tot)
+    for src in src_tot:
+        sp = sq = sm = Decimal(0)
+        n_langs = 0
+        for lang, g in glob.items():
+            c = sl.get((src, lang), 0)
+            p = c / src_tot[src]
+            q = g / ng
+            mid = (p + q) / 2
+            if c > 0:
+                sp += q6(p * math.log(p))
+                n_langs += 1
+            sq += q6(q * math.log(q))
+            sm += q6(mid * math.log(mid))
+        jsd = float(sp) / 2 + float(sq) / 2 - float(sm)
+        r = rows[src]
+        assert (r.n_docs, r.n_langs) == (src_tot[src], n_langs)
+        assert r.jsd_nats == pytest.approx(jsd, rel=1e-9, abs=1e-12)
+        assert r.jsd_nats >= -1e-6  # JSD is non-negative (quantization slack)
+
+
+def test_q281_basket_fanout_third_impl(spark):
+    li = _pd("lineitem")
+    sizes = Counter()
+    for o, g in {(o, p) for o, p in zip(li.l_orderkey, li.l_partkey)}:
+        sizes[o] += 1
+    dist = Counter(sizes.values())
+    total_pairs = {k: n * (k * (k - 1) // 2) for k, n in dist.items()}
+    all_pairs = sum(total_pairs.values())
+    rows = _run(spark, "q281_basket_fanout_audit")
+    got = {r.basket_size: r for r in rows}
+    assert set(got) == set(dist)
+    for k in dist:
+        r = got[k]
+        assert (r.n_orders, r.total_pairs) == (dist[k], total_pairs[k])
+        assert r.pair_share == pytest.approx(
+            total_pairs[k] / all_pairs, rel=1e-12
+        )
+
+
+def test_q282_control_chart_third_impl(spark):
+    orders = _pd("orders")
+    m = orders.o_orderdate.dt.year * 12 + orders.o_orderdate.dt.month - 1
+    cents = (orders.o_totalprice.round(2) * 100).round().astype("int64")
+    monthly = (
+        pd.DataFrame({"m": m, "c": cents}).groupby("m").c.sum().sort_index()
+    )
+    base = monthly.iloc[:24].values / 100.0
+    nb = len(base)
+    mu = base.sum() / nb
+    sd = math.sqrt((nb * (base * base).sum() - base.sum() ** 2) / (nb * (nb - 1)))
+    rows = _run(spark, "q282_control_chart")
+    assert len(rows) == len(monthly) - 24
+    for r, (mm, c) in zip(rows, monthly.iloc[24:].items()):
+        assert r.month == (mm // 12) * 100 + mm % 12 + 1
+        x = c / 100.0
+        assert r.rev == pytest.approx(x, rel=1e-12)
+        z = (x - mu) / sd
+        assert r.zscore == pytest.approx(z, abs=2e-6)
+        assert r.out_of_control == int(abs(z) > 3)
