@@ -124,7 +124,16 @@ def q241_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_BASKET-capped. The oracle's closure is quadratic per component,
     which the same pruning keeps trivially small; the Spark operator has
     no such limit.""".format(sup=COMMUNITY_MIN_SUPPORT)
-    edges = _edges(spark, sf_dir).filter(F.col("sup") >= COMMUNITY_MIN_SUPPORT)
+    # materialize the thresholded edge list ONCE: it feeds both the CC
+    # iteration (which would otherwise re-run the quadratic pair
+    # projection to build its own checkpoint) and the edge_stats join.
+    # Post-threshold it is tiny by construction; blocks are freed by
+    # session.release_checkpoints between jobs.
+    edges = (
+        _edges(spark, sf_dir)
+        .filter(F.col("sup") >= COMMUNITY_MIN_SUPPORT)
+        .localCheckpoint(eager=True)
+    )
     cc = connected_components(edges, "part_a", "part_b")
     node_stats = cc.groupBy("component").agg(F.count("*").alias("n_parts"))
     edge_stats = (
