@@ -36,6 +36,14 @@ STAGES = (
     ("sequence packing (2048-token context)", "q111_sequence_packing"),
     ("lexical retrieval (BM25 top-10)", "q154_bm25_topk"),
     ("dense retrieval (cosine top-k)", "q34_cosine_topk"),
+    # round-12 calibration audits: measure the machinery itself before
+    # trusting it at scale
+    ("calibrate: minhash vs exact jaccard", "q249_minhash_calibration"),
+    ("calibrate: LSH vs prefix blocking", "q259_dedup_agreement"),
+    ("calibrate: cosine background dist", "q257_cosine_pair_distribution"),
+    ("audit: shingle boilerplate per source", "q264_shingle_duplication_rate"),
+    ("audit: embedding norm hygiene", "q279_embedding_norm_profile"),
+    ("audit: source-mix atypicality (JSD)", "q280_source_lang_jsd"),
     ("corpus capstone (end-to-end)", "q77_training_corpus_pipeline"),
 )
 

@@ -266,3 +266,28 @@ def test_rotation_trigger_message_names_the_fix(monkeypatch):
         hyg.test_window_excludes_twice_green_queries()
     assert ROTATION_HINT in str(exc.value)
     assert "settlement_report.py --write" in ROTATION_HINT
+
+
+def test_reverify_since_voids_pre_rewrite_greens(tmp_path, monkeypatch):
+    """A query listed in REVERIFY_SINCE must lose every green earned
+    before its rewrite round: it re-enters planning as never-green even
+    though the raw artifacts would have settled it (the q36 case — a
+    semantically rewritten implementation cannot ride evidence earned by
+    the code it replaced)."""
+    import kinesis_sample_spark.settlement as st
+
+    _write_round(tmp_path, 1, {"qa": GREEN, "qb": GREEN})
+    _write_round(tmp_path, 2, {"qa": GREEN, "qb": GREEN})
+    _write_round(tmp_path, 3, {"qb": GREEN})
+    monkeypatch.setattr(st, "REVERIFY_SINCE", {"qa": 3})
+    greens = st.green_sets_by_round(tmp_path)
+    # qa's r1/r2 greens are void; qb's survive untouched
+    assert greens == {1: {"qb"}, 2: {"qb"}, 3: {"qb"}}
+    assert st.settled_set(greens) == {"qb"}
+    hist = st.histories(greens, ["qa", "qb"])
+    assert st.evidence_key(hist, "qa") == (0, 0)  # never-green again
+    # a fresh green AT/AFTER the rewrite round counts normally
+    _write_round(tmp_path, 4, {"qa": GREEN})
+    _write_round(tmp_path, 5, {"qa": GREEN})
+    greens2 = st.green_sets_by_round(tmp_path)
+    assert st.settled_set(greens2) == {"qb", "qa"}
