@@ -53,8 +53,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # settled and the registry reached 143 settled / 0 never-green / 0
 # eligible — the first fully-discretionary window of the project. This
 # round-12 window spends it on the largest batch so far:
-#   43 slots — never-green (mandatory): the 42 round-12 additions in
-#              six modules — graph_metrics (q241 communities, q246
+#   50 slots — never-green (mandatory), the whole window: the 49
+#              round-12 additions in seven modules — graph_metrics (q241 communities, q246
 #              degree distribution, q247 assortativity), temporal
 #              (q242 session gaps, q243 as-of spread, q250 cohort LTV,
 #              q251 backlog, q253 point-in-time, q256 peaks, q258
@@ -70,12 +70,16 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              (q273 runs test, q274 Kendall tau, q275 ABC-XYZ, q276
 #              Bowley/Moors, q277 two-proportion z, q278 demand
 #              intermittency, q279 embedding norms, q280 source-lang
-#              JSD, q281 basket fan-out audit, q282 Shewhart chart)
-#              — PLUS
+#              JSD, q281 basket fan-out audit, q282 Shewhart chart),
+#              inference (q283 Hill tail index, q284 seasonal-strength
+#              ANOVA, q285 order-statistic median CI, q286 quantile
+#              drift bands, q287 rank-stability RBO, q288 dedup cluster
+#              census, q289 index of dispersion) — PLUS
 #              q36_embedding_neardup, re-entering as never-green via
 #              settlement.REVERIFY_SINCE: its settled greens predate
 #              the round-10 banded-LSH rewrite (ADVICE item 1).
-#    7 slots — minimum-evidence backfill (oldest evidence first).
+#    0 slots — backfills: displaced by the mandatory class (they are
+#              min-evidence once-greens; no settlement streak is lost).
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
@@ -137,15 +141,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q280_source_lang_jsd",
     "q281_basket_fanout_audit",
     "q282_control_chart",
+    "q283_hill_tail_index",
+    "q284_seasonal_strength",
+    "q285_median_order_ci",
+    "q286_quantile_drift_bands",
+    "q287_rank_stability_rbo",
+    "q288_dedup_cluster_census",
+    "q289_index_of_dispersion",
     "q36_embedding_neardup",
-    # -- minimum-evidence backfill (oldest evidence first)
-    "q108_partition_fingerprints",
-    "q109_retention_cohorts",
-    "q110_funnel_conversion",
-    "q111_sequence_packing",
-    "q117_gopher_quality_rules",
-    "q118_train_split",
-    "q119_source_mixing_weights",
 )
 
 
@@ -188,6 +191,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.bizaudit",
     "kinesis_sample_spark.queries.textcal",
     "kinesis_sample_spark.queries.opstats",
+    "kinesis_sample_spark.queries.inference",
 )
 
 

@@ -1,0 +1,657 @@
+"""Statistical inference & stability — round-12 batch 3 (q283-q289).
+
+The inferential shelf on top of the descriptive statistics the registry
+already has: extreme-value tail estimation, variance decomposition,
+distribution-free confidence intervals, quantile drift tracking,
+ranking-stability scoring, dedup-cluster demography, and count
+dispersion. Each answers "how sure are we / how stable is it", where the
+earlier families answer "what is it".
+
+Determinism recipe as everywhere in this repo: exact BIGINT/DECIMAL
+moments; ln terms quantized round(.,6) per whole term; fixed literal
+weight tables generated once in Python and shared verbatim; final
+compound double expressions identically ordered and quantized.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import sql_double
+from kinesis_sample_spark.operators.components import connected_components
+from kinesis_sample_spark.queries import query
+from kinesis_sample_spark.queries.dedup import _SQL_PAIRS_BODY_TEMPLATE
+
+
+def _dec2(col):
+    return F.round(col, 2).cast("decimal(18,2)")
+
+
+def _q6(col):
+    return F.round(col, 6).cast("decimal(18,6)")
+
+
+# ---------------------------------------------------------------------------
+# q283 — Hill tail-index estimator.
+# ---------------------------------------------------------------------------
+_HILL_K = 200
+
+
+@query(
+    "q283_hill_tail_index",
+    oracle=f"""
+WITH ranked AS (
+    SELECT o_totalprice AS x,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+),
+pv AS (SELECT x AS xk1 FROM ranked WHERE rn = {_HILL_K + 1}),
+terms AS (
+    SELECT CAST(round(ln(r.x / p.xk1), 6) AS DECIMAL(18,6)) AS t
+    FROM ranked r, pv p WHERE r.rn <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       (SELECT xk1 FROM pv) AS threshold,
+       {sql_double('SUM(t)')} / {_HILL_K} AS hill_gamma,
+       {sql_double(
+           "CAST(round(CAST({k} AS DOUBLE)"
+           " / CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE), 6)"
+           " AS DECIMAL(18,6))".format(k=_HILL_K)
+       )} AS tail_alpha
+FROM terms
+""",
+)
+def q283_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail: gamma = mean of
+    ln(x_(i)/x_(k+1)) over the top k={k} order statistics; tail index
+    alpha = 1/gamma. The extreme-value-theory answer to "how heavy is
+    the revenue tail" that variance-based q219/q276 cannot give —
+    alpha <= 2 means infinite variance and every mean-based estimate
+    downstream is on sand. k is fixed (the standard practice is a
+    k-sweep; one calibrated point keeps the oracle exact).
+
+    Each log-ratio term is quantized round(.,6) -> DECIMAL so the sum
+    is exact; gamma and alpha are single divisions.
+
+    Scale: a global ORDER BY to rank the top k+1 (TakeOrdered-shaped at
+    k << n), then a {k}-row aggregate.""".format(k=_HILL_K)
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = orders.select(
+        F.col("o_totalprice").alias("x"),
+        F.row_number()
+        .over(W.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("rn"),
+    )
+    pivot = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("x").alias("xk1")
+    )
+    terms = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(pivot))
+        .select(_q6(F.log(F.col("x") / F.col("xk1"))).alias("t"))
+    )
+    s = terms.agg(F.sum("t").alias("st"))
+    gamma = F.col("st").cast("double") / _HILL_K
+    return s.crossJoin(F.broadcast(pivot)).select(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.col("xk1").alias("threshold"),
+        gamma.alias("hill_gamma"),
+        _q6(F.lit(float(_HILL_K)) / F.col("st").cast("double"))
+        .cast("double")
+        .alias("tail_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284 — seasonal strength (one-way ANOVA on month-of-year).
+# ---------------------------------------------------------------------------
+@query(
+    "q284_seasonal_strength",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(month(o_orderdate) AS INTEGER) AS moy,
+           CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS rev
+    FROM orders GROUP BY 1, 2
+),
+per_m AS (
+    SELECT moy, CAST(COUNT(*) AS BIGINT) AS nm, SUM(rev) AS sm
+    FROM daily GROUP BY moy
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS s,
+           SUM(CAST(rev AS DECIMAL(19,2)) * rev) AS sqq,
+           CAST(COUNT(DISTINCT moy) AS BIGINT) AS kk
+    FROM daily
+),
+ssb AS (
+    -- (28,6), not (18,6): the per-month S²/n terms reach ~4e16 at sf0.1
+    SELECT SUM(CAST(round({sql_double('p.sm')} * {sql_double('p.sm')} / p.nm, 6)
+               AS DECIMAL(28,6))) AS sum_sq_over_n
+    FROM per_m p
+)
+SELECT t.n AS n_days, t.kk AS n_months,
+       {sql_double(
+           "CAST(round("
+           "({ssb} - {s} * {s} / t.n)"
+           " / ({sqq} - {s} * {s} / t.n)"
+           ", 6) AS DECIMAL(18,6))".format(
+               ssb=sql_double("b.sum_sq_over_n"),
+               s=sql_double("t.s"), sqq=sql_double("t.sqq"),
+           )
+       )} AS eta_sq,
+       {sql_double(
+           "CAST(round("
+           "(({ssb} - {s} * {s} / t.n) / (CAST(t.kk AS DOUBLE) - 1))"
+           " / (({sqq} - {ssb}) / (CAST(t.n AS DOUBLE) - t.kk))"
+           ", 6) AS DECIMAL(18,6))".format(
+               ssb=sql_double("b.sum_sq_over_n"),
+               s=sql_double("t.s"), sqq=sql_double("t.sqq"),
+           )
+       )} AS f_stat
+FROM tot t, ssb b
+""",
+)
+def q284_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal STRENGTH as a one-way ANOVA over daily revenue grouped
+    by month-of-year: eta² = SS_between/SS_total (share of daily
+    variance the calendar month explains) plus the F statistic. q228
+    reports the per-month seasonal index; this reports whether
+    seasonality matters at all — the gate before anyone deseasonalizes.
+
+    Every sum of squares reduces to exact decimal moments; the per-month
+    S²/n terms are quantized round(.,6) before summing (sum order across
+    months must not float); eta² and F are identically-ordered double
+    expressions, quantized.
+
+    Scale: one (month-of-year, day) aggregate, one 12-row rollup, one
+    scalar row out."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = orders.groupBy(
+        F.month("o_orderdate").cast("int").alias("moy"),
+        F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d"),
+    ).agg(F.sum(_dec2(F.col("o_totalprice"))).alias("rev"))
+    per_m = daily.groupBy("moy").agg(
+        F.count("*").alias("nm"), F.sum("rev").alias("sm")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("rev").cast("decimal(19,2)") * F.col("rev")).alias("sqq"),
+        F.countDistinct("moy").alias("kk"),
+    )
+    ssb = per_m.agg(
+        F.sum(
+            F.round(
+                F.col("sm").cast("double")
+                * F.col("sm").cast("double")
+                / F.col("nm"),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("sum_sq_over_n")
+    )
+    j = tot.crossJoin(F.broadcast(ssb))
+    sd = F.col("s").cast("double")
+    sqqd = F.col("sqq").cast("double")
+    ssbd = F.col("sum_sq_over_n").cast("double")
+    nd = F.col("n")
+    between = ssbd - sd * sd / nd
+    total = sqqd - sd * sd / nd
+    f_stat = (between / (F.col("kk").cast("double") - 1)) / (
+        (sqqd - ssbd) / (F.col("n").cast("double") - F.col("kk"))
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("kk").alias("n_months"),
+        _q6(between / total).cast("double").alias("eta_sq"),
+        _q6(f_stat).cast("double").alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q285 — distribution-free median confidence interval (order statistics).
+# ---------------------------------------------------------------------------
+@query(
+    "q285_median_order_ci",
+    oracle="""
+WITH j AS (
+    SELECT c.c_mktsegment AS seg, o.o_totalprice AS x, o.o_orderkey
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+stats AS (
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(x, 0.5) AS median
+    FROM j GROUP BY seg
+),
+bounds AS (
+    SELECT seg, n, median,
+           CAST(GREATEST(1, FLOOR((n - CAST(1.96 AS DOUBLE) * sqrt(n)) / 2))
+                AS BIGINT) AS l_rank
+    FROM stats
+),
+ranked AS (
+    SELECT seg, x, ROW_NUMBER() OVER (PARTITION BY seg
+                                      ORDER BY x, o_orderkey) AS rn
+    FROM j
+)
+SELECT b.seg AS c_mktsegment, b.n, b.median,
+       b.l_rank, CAST(b.n + 1 - b.l_rank AS BIGINT) AS u_rank,
+       lo.x AS ci_lo, hi.x AS ci_hi
+FROM bounds b
+JOIN ranked lo ON lo.seg = b.seg AND lo.rn = b.l_rank
+JOIN ranked hi ON hi.seg = b.seg AND hi.rn = b.n + 1 - b.l_rank
+ORDER BY c_mktsegment
+""",
+)
+def q285_median_order_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median per
+    segment via the binomial order-statistic bound: L = floor((n −
+    1.96·√n)/2), U = n+1−L; the CI is [x_(L), x_(U)] — valid for ANY
+    continuous distribution, no normality assumed. The inference layer
+    q162's point percentiles lack: a segment whose CI excludes another's
+    median is a real difference, not noise.
+
+    Ranks are exact integers (tie-broken by orderkey); bounds use one
+    floor of a deterministic double; interval endpoints are exact order
+    statistics picked by rank equi-join.
+
+    Scale: one percentile aggregate and one rank window per segment,
+    then two rank lookups."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("x"),
+        "o_orderkey",
+    )
+    stats = j.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(x, 0.5D)").alias("median"),
+    )
+    l_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((F.col("n") - F.lit(1.96) * F.sqrt(F.col("n"))) / 2),
+    ).cast("bigint")
+    bounds = stats.select("seg", "n", "median", l_rank.alias("l_rank"))
+    ranked = j.select(
+        "seg",
+        "x",
+        F.row_number().over(W.partitionBy("seg").orderBy("x", "o_orderkey")).alias(
+            "rn"
+        ),
+    )
+    lo = ranked.select(
+        F.col("seg").alias("seg_lo"), F.col("x").alias("ci_lo"),
+        F.col("rn").alias("rn_lo"),
+    )
+    hi = ranked.select(
+        F.col("seg").alias("seg_hi"), F.col("x").alias("ci_hi"),
+        F.col("rn").alias("rn_hi"),
+    )
+    return (
+        bounds.join(
+            lo,
+            (F.col("seg_lo") == F.col("seg")) & (F.col("rn_lo") == F.col("l_rank")),
+        )
+        .join(
+            hi,
+            (F.col("seg_hi") == F.col("seg"))
+            & (F.col("rn_hi") == F.col("n") + 1 - F.col("l_rank")),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n",
+            "median",
+            "l_rank",
+            (F.col("n") + 1 - F.col("l_rank")).cast("bigint").alias("u_rank"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286 — quantile drift bands (YoY p10/p50/p90 series).
+# ---------------------------------------------------------------------------
+@query(
+    "q286_quantile_drift_bands",
+    oracle="""
+WITH yearly AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(o_totalprice, 0.1) AS p10,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY year(o_orderdate)
+)
+SELECT c.y AS year, c.n, c.p10, c.p50, c.p90,
+       c.p10 - p.p10 AS d10, c.p50 - p.p50 AS d50, c.p90 - p.p90 AS d90
+FROM yearly c JOIN yearly p ON p.y = c.y - 1
+ORDER BY c.y
+""",
+)
+def q286_quantile_drift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year drift of the order-value distribution's p10/p50/
+    p90 bands: WHERE the distribution moves, not just whether (q199's
+    KS says "different", q240's L1 tracks categories — this tracks the
+    numeric quantile skeleton over time, the monitor that separates
+    "the tail grew" from "everything shifted"). Years pair against
+    their predecessor explicitly (inner join on y-1).
+
+    Quantiles interpolate identical doubles; the deltas subtract those
+    identical doubles — no quantization needed anywhere.
+
+    Scale: one percentile aggregate per year, then a self-join on the
+    handful of year rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(F.year("o_orderdate").cast("int").alias("y")).agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(o_totalprice, 0.1D)").alias("p10"),
+        F.expr("percentile(o_totalprice, 0.5D)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9D)").alias("p90"),
+    )
+    c = yearly
+    p = yearly.select(
+        (F.col("y") + 1).alias("py"),
+        F.col("p10").alias("q10"),
+        F.col("p50").alias("q50"),
+        F.col("p90").alias("q90"),
+    )
+    return (
+        c.join(p, F.col("py") == F.col("y"))
+        .select(
+            F.col("y").alias("year"),
+            "n",
+            "p10",
+            "p50",
+            "p90",
+            (F.col("p10") - F.col("q10")).alias("d10"),
+            (F.col("p50") - F.col("q50")).alias("d50"),
+            (F.col("p90") - F.col("q90")).alias("d90"),
+        )
+        .orderBy("year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287 — top-k ranking stability (rank-biased overlap).
+# ---------------------------------------------------------------------------
+_RBO_DEPTH = 20
+_RBO_P = Decimal("0.9")
+_RBO_WEIGHTS = [
+    (d, (_RBO_P ** (d - 1)).quantize(Decimal("1e-12")))
+    for d in range(1, _RBO_DEPTH + 1)
+]
+_SQL_RBO_WEIGHTS = ", ".join(
+    f"({d}, CAST({w} AS DECIMAL(14,12)))" for d, w in _RBO_WEIGHTS
+)
+
+
+@query(
+    "q287_rank_stability_rbo",
+    oracle=f"""
+WITH yr AS (SELECT MAX(CAST(year(o_orderdate) AS INTEGER)) AS ymax FROM orders),
+per_year AS (
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS y, l.l_partkey,
+           CAST(SUM(CAST(round(l.l_extendedprice, 2) AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS rev
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT y, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY y ORDER BY rev DESC, l_partkey)
+             AS rnk
+    FROM per_year
+),
+a AS (SELECT l_partkey, rnk FROM ranked, yr WHERE y = ymax AND rnk <= {_RBO_DEPTH}),
+b AS (SELECT l_partkey, rnk FROM ranked, yr WHERE y = ymax - 1 AND rnk <= {_RBO_DEPTH}),
+joined AS (
+    SELECT GREATEST(a.rnk, b.rnk) AS first_depth
+    FROM a JOIN b ON b.l_partkey = a.l_partkey
+),
+weights AS (SELECT * FROM (VALUES {_SQL_RBO_WEIGHTS}) AS t(d, wt)),
+ovl AS (
+    SELECT w.d, w.wt,
+           CAST((SELECT COUNT(*) FROM joined j WHERE j.first_depth <= w.d)
+                AS BIGINT) AS x
+    FROM weights w
+),
+terms AS (
+    SELECT CAST(round((CAST(x AS DOUBLE) / d)
+                      * CAST(CAST(wt AS VARCHAR) AS DOUBLE), 9)
+                AS DECIMAL(18,9)) AS t,
+           x, d
+    FROM ovl
+)
+SELECT (SELECT ymax FROM yr) AS year_cur,
+       (SELECT ymax - 1 FROM yr) AS year_prev,
+       CAST({_RBO_DEPTH} AS BIGINT) AS depth,
+       (SELECT CAST(x AS BIGINT) FROM terms WHERE d = {_RBO_DEPTH})
+         AS overlap_at_depth,
+       CAST(0.1 AS DOUBLE) * {sql_double('SUM(t)')} AS rbo
+FROM terms
+""",
+)
+def q287_rank_stability_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, depth {d}) between the current and
+    prior year's top-{d} parts by revenue: the top-weighted similarity
+    of two rankings (Webber et al.) — the catalog-churn monitor that
+    set-overlap can't give (swapping ranks 1 and 20 matters, swapping
+    19 and 20 doesn't). q226 FUSES rankings; this SCORES their
+    stability. A part pair enters the agreement at depth max(rank_a,
+    rank_b); X_d/d is the agreement at depth d; RBO = (1-p)·Σ p^(d-1)
+    ·X_d/d.
+
+    The geometric weights are precomputed decimal literals shared
+    verbatim (the EWMA trick); each term is quantized round(.,9) so the
+    sum is exact; the (1-p) factor is a CAST-to-DOUBLE literal.
+
+    Scale: per-year revenue ranking is a partitioned window; the
+    depth-{d} lists and the weight table are constants.""".format(
+        d=_RBO_DEPTH
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_year = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("y"), "l_partkey"
+        )
+        .agg(F.sum(_dec2(F.col("l_extendedprice"))).alias("rev"))
+    )
+    ymax = per_year.agg(F.max("y").alias("ymax"))
+    ranked = per_year.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("y").orderBy(F.col("rev").desc(), "l_partkey")
+        ),
+    ).filter(F.col("rnk") <= _RBO_DEPTH)
+    r = ranked.crossJoin(F.broadcast(ymax))
+    a = r.filter(F.col("y") == F.col("ymax")).select(
+        "l_partkey", F.col("rnk").alias("ra")
+    )
+    b = r.filter(F.col("y") == F.col("ymax") - 1).select(
+        F.col("l_partkey").alias("pk_b"), F.col("rnk").alias("rb")
+    )
+    joined = a.join(b, a.l_partkey == F.col("pk_b")).select(
+        F.greatest("ra", "rb").alias("first_depth")
+    )
+    weights = spark.createDataFrame(_RBO_WEIGHTS, "d INT, wt DECIMAL(14,12)")
+    overlaps = (
+        F.broadcast(weights)
+        .join(joined, F.col("first_depth") <= F.col("d"), "left")
+        .groupBy("d", "wt")
+        .agg(F.count("first_depth").alias("x"))
+    )
+    terms = overlaps.select(
+        "d",
+        "x",
+        F.round(
+            (F.col("x").cast("double") / F.col("d")) * F.col("wt").cast("double"),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("t"),
+    )
+    agg = terms.agg(
+        F.sum("t").alias("st"),
+        F.max(F.when(F.col("d") == _RBO_DEPTH, F.col("x"))).alias(
+            "overlap_at_depth"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(ymax)).select(
+        F.col("ymax").alias("year_cur"),
+        (F.col("ymax") - 1).alias("year_prev"),
+        F.lit(_RBO_DEPTH).cast("bigint").alias("depth"),
+        F.col("overlap_at_depth").cast("bigint").alias("overlap_at_depth"),
+        (F.lit(0.1) * F.col("st").cast("double")).alias("rbo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288 — near-dup cluster census.
+# ---------------------------------------------------------------------------
+@query(
+    "q288_dedup_cluster_census",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIRS_BODY_TEMPLATE},
+bidir AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir) n
+    UNION
+    SELECT e.b, r.lbl FROM bidir e JOIN reach r ON e.a = r.node
+),
+lbl AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+csize AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS size FROM lbl GROUP BY comp)
+SELECT size AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(size) AS BIGINT) AS n_docs,
+       CAST(SUM(size - 1) AS BIGINT) AS n_removable
+FROM csize GROUP BY size ORDER BY cluster_size
+""",
+)
+def q288_dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demography of the near-duplicate graph: connected components of
+    the verified jaccard>=0.8 pairs (q31's output), rolled up by cluster
+    size — how many pairs vs triples vs bigger families, and the exact
+    removable-document count Σ(size−1) that doc-level dedup will delete.
+    q69 labels the clusters; this is the census a capacity plan reads.
+    The Spark side runs pointer-jumping CC; the oracle recomputes
+    components with a recursive-CTE closure (the q241 cross-algorithm
+    discipline applied to the dedup graph).
+
+    Pure integer output.
+
+    Scale: the near-dup graph is candidate-blocked and tiny relative to
+    the corpus by construction; CC localCheckpoints per round."""
+    from kinesis_sample_spark.queries.dedup import _verified_candidate_pairs
+
+    pairs = _verified_candidate_pairs(spark, sf_dir)
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    edges = pairs.filter(jac >= 0.8).select("doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )
+    cc = connected_components(edges, "doc_a", "doc_b")
+    csize = cc.groupBy("component").agg(F.count("*").alias("size"))
+    return (
+        csize.groupBy(F.col("size").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("size").alias("n_docs"),
+            F.sum(F.col("size") - 1).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — index of dispersion for daily order counts.
+# ---------------------------------------------------------------------------
+@query(
+    "q289_index_of_dispersion",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+           CAST(SUM(c * c) AS BIGINT) AS scc
+    FROM daily
+)
+SELECT n AS n_days, sc AS n_orders,
+       CAST(sc AS DOUBLE) / n AS mean_per_day,
+       {sql_double(
+           "CAST(round("
+           "((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)"
+           "  - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+           " / (CAST(sc AS DOUBLE) / n)"
+           ", 6) AS DECIMAL(18,6))"
+       )} AS vmr,
+       {sql_double(
+           "CAST(round("
+           "(((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)"
+           "   - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))"
+           "  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+           " / (CAST(sc AS DOUBLE) / n) - 1)"
+           " * sqrt((CAST(n AS DOUBLE) - 1) / 2)"
+           ", 6) AS DECIMAL(18,6))"
+       )} AS z
+FROM s
+""",
+)
+def q289_index_of_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of DAILY ORDER
+    COUNTS with its normal-approximation z: VMR ~ 1 is the Poisson
+    arrival signature, VMR >> 1 means demand arrives in bursts and
+    every Poisson-based staffing/queueing assumption breaks. q263
+    measures term burstiness across documents; this is the temporal
+    counterpart for the arrival process itself (and the hypothesis-test
+    companion to q261's descriptive CV).
+
+    Counts and moments are exact BIGINTs; VMR and z are identical
+    double expressions quantized round(.,6).
+
+    Scale: one date-keyed count, one scalar aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d")
+    ).agg(F.count("*").alias("c"))
+    s = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    nd = F.col("n").cast("double")
+    scd = F.col("sc").cast("double")
+    sccd = F.col("scc").cast("double")
+    var = (nd * sccd - scd * scd) / (nd * (F.col("n") - 1).cast("double"))
+    mean = scd / F.col("n")
+    vmr = var / mean
+    z = (vmr - 1) * F.sqrt((nd - 1) / 2)
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("sc").alias("n_orders"),
+        mean.alias("mean_per_day"),
+        _q6(vmr).cast("double").alias("vmr"),
+        _q6(z).cast("double").alias("z"),
+    )

@@ -128,3 +128,25 @@ def test_q281_fanout_audit_partial_agg(spark):
     df = _df(spark, "q281_basket_fanout_audit")
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in _plan(spark, "q281_basket_fanout_audit")
+
+
+def test_q283_hill_is_rank_window_plus_scalar(spark):
+    """The top-k ranking must not cartesian: the k+1 pivot broadcasts
+    into the k-row term relation."""
+    df = _df(spark, "q283_hill_tail_index")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in _plan(spark, "q283_hill_tail_index")
+
+
+def test_q285_ci_rank_lookups_are_equijoins(spark):
+    """The order-statistic endpoint lookups must ride the segment rank
+    window — no nested loop over the order table."""
+    plan = _plan(spark, "q285_median_order_ci")
+    assert "CartesianProduct" not in plan
+
+
+def test_q288_census_rides_blocked_candidates(spark):
+    """The cluster census must inherit q31's banded candidate generation
+    — never an all-pairs join over documents."""
+    plan = _plan(spark, "q288_dedup_cluster_census")
+    assert "CartesianProduct" not in plan

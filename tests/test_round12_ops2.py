@@ -850,3 +850,190 @@ def test_q282_control_chart_third_impl(spark):
         z = (x - mu) / sd
         assert r.zscore == pytest.approx(z, abs=2e-6)
         assert r.out_of_control == int(abs(z) > 3)
+
+
+# ---------------------------------------------------------------------------
+# inference (batch 3: q283-q289)
+# ---------------------------------------------------------------------------
+def test_q283_hill_third_impl(spark):
+    x = sorted(_pd("orders").o_totalprice.values, reverse=True)
+    k = 200
+    xk1 = x[k]
+
+    def q6(v):
+        return Decimal(v).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+
+    st = sum(q6(math.log(v / xk1)) for v in x[:k])
+    row = _run(spark, "q283_hill_tail_index")[0]
+    assert row.k == k
+    assert row.threshold == pytest.approx(xk1, rel=1e-12)
+    assert row.hill_gamma == pytest.approx(float(st) / k, rel=1e-12)
+    assert row.tail_alpha == pytest.approx(k / float(st), abs=2e-6)
+
+
+def test_q284_seasonal_strength_third_impl(spark):
+    daily = _daily_cents(_pd("orders"))
+    epoch = pd.Timestamp("1970-01-01")
+    moy = np.array(
+        [(epoch + pd.Timedelta(days=int(d))).month for d in daily.index]
+    )
+    x = daily.values / 100.0
+    n = len(x)
+    groups = [x[moy == m] for m in sorted(set(moy))]
+    kk = len(groups)
+    ssb_terms = sum(
+        Decimal(g.sum() * g.sum() / len(g)).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+        for g in groups
+    )
+    s, sqq = x.sum(), (x * x).sum()
+    between = float(ssb_terms) - s * s / n
+    total = sqq - s * s / n
+    f = (between / (kk - 1)) / ((sqq - float(ssb_terms)) / (n - kk))
+    row = _run(spark, "q284_seasonal_strength")[0]
+    assert (row.n_days, row.n_months) == (n, kk)
+    assert row.eta_sq == pytest.approx(between / total, abs=2e-5)
+    assert row.f_stat == pytest.approx(f, abs=2e-3)
+
+
+def test_q285_median_ci_third_impl(spark):
+    orders = _pd("orders")
+    cust = _pd("customer")
+    seg = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    df = pd.DataFrame(
+        {
+            "seg": orders.o_custkey.map(seg),
+            "x": orders.o_totalprice,
+            "k": orders.o_orderkey,
+        }
+    )
+    rows = {r.c_mktsegment: r for r in _run(spark, "q285_median_order_ci")}
+    for s, g in df.groupby("seg"):
+        n = len(g)
+        lo_rank = max(1, math.floor((n - 1.96 * math.sqrt(n)) / 2))
+        xs = [x for x, _ in sorted(zip(g.x, g.k))]
+        r = rows[s]
+        assert (r.n, r.l_rank, r.u_rank) == (n, lo_rank, n + 1 - lo_rank)
+        assert r.median == pytest.approx(np.percentile(g.x, 50), rel=1e-12)
+        assert r.ci_lo == pytest.approx(xs[lo_rank - 1], rel=1e-12)
+        assert r.ci_hi == pytest.approx(xs[n - lo_rank], rel=1e-12)
+        assert r.ci_lo <= r.median <= r.ci_hi
+
+
+def test_q286_quantile_drift_third_impl(spark):
+    orders = _pd("orders")
+    df = pd.DataFrame(
+        {"y": orders.o_orderdate.dt.year, "x": orders.o_totalprice}
+    )
+    qs = {
+        y: (
+            len(g),
+            np.percentile(g.x, 10),
+            np.percentile(g.x, 50),
+            np.percentile(g.x, 90),
+        )
+        for y, g in df.groupby("y")
+    }
+    rows = _run(spark, "q286_quantile_drift_bands")
+    assert {r.year for r in rows} == {y for y in qs if y - 1 in qs}
+    for r in rows:
+        n, p10, p50, p90 = qs[r.year]
+        _, q10, q50, q90 = qs[r.year - 1]
+        assert r.n == n
+        assert r.p10 == pytest.approx(p10, rel=1e-12)
+        assert r.d10 == pytest.approx(p10 - q10, rel=1e-9, abs=1e-9)
+        assert r.d50 == pytest.approx(p50 - q50, rel=1e-9, abs=1e-9)
+        assert r.d90 == pytest.approx(p90 - q90, rel=1e-9, abs=1e-9)
+
+
+def test_q287_rbo_third_impl(spark):
+    orders = _pd("orders")
+    li = _pd("lineitem")
+    y_of = dict(zip(orders.o_orderkey, orders.o_orderdate.dt.year))
+    cents = (li.l_extendedprice.round(2) * 100).round().astype("int64")
+    df = pd.DataFrame(
+        {"y": li.l_orderkey.map(y_of), "p": li.l_partkey, "c": cents}
+    )
+    rev = df.groupby(["y", "p"]).c.sum()
+    ymax = df.y.max()
+
+    def topk(y):
+        s = rev[y]
+        order = sorted(s.index, key=lambda p: (-s[p], p))[:20]
+        return {p: i + 1 for i, p in enumerate(order)}
+
+    a, b = topk(ymax), topk(ymax - 1)
+    first_depth = {
+        p: max(a[p], b[p]) for p in set(a) & set(b)
+    }
+    total = Decimal(0)
+    from kinesis_sample_spark.queries.inference import _RBO_WEIGHTS
+
+    overlap20 = 0
+    for d, w in _RBO_WEIGHTS:
+        x = sum(1 for fd in first_depth.values() if fd <= d)
+        if d == 20:
+            overlap20 = x
+        total += Decimal(x / d * float(w)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+    row = _run(spark, "q287_rank_stability_rbo")[0]
+    assert (row.year_cur, row.year_prev, row.depth) == (ymax, ymax - 1, 20)
+    assert row.overlap_at_depth == overlap20
+    assert row.rbo == pytest.approx(0.1 * float(total), rel=1e-12)
+    assert 0.0 <= row.rbo <= 1.0
+
+
+def test_q288_cluster_census_third_impl(spark):
+    from tests.test_round12_ops2 import _brute_minhash, _brute_lsh_candidates
+
+    docs = list(zip(_pd("documents").doc_id, _pd("documents").text))
+    mh = _brute_minhash(docs)
+    edges = []
+    for a, b in _brute_lsh_candidates(mh):
+        (sa, seta), (sb, setb) = mh[a], mh[b]
+        inter = len(seta & setb)
+        if inter / (len(seta) + len(setb) - inter) >= 0.8:
+            edges.append((a, b))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = Counter(find(n) for n in parent)
+    census = Counter(comps.values())
+    rows = _run(spark, "q288_dedup_cluster_census")
+    got = {r.cluster_size: (r.n_clusters, r.n_docs, r.n_removable) for r in rows}
+    expected = {
+        size: (n, size * n, (size - 1) * n) for size, n in census.items()
+    }
+    assert got == expected and got  # the fixtures plant near-dup pairs
+
+
+def test_q289_dispersion_third_impl(spark):
+    daily = (
+        _pd("orders")
+        .assign(d=lambda f: f.o_orderdate.dt.normalize())
+        .groupby("d")
+        .size()
+    )
+    c = daily.values.astype(float)
+    n = len(c)
+    mean = c.sum() / n
+    var = (n * (c * c).sum() - c.sum() ** 2) / (n * (n - 1))
+    vmr = var / mean
+    z = (vmr - 1) * math.sqrt((n - 1) / 2)
+    row = _run(spark, "q289_index_of_dispersion")[0]
+    assert (row.n_days, row.n_orders) == (n, int(c.sum()))
+    assert row.mean_per_day == pytest.approx(mean, rel=1e-12)
+    assert row.vmr == pytest.approx(vmr, abs=2e-6)
+    assert row.z == pytest.approx(z, abs=2e-6)
