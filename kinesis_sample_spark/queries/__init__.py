@@ -98,7 +98,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-green (mandatory)
+    # -- settlement-eligible (one more green settles)
     "q241_copurchase_communities",
     "q242_session_gap_stats",
     "q243_asof_forward_spread",
