@@ -76,7 +76,11 @@ def q283_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-sweep; one calibrated point keeps the oracle exact).
 
     Each log-ratio term is quantized round(.,6) -> DECIMAL so the sum
-    is exact; gamma and alpha are single divisions.
+    is exact; gamma and alpha are single divisions. Degenerate inputs
+    (<= k rows, so the rn = k+1 pivot is empty) yield ONE row of NULLs
+    on both engines: the Spark side left-joins the pivot rather than
+    cross-joining it, mirroring the oracle's always-one-row global
+    aggregate (edge-tested in tests/test_round13_fixes.py).
 
     Scale: a global ORDER BY to rank the top k+1 (TakeOrdered-shaped at
     k << n), then a {k}-row aggregate.""".format(k=_HILL_K)
@@ -97,13 +101,25 @@ def q283_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = terms.agg(F.sum("t").alias("st"))
     gamma = F.col("st").cast("double") / _HILL_K
-    return s.crossJoin(F.broadcast(pivot)).select(
-        F.lit(_HILL_K).cast("bigint").alias("k"),
-        F.col("xk1").alias("threshold"),
-        gamma.alias("hill_gamma"),
-        _q6(F.lit(float(_HILL_K)) / F.col("st").cast("double"))
-        .cast("double")
-        .alias("tail_alpha"),
+    # LEFT join (not crossJoin) onto the pivot: with <= k rows the
+    # pivot (rn = k+1) is EMPTY and a cross join would yield 0 rows,
+    # while the oracle's global aggregate still emits 1 row of NULLs.
+    # The left join keeps the engines symmetric on degenerate inputs
+    # (same class as the q212 w=0 guard); with > k rows it is exactly
+    # the old broadcast cross join.
+    return (
+        s.withColumn("_jk", F.lit(1))
+        .join(
+            F.broadcast(pivot.withColumn("_jk", F.lit(1))), "_jk", "left"
+        )
+        .select(
+            F.lit(_HILL_K).cast("bigint").alias("k"),
+            F.col("xk1").alias("threshold"),
+            gamma.alias("hill_gamma"),
+            _q6(F.lit(float(_HILL_K)) / F.col("st").cast("double"))
+            .cast("double")
+            .alias("tail_alpha"),
+        )
     )
 
 

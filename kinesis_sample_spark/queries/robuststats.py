@@ -355,19 +355,26 @@ ranked AS (
     FROM s
 ),
 agg AS (
+    -- s2a (~2n^2) and the na*(na+1)/na*nb products widened to DECIMAL:
+    -- int64 wraps silently in Spark near n~2e9 rows while DuckDB sums
+    -- in HUGEINT — widen BOTH engines so they stay exact together.
     SELECT
         CAST(SUM(CASE WHEN grp = '{_RS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
         CAST(SUM(CASE WHEN grp = '{_RS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-        CAST(SUM(CASE WHEN grp = '{_RS_A}' THEN r2 ELSE 0 END) AS BIGINT) AS s2a
+        CAST(SUM(CAST(CASE WHEN grp = '{_RS_A}' THEN r2 ELSE 0 END
+                 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2a
     FROM ranked
 )
 SELECT na AS n_a, nb AS n_b,
-       CAST(s2a AS DOUBLE) / 2 - CAST(na * (na + 1) AS DOUBLE) / 2 AS u_stat,
+       CAST(s2a AS DOUBLE) / 2
+         - CAST(CAST(na AS DECIMAL(19,0)) * (na + 1) AS DOUBLE) / 2 AS u_stat,
        {sql_double(
            "CAST(round("
-           "(CAST(s2a AS DOUBLE) / 2 - CAST(na * (na + 1) AS DOUBLE) / 2"
-           " - CAST(na * nb AS DOUBLE) / 2)"
-           " / sqrt(CAST(na * nb AS DOUBLE) * CAST(na + nb + 1 AS DOUBLE) / 12.0)"
+           "(CAST(s2a AS DOUBLE) / 2"
+           " - CAST(CAST(na AS DECIMAL(19,0)) * (na + 1) AS DOUBLE) / 2"
+           " - CAST(CAST(na AS DECIMAL(19,0)) * nb AS DOUBLE) / 2)"
+           " / sqrt(CAST(CAST(na AS DECIMAL(19,0)) * nb AS DOUBLE)"
+           "        * CAST(na + nb + 1 AS DOUBLE) / 12.0)"
            ", 6) AS DECIMAL(18,6))"
        )} AS z
 FROM agg
@@ -379,9 +386,11 @@ def q262_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry lacked (q199 KS tests shape, q222 chi-square tests
     categorical independence; this tests stochastic dominance). Ties get
     average ranks, carried as exact 2*rank BIGINTs (2*RANK() + ties - 1)
-    so U is exact integer math until two final divisions; z uses the
-    normal approximation WITHOUT the tie correction (documented
-    contract — value ties are floats, vanishingly rare).
+    and summed as DECIMAL (s2a ~ 2n^2 outgrows int64 near n~2e9 rows,
+    where Spark would wrap silently vs DuckDB's HUGEINT) so U is exact
+    until two final divisions; z uses the normal approximation WITHOUT
+    the tie correction (documented contract — value ties are floats,
+    vanishingly rare).
 
     Scale: one global sort for the rank window (range-partitionable),
     one scalar aggregate.""".format(a=_RS_A, b=_RS_B)
@@ -398,12 +407,19 @@ def q262_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.sum(F.when(F.col("grp") == _RS_A, 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("grp") == _RS_B, 1).otherwise(0)).alias("nb"),
-        F.sum(F.when(F.col("grp") == _RS_A, F.col("r2")).otherwise(0)).alias("s2a"),
+        # s2a (~2n^2) widened: int64 wraps silently near n~2e9 rows
+        # while the DuckDB oracle sums in HUGEINT (mirrored there too).
+        F.sum(
+            F.when(F.col("grp") == _RS_A, F.col("r2"))
+            .otherwise(0)
+            .cast("decimal(19,0)")
+        ).alias("s2a"),
     )
     na, nb = F.col("na"), F.col("nb")
-    u = F.col("s2a").cast("double") / 2 - (na * (na + 1)).cast("double") / 2
-    z = (u - (na * nb).cast("double") / 2) / F.sqrt(
-        (na * nb).cast("double") * (na + nb + 1).cast("double") / F.lit(12.0)
+    nad = na.cast("decimal(19,0)")
+    u = F.col("s2a").cast("double") / 2 - (nad * (na + 1)).cast("double") / 2
+    z = (u - (nad * nb).cast("double") / 2) / F.sqrt(
+        (nad * nb).cast("double") * (na + nb + 1).cast("double") / F.lit(12.0)
     )
     return agg.select(
         na.alias("n_a"),
@@ -431,11 +447,17 @@ WITH ranked AS (
     FROM lineitem
 ),
 s AS (
+    -- moment products widened to DECIMAL BEFORE multiplying: sum(rx*rx)
+    -- grows ~4n^3/3 per group and exceeds int64 near n~1.9M rows
+    -- (about sf1 lineitem); Spark (non-ANSI) would wrap silently while
+    -- DuckDB sums in HUGEINT. DECIMAL(19,0)*DECIMAL(19,0) -> (38,0) on
+    -- both engines; exact to 1e38 (~4e12 rows per group).
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
-           CAST(SUM(rx * ry) AS BIGINT) AS sxy,
-           CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-           CAST(SUM(ry * ry) AS BIGINT) AS syy
+           CAST(SUM(rx) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(CAST(rx AS DECIMAL(19,0)) * ry) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(CAST(rx AS DECIMAL(19,0)) * rx) AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(ry AS DECIMAL(19,0)) * ry) AS DECIMAL(38,0)) AS syy
     FROM ranked GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -457,12 +479,16 @@ def q271_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     average ranks (2*rank BIGINT trick, see q262) matter here: min-rank
     or row-number ranks would bias rho under ties.
 
-    All five moments are exact BIGINT sums; rho is one identical double
-    expression quantized round(.,6).
+    All five moments are exact DECIMAL(38,0) sums, widened BEFORE the
+    products (sum(rx*rx) ~ 4n^3/3 per group overflows int64 near n~1.9M
+    rows — about sf1 lineitem — where Spark would wrap silently while
+    DuckDB sums in HUGEINT); rho is one identical double expression
+    quantized round(.,6).
 
     Scale: two rank windows over the same group partition (one sort
     each) and a per-group moment aggregate; the 2x scale factor on
-    ranks cancels algebraically in rho."""
+    ranks cancels algebraically in rho; the DECIMAL moments stay exact
+    to ~4e12 rows per group."""
     li = load_table(spark, sf_dir, "lineitem")
     rx = (
         2 * F.rank().over(W.partitionBy("l_returnflag").orderBy("l_quantity"))
@@ -475,13 +501,18 @@ def q271_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     ).cast("bigint")
     ranked = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    # Widen BEFORE multiplying (mirrors the oracle): sum(rx*rx) is
+    # ~4n^3/3 per group — int64 wraps silently near n~1.9M (about sf1),
+    # DECIMAL(19,0)^2 -> DECIMAL(38,0) stays exact to ~4e12 rows/group.
+    rxd = F.col("rx").cast("decimal(19,0)")
+    ryd = F.col("ry").cast("decimal(19,0)")
     s = ranked.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(rxd).alias("sx"),
+        F.sum(ryd).alias("sy"),
+        F.sum(rxd * ryd).alias("sxy"),
+        F.sum(rxd * rxd).alias("sxx"),
+        F.sum(ryd * ryd).alias("syy"),
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -103,7 +103,6 @@ def q245_prefix_lcp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons (no per-char loop).""".format(b=_LCP_BLOCK, cap=_LCP_CAP)
     docs = load_table(spark, sf_dir, "documents")
     blk = F.substring("text", 1, _LCP_BLOCK)
-    wb = W.partitionBy(blk).orderBy("doc_id")
     blocked = (
         docs.select("doc_id", "text", blk.alias("blk"))
         .withColumn("rn", F.row_number().over(W.partitionBy("blk").orderBy("doc_id")))
@@ -413,12 +412,20 @@ def q257_cosine_pair_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     "q259_dedup_agreement",
     oracle=f"""
 WITH {_SQL_CAND_BODY_TEMPLATE},
+pblocked AS (
+    -- same _LCP_CAP window cap as q245: an uncapped shared-boilerplate
+    -- prefix block would make this side quadratic at scale
+    SELECT doc_id, substring(text, 1, {_LCP_BLOCK}) AS blk
+    FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY substring(text, 1, {_LCP_BLOCK})
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ) t WHERE rn <= {_LCP_CAP}
+),
 prefix_pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM (SELECT doc_id, substring(text, 1, {_LCP_BLOCK}) AS blk
-          FROM documents) a
-    JOIN (SELECT doc_id, substring(text, 1, {_LCP_BLOCK}) AS blk
-          FROM documents) b
+    FROM pblocked a JOIN pblocked b
       ON a.blk = b.blk AND a.doc_id < b.doc_id
 ),
 u AS (
@@ -449,10 +456,23 @@ def q259_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, no floats anywhere.
 
     Scale: both candidate generators are equi-join blocked (bands,
-    prefix key); the diff joins on the pair key.""".format(b=_LCP_BLOCK)
+    prefix key) AND bounded — the prefix side carries q245's _LCP_CAP
+    window cap, so a boilerplate prefix shared by a million docs stays
+    quadratic only inside the {cap}-doc cap; the diff joins on the pair
+    key. (Cap added round 13; no block exceeds it at sf<=0.1, so tested
+    outputs are unchanged.)""".format(b=_LCP_BLOCK, cap=_LCP_CAP)
     pairs = _verified_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
-    blk = docs.select("doc_id", F.substring("text", 1, _LCP_BLOCK).alias("blk"))
+    # Same _LCP_CAP window cap as q245 (rides the blocking shuffle): an
+    # uncapped boilerplate-prefix block would go quadratic at scale.
+    blk = (
+        docs.select("doc_id", F.substring("text", 1, _LCP_BLOCK).alias("blk"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("blk").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") <= _LCP_CAP)
+        .drop("rn")
+    )
     pa = blk.select(F.col("doc_id").alias("doc_a"), "blk")
     pb = blk.select(F.col("doc_id").alias("doc_b"), F.col("blk").alias("blkb"))
     prefix_pairs = pa.join(
