@@ -34,7 +34,16 @@ from kinesis_sample_spark.queries import load_registry
 REGISTRY = load_registry()
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-FLOOR_S = 10.0  # absolute floor — CI boxes stall for seconds at a time
+# Absolute floor — CI boxes stall for seconds at a time. 10.0 through
+# round 12; cut to 6.0 in round 13 on two supports: (a) the module
+# warmup fixture now absorbs the ~4-6 s one-time JVM cost the
+# alphabetically-first queries used to pay inside their own timers, and
+# (b) a solo sweep of the full lane after warmup measured max 4.3 s per
+# query at sf0.01 (>= 29% headroom under 6.0 for every query). The
+# LATENCY_r10/r12 sf0.1 sweeps agree within 30% on 234/283 queries, so
+# most calibrated ceilings are 2x — the floor now binds only sub-3 s
+# queries, where it catches a ~2x cliff instead of the old ~10x.
+FLOOR_S = 6.0
 DEFAULT_S = 30.0  # uncalibrated (new) queries
 TIGHT_FACTOR = 2.0  # two consecutive sweeps agree within AGREEMENT
 LOOSE_FACTOR = 3.0  # one data point, or cross-round variance > AGREEMENT
@@ -128,6 +137,43 @@ def test_ceiling_tightens_only_on_two_agreeing_sweeps(tmp_path, monkeypatch):
 
 
 BATCH_QUERIES = sorted(n for n in REGISTRY if "_live_" not in n)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _jvm_warmup(spark, oracle_sf_dir):
+    """Absorb one-time JVM costs (codegen JIT, executor thread spin-up,
+    whole-stage compilation of the scan/join/window paths) BEFORE any
+    budget timer starts. Without this the alphabetically-first queries
+    (q01, q03, q05...) pay ~4-6 s of warmup that has nothing to do with
+    their plans, which is exactly the slack the 10 s floor existed to
+    hide — warming up here is what let round 13 cut the floor to 6 s."""
+    from kinesis_sample_spark.catalog import load_table
+
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    ord_ = load_table(spark, oracle_sf_dir, "orders")
+    (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .groupBy("l_returnflag")
+        .count()
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    (
+        li.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
 
 def _ceiling(name: str) -> float:
