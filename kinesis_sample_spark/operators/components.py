@@ -50,9 +50,12 @@ def connected_components(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct().localCheckpoint(eager=True)
 
+    # Lazy: round 1's changed-count materializes this together with its
+    # own checkpoint; rounds >= 2 read their labels from the previous
+    # round's checkpoint, so the initial frame is scanned once either way.
     labels = undirected.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -85,8 +88,12 @@ def connected_components(
                 ).alias("new_label"),
                 "label",
             )
-        ).localCheckpoint(eager=True)  # truncate lineage: plan growth, not
-        # data, dominates iterative joins after ~10 rounds
+        ).localCheckpoint(eager=False)  # truncate lineage: plan growth, not
+        # data, dominates iterative joins after ~10 rounds. LAZY: the
+        # changed-count below is the round's first action and materializes
+        # the checkpoint as a side effect — one Spark job per round
+        # instead of two (the fixed job overhead, not data, dominates
+        # each round once thresholding has shrunk the graph).
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
