@@ -270,7 +270,11 @@ def q247_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two hash joins of the pair list against the (node, degree)
     relation, one global moment aggregation — no per-node state beyond
-    the degree count."""
+    the degree count. The Spark side folds the symmetrization into the
+    moment algebra (one pass over the joined edges) instead of the
+    oracle's explicit (x,y)+(y,x) union, which would re-execute the
+    projection+join subtree per branch; the moments are the same exact
+    integers either way (round-13 rewrite, outputs bit-identical)."""
     pairs = _edges(spark, sf_dir)
     deg = (
         pairs.select(F.col("part_a").alias("node"))
@@ -281,16 +285,27 @@ def q247_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("part_a"), F.col("d").alias("xa"))
     db = deg.select(F.col("node").alias("part_b"), F.col("d").alias("xb"))
     joined = pairs.join(da, "part_a").join(db, "part_b")
-    sym = joined.select(F.col("xa").alias("x"), F.col("xb").alias("y")).unionByName(
-        joined.select(F.col("xb").alias("x"), F.col("xa").alias("y"))
-    )
-    s = sym.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    # The symmetrized moments are computed algebraically from ONE pass
+    # over `joined` instead of materializing the (x,y)+(y,x) union the
+    # oracle spells out: over the mirrored list, n = 2·|E|,
+    # sum x = sum y = Σ(xa+xb), sum xy = 2·Σ xa·xb, and
+    # sum x² = sum y² = Σ(xa²+xb²). The union form re-executed the
+    # pair-projection + degree-join subtree in both branches (measured
+    # 10.9 s cold / 2.3 s steady at sf0.1 vs 3.7 / 1.9 for this form);
+    # every moment is the SAME exact BIGINT either way, so the final
+    # double is bit-identical to the oracle's union evaluation.
+    s = joined.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("xa") + F.col("xb")).alias("s1"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sp"),
+        F.sum(F.col("xa") * F.col("xa") + F.col("xb") * F.col("xb")).alias("sq"),
+    ).select(
+        (F.col("cnt") * 2).alias("n"),
+        F.col("s1").alias("sx"),
+        F.col("s1").alias("sy"),
+        (F.col("sp") * 2).alias("sxy"),
+        F.col("sq").alias("sxx"),
+        F.col("sq").alias("syy"),
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
