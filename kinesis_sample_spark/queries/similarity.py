@@ -695,20 +695,39 @@ def q142_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery with a ones-vector so accumulation is sequential on both
     engines). No shuffle at all: at 100 TB this is a map-only rewrite
     of the embedding column."""
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    vmin, vmax = F.array_min(v), F.array_max(v)
-    scale = (vmax - vmin) / F.lit(255.0)
-    dq = lambda x: vmin + F.when(scale == 0, F.lit(0)).otherwise(
-        F.least(F.floor((x - vmin) / scale), F.lit(255))
-    ) * scale
-    errs = F.transform(v, lambda x: F.abs(x - dq(x)))
+    # Stage vmin/vmax/scale as materialized columns BEFORE the
+    # per-element lambda references them: inlining array_min/array_max
+    # into the transform() body re-evaluates an O(dim) reduction per
+    # ELEMENT (O(dim^2) per row) and balloons the codegen tree —
+    # measured 4.2 s steady at sf0.1 inlined vs 0.5 s staged, outputs
+    # bit-identical (same arithmetic, evaluated once per row).
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
+    staged = (
         emb.select(
             "vec_id",
             "label",
-            vmin.alias("vmin"),
-            vmax.alias("vmax"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            F.array_min("v").alias("vmin"),
+            F.array_max("v").alias("vmax"),
+        )
+        .withColumn("scale", (F.col("vmax") - F.col("vmin")) / F.lit(255.0))
+    )
+    vmin, scale = F.col("vmin"), F.col("scale")
+    dq = lambda x: vmin + F.when(scale == 0, F.lit(0)).otherwise(
+        F.least(F.floor((x - vmin) / scale), F.lit(255))
+    ) * scale
+    errs = F.transform("v", lambda x: F.abs(x - dq(x)))
+    return (
+        staged.select(
+            "vec_id",
+            "label",
+            "vmin",
+            "vmax",
             F.array_max(errs).alias("max_err"),
             dot(errs, plane_lit(_ONES)).alias("l1_err"),
         )
