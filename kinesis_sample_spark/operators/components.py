@@ -17,10 +17,14 @@ Scale: each round is two joins + one aggregation keyed on node — the
 standard large-graph CC shape (GraphX/GraphFrames use the same idea as
 large-star/small-star contraction). The only driver-side value is the
 per-round changed-count scalar used for exact convergence detection.
-Each round's labels are eagerly ``localCheckpoint``ed: iterative joins
-otherwise grow the logical plan exponentially and Catalyst analysis
-time — not the data — becomes the bottleneck after ~10 rounds (measured
-here: a 200-node path hung the old persist-only loop). On a cluster,
+Each round's labels are ``localCheckpoint``ed *lazily* (``eager=False``,
+round 13): the per-round changed-count aggregation materializes the
+checkpoint anyway, so an eager checkpoint would cost one extra Spark
+job per round for nothing. The truncation contract is unchanged —
+iterative joins otherwise grow the logical plan exponentially and
+Catalyst analysis time — not the data — becomes the bottleneck after
+~10 rounds (measured here: a 200-node path hung the old
+persist-only loop). On a cluster,
 swap for reliable ``checkpoint`` (localCheckpoint trades executor-loss
 recoverability for speed). tests/test_components_convergence.py pins
 long paths and random graphs against a Python union-find.

@@ -98,57 +98,57 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- settlement-eligible (one more green settles)
-    "q241_copurchase_communities",
-    "q242_session_gap_stats",
-    "q243_asof_forward_spread",
-    "q244_histogram_merge_rollup",
-    "q245_prefix_lcp_neardup",
-    "q246_degree_distribution",
-    "q247_degree_assortativity",
-    "q248_zipf_slope",
-    "q249_minhash_calibration",
-    "q250_cohort_ltv",
-    "q251_daily_backlog",
-    "q252_theil_sen_trend",
-    "q253_point_in_time_join",
-    "q254_fd_audit",
-    "q255_markov_stationary",
-    "q256_peak_days",
-    "q257_cosine_pair_distribution",
-    "q258_ewma_smoothing",
-    "q259_dedup_agreement",
-    "q260_revenue_autocorr",
-    "q261_interarrival_stats",
-    "q262_rank_sum_test",
-    "q263_term_burstiness",
-    "q264_shingle_duplication_rate",
-    "q265_shift_share",
-    "q266_double_billing_audit",
-    "q267_value_band_migration",
-    "q268_key_density_audit",
-    "q269_mom_contribution",
-    "q270_largest_remainder_alloc",
-    "q271_spearman_rank_corr",
-    "q272_revenue_spread",
-    "q273_runs_test",
-    "q274_kendall_tau",
-    "q275_abc_xyz",
-    "q276_bowley_moors",
-    "q277_two_proportion_ztest",
-    "q278_demand_intermittency",
-    "q279_embedding_norm_profile",
-    "q280_source_lang_jsd",
-    "q281_basket_fanout_audit",
-    "q282_control_chart",
-    "q283_hill_tail_index",
-    "q284_seasonal_strength",
-    "q285_median_order_ci",
-    "q286_quantile_drift_bands",
-    "q287_rank_stability_rbo",
-    "q288_dedup_cluster_census",
-    "q289_index_of_dispersion",
-    "q36_embedding_neardup",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q108_partition_fingerprints",
+    "q109_retention_cohorts",
+    "q110_funnel_conversion",
+    "q111_sequence_packing",
+    "q117_gopher_quality_rules",
+    "q118_train_split",
+    "q119_source_mixing_weights",
+    "q120_multiprobe_rerank",
+    "q121_label_centroids",
+    "q122_bloom_decontamination",
+    "q123_importance_weights",
+    "q124_pii_redaction",
+    "q125_pagerank_part_supplier",
+    "q126_live_stream_static_enrich",
+    "q127_canonical_selection",
+    "q128_winsorized_stats",
+    "q129_hard_negative_mining",
+    "q130_source_overlap_matrix",
+    "q131_live_session_windows",
+    "q132_countmin_heavy_hitters",
+    "q133_frame_sampling",
+    "q137_curriculum_bins",
+    "q138_dedup_rate_per_source",
+    "q139_scd2_intervals",
+    "q140_workspace_manifest",
+    "q141_transition_mining",
+    "q142_int8_quantization",
+    "q143_snapshot_diff",
+    "q144_bpe_pair_counts",
+    "q145_covariance_moments",
+    "q146_interval_overlap_join",
+    "q147_join_key_skew_audit",
+    "q148_content_defined_chunks",
+    "q149_top_terms_per_source",
+    "q150_triangle_count",
+    "q151_udtf_user_sessions",
+    "q152_prefix_filter_simjoin",
+    "q153_live_left_outer_join",
+    "q40_token_stats",
+    "q50_media_features",
+    "q58_array_ops",
+    "q59_string_extras",
+    "q99_ols_regression",
+    "q134_json_roundtrip_agg",
+    "q135_csv_roundtrip_agg",
+    "q136_orc_roundtrip_agg",
+    "q154_bm25_topk",
+    "q155_window_frame_gallery",
+    "q156_hof_gallery",
+    "q157_cogroup_reconcile",
 )
 
 

@@ -74,9 +74,10 @@ def _is_green(row: dict) -> bool:
 #: so a listed query re-enters the window as never-green until it
 #: re-settles on the new form — then its entry here should be removed.
 REVERIFY_SINCE: dict[str, int] = {
-    # round-10 banded-hyperplane-LSH rewrite (ADVICE r10/r11 item 1):
-    # its settled greens were earned by the label-blocked implementation.
-    "q36_embedding_neardup": 10,
+    # (empty) q36_embedding_neardup rode here rounds 12-13 after its
+    # round-10 banded-hyperplane-LSH rewrite; it re-settled on the new
+    # form with driver greens in rounds 12 and 13, so the entry was
+    # removed in round 14 per its own removal rule above.
 }
 
 

@@ -140,5 +140,7 @@ def test_q259_prefix_block_cap(spark, tmp_path, duck_tmp):
     assert len(rows) == 1
     n_prefix = rows[0][cols.index("n_prefix")]
     cap_pairs = _LCP_CAP * (_LCP_CAP - 1) // 2
-    # uncapped would be C(100,2)=4950; the cap bounds it at C(64,2)
-    assert n_prefix <= cap_pairs
+    # All 100 docs share one prefix block, so the capped window emits
+    # exactly C(64,2) pairs; uncapped would be C(100,2)=4950, and a
+    # broken cap/blocking that emitted 0 pairs must also fail here.
+    assert n_prefix == cap_pairs

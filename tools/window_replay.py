@@ -32,16 +32,21 @@ def main() -> int:
     for name in DRIVER_WINDOW:
         q = registry[name]
         release_checkpoints(spark)
-        if q.oracle is None:
-            n = q.fn(spark, sf_dir).count()
-            results[name] = {"check": "rows_only", "rows": n, "ok": n >= 0}
-        else:
-            cmp = compare(name, q.fn(spark, sf_dir), con, q.oracle)
-            results[name] = {
-                "check": "oracle",
-                "rows": cmp.spark_rows,
-                "ok": cmp.ok,
-            }
+        try:
+            if q.oracle is None:
+                n = q.fn(spark, sf_dir).count()
+                # rows_only pass = the query executed without raising;
+                # the row count is recorded for the log, not gated.
+                results[name] = {"check": "rows_only", "rows": n, "ok": True}
+            else:
+                cmp = compare(name, q.fn(spark, sf_dir), con, q.oracle)
+                results[name] = {
+                    "check": "oracle",
+                    "rows": cmp.spark_rows,
+                    "ok": cmp.ok,
+                }
+        except Exception as exc:  # noqa: BLE001 — the surprise this tool exists to catch
+            results[name] = {"check": "error", "ok": False, "error": str(exc)}
         print(f"{name:45s} {'OK' if results[name]['ok'] else 'FAIL'}")
     n_ok = sum(r["ok"] for r in results.values())
     print(
