@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
+from kinesis_sample_spark.functions.numeric import sql_double
 from kinesis_sample_spark.queries import query
 
 _BINS = 128
@@ -260,4 +261,423 @@ SELECT b.event_type, b.n_distinct_bitmap, e.n_exact
 FROM via_bitmap b JOIN exact e USING (event_type)
 ORDER BY b.event_type
 """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 family B — sketch-merge ALGEBRA under adversarial layouts.
+# q177/q244 prove merge laws on natural layouts; these four prove the
+# layout-independence that makes pre-aggregated sketch columns sound in
+# a 100 TB rollup: a re-partitioned, skewed, or re-ordered build must
+# yield the same merged structure.
+# ---------------------------------------------------------------------------
+
+_CMS14_DEPTH = 3
+_CMS14_WIDTH = 1024
+_CMS14_TOP = 10
+
+
+@query(
+    "q294_hll_merge_invariance",
+    oracle="""
+SELECT l_returnflag AS flag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+       TRUE AS layouts_agree_2pct,
+       TRUE AS union_within_5pct
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q294_hll_merge_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL merge near-invariance under adversarial layouts: three
+    partitionings of the same lineitem scan (natural orderkey ranges, a
+    90 %-skewed salt, reversed ranges) are sketched per (flag, group)
+    and unioned per flag; the three estimates must sit within a 2 % band
+    of each other (``layouts_agree_2pct``) and the natural path within
+    5 % of exact (``union_within_5pct``, the q177 bound).
+
+    Why a band and not equality: the union REGISTERS are an exact
+    layout-independent max, but the ESTIMATE is not a pure function of
+    the registers — a union that absorbed a single sketch keeps that
+    sketch's HIP accumulator, while multi-sketch unions fall back to the
+    composite estimator, so layouts whose groups collapse differently
+    read the same registers through different estimators (measured at
+    sf0.001: spreads up to 0.9 % of exact; r6 found the same effect
+    dense-mode at sf0.1 for q177). Gating equality would hash-gate an
+    implementation accident; the 2 % band gates the actual guarantee a
+    100 TB rollup relies on — re-layout the build, the answer stays put.
+    The booleans (not the raw estimates) cross the hash gate, so
+    within-band merge-order jitter is invisible to the driver.
+
+    Scale: each layout is one map-side-combined aggregation shuffling
+    fixed-KB sketch bytes per (flag, group); groups per layout are
+    bounded by the salt/range arithmetic, not by rows."""
+    from kinesis_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+WITH nat AS (
+  SELECT l_returnflag, l_orderkey DIV 1024 AS pid,
+         hll_sketch_agg(l_orderkey) AS sk
+  FROM lineitem GROUP BY 1, 2
+),
+skew AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 10 < 9 THEN 0
+              ELSE 1 + (l_orderkey % 7) END AS pid,
+         hll_sketch_agg(l_orderkey) AS sk
+  FROM lineitem GROUP BY 1, 2
+),
+rev AS (
+  SELECT l_returnflag, -(l_orderkey DIV 4096) AS pid,
+         hll_sketch_agg(l_orderkey) AS sk
+  FROM lineitem GROUP BY 1, 2
+),
+en AS (SELECT l_returnflag, hll_sketch_estimate(hll_union_agg(sk)) AS e
+       FROM nat GROUP BY 1),
+es AS (SELECT l_returnflag, hll_sketch_estimate(hll_union_agg(sk)) AS e
+       FROM skew GROUP BY 1),
+er AS (SELECT l_returnflag, hll_sketch_estimate(hll_union_agg(sk)) AS e
+       FROM rev GROUP BY 1),
+ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+       FROM lineitem GROUP BY 1)
+SELECT ex.l_returnflag AS flag, ex.n_exact,
+       greatest(en.e, es.e, er.e) - least(en.e, es.e, er.e)
+         <= 0.02 * ex.n_exact AS layouts_agree_2pct,
+       abs(en.e - ex.n_exact) <= 0.05 * ex.n_exact AS union_within_5pct
+FROM ex JOIN en USING (l_returnflag) JOIN es USING (l_returnflag)
+        JOIN er USING (l_returnflag)
+ORDER BY flag
+"""
+    )
+
+
+def _cms14_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import seeded_md5_long_sql
+
+    cells = "\n".join(
+        f"c{j} AS (SELECT {seeded_md5_long_sql('item', j)} % {_CMS14_WIDTH} AS b, "
+        f"CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),"
+        for j in range(_CMS14_DEPTH)
+    )
+    joins = "\n".join(
+        f"JOIN c{j} ON c{j}.b = {seeded_md5_long_sql('t.item', j)} % {_CMS14_WIDTH}"
+        for j in range(_CMS14_DEPTH)
+    )
+    least = "LEAST(" + ", ".join(f"c{j}.c" for j in range(_CMS14_DEPTH)) + ")"
+    return f"""
+WITH items AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS item FROM lineitem
+),
+{cells}
+top AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact_n
+  FROM items GROUP BY item
+  ORDER BY exact_n DESC, item LIMIT {_CMS14_TOP}
+)
+SELECT t.item, t.exact_n, {least} AS cms_n, {least} - t.exact_n AS overcount,
+       TRUE AS merged_equals_global, TRUE AS overcount_nonneg
+FROM top t
+{joins}
+ORDER BY exact_n DESC, item
+"""
+
+
+@query("q295_countmin_merge_skew", oracle=_cms14_oracle())
+def q295_countmin_merge_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min merge law under skew: CMS cells are plain integer
+    counters, so merging per-group sketches (cellwise +) must EXACTLY
+    equal the sketch built in one pass — sum is associative whatever the
+    grouping. The Spark side builds both: a global 3×1024 sketch over
+    lineitem supplier keys, and per-group sketches under a deliberately
+    skewed grouping (90 % of rows share group 0 via orderkey salt),
+    merged by summing cells. ``merged_equals_global`` gates cellwise
+    equality (count of differing cells == 0 after a full outer join);
+    the oracle pins it TRUE, so any plumbing drift breaks the hash.
+    Output rows are the exact top-10 suppliers with their merged-sketch
+    estimate and the (provably non-negative) overcount.
+
+    q132 gates the one-pass build; this gates the DISTRIBUTED build —
+    the partial-aggregate/merge split a 1000-executor job actually
+    executes, made visible as data.
+
+    Scale: per-task output is capped at depth·width cells regardless of
+    rows or skew (that is the point of a CMS); the skewed grouping shows
+    the cap holds even when one group carries 90 % of the fact. The
+    finished sketch (3072 cells) broadcasts to score candidates."""
+    from kinesis_sample_spark.functions.hashing import seeded_md5_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_suppkey").cast("string").alias("item"),
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(1 + F.col("l_orderkey") % 7)
+        .alias("gid"),
+    )
+    exact = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "item")
+        .limit(_CMS14_TOP)
+    )
+    # one scalar law-audit across all depths: 0 differing cells
+    n_diff_cols = []
+    out = exact
+    ests = []
+    for j in range(_CMS14_DEPTH):
+        b_j = (seeded_md5_long(F.col("item"), j) % _CMS14_WIDTH).alias("b")
+        per_group = (
+            items.select(b_j, "gid")
+            .groupBy("b", "gid")
+            .agg(F.count("*").alias("c"))
+        )
+        merged_j = per_group.groupBy("b").agg(F.sum("c").alias(f"m{j}"))
+        global_j = items.select(b_j).groupBy("b").agg(F.count("*").alias(f"g{j}"))
+        diff_j = (
+            merged_j.join(global_j, "b", "full_outer")
+            .select(
+                F.sum(
+                    (
+                        F.coalesce(F.col(f"m{j}"), F.lit(-1))
+                        != F.coalesce(F.col(f"g{j}"), F.lit(-2))
+                    ).cast("long")
+                ).alias(f"d{j}")
+            )
+        )
+        n_diff_cols.append(diff_j)
+        out = (
+            out.withColumn(f"b{j}", seeded_md5_long(F.col("item"), j) % _CMS14_WIDTH)
+            .join(F.broadcast(merged_j), F.col(f"b{j}") == F.col("b"), "inner")
+            .drop("b", f"b{j}")
+        )
+        ests.append(F.col(f"m{j}"))
+    law = n_diff_cols[0]
+    for d in n_diff_cols[1:]:
+        law = law.crossJoin(d)
+    law = law.select(
+        (sum(F.col(f"d{j}") for j in range(_CMS14_DEPTH)) == 0).alias(
+            "merged_equals_global"
+        )
+    )
+    cms_n = F.least(*ests)
+    return (
+        out.crossJoin(F.broadcast(law))
+        .select(
+            "item",
+            "exact_n",
+            cms_n.alias("cms_n"),
+            (cms_n - F.col("exact_n")).alias("overcount"),
+            "merged_equals_global",
+            (cms_n - F.col("exact_n") >= 0).alias("overcount_nonneg"),
+        )
+        .orderBy(F.desc("exact_n"), "item")
+    )
+
+
+_HM_BINS = 16
+
+_SQL_NATION_HIST = f"""g AS (
+    SELECT MIN(c_acctbal) AS mn,
+           (MAX(c_acctbal) - MIN(c_acctbal)) / {_HM_BINS}.0 AS w
+    FROM customer
+),
+binned AS (
+    SELECT n.n_regionkey AS region, c.c_nationkey AS nat,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+           CAST(CASE WHEN g.w = 0 THEN 0
+                     ELSE LEAST(FLOOR((c.c_acctbal - g.mn) / g.w),
+                                {_HM_BINS - 1})
+                END AS INTEGER) AS bin
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, g
+),
+nation_hist AS (
+    SELECT region, nat, bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+           SUM(bal) AS amt
+    FROM binned GROUP BY region, nat, bin
+)"""
+
+
+@query(
+    "q296_histogram_merge_commutativity",
+    oracle=f"""
+WITH {_SQL_NATION_HIST}
+SELECT region, bin,
+       CAST(SUM(cnt) AS BIGINT) AS cnt_asc,
+       CAST(SUM(cnt) AS BIGINT) AS cnt_desc,
+       {sql_double('SUM(amt)')} AS amt_asc,
+       {sql_double('SUM(amt)')} AS amt_desc,
+       TRUE AS merge_commutes
+FROM nation_hist
+GROUP BY region, bin
+ORDER BY region, bin
+""",
+)
+def q296_histogram_merge_commutativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram-merge fold is commutative, proven by actually
+    folding both ways: per-nation equi-width histograms over GLOBAL bin
+    edges (q244's alignment recipe) are rolled up to region level by an
+    EXPLICIT sequential fold over the nation list — once in ascending
+    and once in descending nation-key order (``F.aggregate`` over a
+    sorted / reversed array of per-nation cells). Integer counts and
+    DECIMAL(12,2) amounts make both folds exact, so the two orders must
+    agree bin-for-bin; the oracle computes the order-free SUM and pins
+    ``merge_commutes`` TRUE — if either fold ever diverged (e.g. someone
+    "optimizes" the amounts to a double accumulator, where + is NOT
+    associative), three columns break at once.
+
+    q244 gates WHAT the merged sketch estimates; this gates HOW merging
+    is allowed to happen — any order, any grouping, same cells — which
+    is the property that lets a 1000-executor rollup combine partials in
+    completion order instead of a deterministic reduce tree.
+
+    Scale: the fold runs over per-(region, bin) arrays of ≤25 nation
+    cells — driver-free, bounded by the dimension, not the fact; the
+    only full-fact work is the two-pass global-edge histogram build."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    g = cust.agg(
+        F.min("c_acctbal").alias("mn"),
+        ((F.max("c_acctbal") - F.min("c_acctbal")) / F.lit(float(_HM_BINS))).alias(
+            "w"
+        ),
+    )
+    cn = cust.join(
+        F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    )
+    binned = cn.crossJoin(F.broadcast(g)).select(
+        F.col("n_regionkey").alias("region"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        F.when(F.col("w") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("c_acctbal") - F.col("mn")) / F.col("w")),
+                F.lit(_HM_BINS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    nation_hist = binned.groupBy("region", "nat", "bin").agg(
+        F.count("*").alias("cnt"),
+        F.sum("bal").alias("amt"),
+    )
+    cells = nation_hist.groupBy("region", "bin").agg(
+        F.sort_array(
+            F.collect_list(F.struct("nat", "cnt", "amt"))
+        ).alias("asc_cells")
+    )
+    # decimal accumulator wide enough that the fold cannot overflow:
+    # SUM(decimal(12,2)) over ≤25 cells of sums over the fact.
+    zero_amt = F.lit(0).cast("decimal(22,2)")
+
+    def _fold_cnt(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, c: acc + c["cnt"]
+        )
+
+    def _fold_amt(arr):
+        # re-narrow after each add: decimal + widens precision by 1, which
+        # would otherwise change the accumulator type mid-fold. 22,2 is
+        # unreachable by the data (sum of ≤25 nation sums of 12,2 sums),
+        # so the narrowing is lossless.
+        return F.aggregate(
+            arr,
+            zero_amt,
+            lambda acc, c: (acc + c["amt"].cast("decimal(22,2)")).cast(
+                "decimal(22,2)"
+            ),
+        )
+
+    asc = F.col("asc_cells")
+    desc = F.reverse(F.col("asc_cells"))
+    cnt_asc = _fold_cnt(asc)
+    cnt_desc = _fold_cnt(desc)
+    amt_asc = _fold_amt(asc).cast("double")
+    amt_desc = _fold_amt(desc).cast("double")
+    return cells.select(
+        "region",
+        "bin",
+        cnt_asc.alias("cnt_asc"),
+        cnt_desc.alias("cnt_desc"),
+        amt_asc.alias("amt_asc"),
+        amt_desc.alias("amt_desc"),
+        ((cnt_asc == cnt_desc) & (amt_asc == amt_desc)).alias("merge_commutes"),
+    ).orderBy("region", "bin")
+
+
+@query(
+    "q297_sample_union_stability",
+    oracle=f"""
+WITH tagged AS (
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS src,
+           ((('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 100 < 10) AS sampled
+    FROM events
+)
+SELECT src,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled_union_first,
+       CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled_split_first,
+       TRUE AS distributes_over_union
+FROM tagged
+GROUP BY src
+ORDER BY src
+""",
+)
+def q297_sample_union_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold sampling distributes over union:
+    sample(A ∪ B) == sample(A) ∪ sample(B), because membership is a pure
+    per-row predicate (md5(key) % 100 < 10 — q54's recipe), not a
+    rate-targeting draw like ``df.sample``. The Spark side actually
+    computes both plans — filter the unioned events, and filter each
+    event_id-parity shard separately then union — and gates their
+    per-source sampled counts equal. The oracle evaluates the same md5
+    predicate once and pins ``distributes_over_union`` TRUE.
+
+    This is the property that makes sampled pipelines SHARDABLE: a
+    1000-file corpus can be sampled file-by-file, in any order, across
+    any number of jobs, and the concatenation is exactly the sample of
+    the whole — no coordination, no seed bookkeeping, reproducible under
+    retries and re-layouts (the same reason q54 rejects ``df.sample``).
+
+    Scale: two map-only filters and a pair of bounded aggregates; the
+    union is narrow (no shuffle) and the law holds per shard, so the
+    audit itself shards the same way."""
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    src = F.when(F.col("event_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd"))
+    sampled = md5_long(F.col("event_id").cast("string")) % 100 < 10
+    # plan 1: union first (the whole table IS the union of the shards)
+    union_first = (
+        ev.select(src.alias("src"), sampled.cast("long").alias("s"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_rows"), F.sum("s").alias("n_union_first"))
+    )
+    # plan 2: split first, sample each shard independently, then union
+    even = ev.filter(F.col("event_id") % 2 == 0).filter(sampled)
+    odd = ev.filter(F.col("event_id") % 2 == 1).filter(sampled)
+    split_first = (
+        even.select(F.lit("even").alias("src"))
+        .unionByName(odd.select(F.lit("odd").alias("src")))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_split_first"))
+    )
+    return (
+        union_first.join(split_first, "src")
+        .select(
+            "src",
+            "n_rows",
+            F.col("n_union_first").alias("n_sampled_union_first"),
+            F.col("n_split_first").alias("n_sampled_split_first"),
+            (F.col("n_union_first") == F.col("n_split_first")).alias(
+                "distributes_over_union"
+            ),
+        )
+        .orderBy("src")
     )
