@@ -318,3 +318,300 @@ def q247_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / F.lit(2)).cast("bigint").alias("n_edges"),
         F.round(r, 6).cast("decimal(18,6)").cast("double").alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 family C — the part↔supplier BIPARTITE graph from lineitem.
+# The co-purchase family projects order→part; these three work the other
+# bipartite relation the fact carries (distinct (l_partkey, l_suppkey)
+# edges): projection onto either side, plus the two-sided degree audit
+# that justifies each side's fan-out cap.
+# ---------------------------------------------------------------------------
+
+#: part-side fan-out cap for the supplier-supplier projection: a part
+#: supplied by thousands of suppliers would contribute C(fanout, 2) pairs.
+#: 64 is cap-free at sf <= 0.1 (measured max suppliers/part: 41 at sf0.01,
+#: 52 at sf0.1) while still bounding the quadratic at any scale.
+MAX_FANOUT = 64
+
+#: supplier-side cap for the part-part projection. Unlike MAX_FANOUT this
+#: one BINDS by design (suppliers carry ~500+ parts even at sf0.01, 682 max
+#: at sf0.1): dropping whole groups MAX_BASKET-style would empty the graph,
+#: so the cap is a deterministic rank truncation instead — each supplier
+#: contributes its first SUPP_CAP parts by key, identically in both engines.
+SUPP_CAP = 64
+
+_SQL_PS = """ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)"""
+
+
+def _ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_partkey, l_suppkey) bipartite edges — the Spark twin
+    of the ``ps`` CTE above."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
+@query(
+    "q298_supplier_projection",
+    oracle=f"""
+WITH {_SQL_PS},
+bounded AS (
+    SELECT l_partkey, l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS fanout
+        FROM ps
+    ) s WHERE fanout <= {MAX_FANOUT}
+),
+pairs AS (
+    SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_parts
+    FROM bounded a
+    JOIN bounded b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+),
+deg AS (
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS d
+    FROM bounded GROUP BY 1
+)
+SELECT p.supp_a, p.supp_b, p.shared_parts,
+       p.shared_parts / (da.d + db.d - p.shared_parts) AS jaccard
+FROM pairs p
+JOIN deg da ON da.l_suppkey = p.supp_a
+JOIN deg db ON db.l_suppkey = p.supp_b
+WHERE p.shared_parts >= 2
+ORDER BY jaccard DESC, supp_a, supp_b
+LIMIT 20
+""",
+)
+def q298_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-supplier projection of the part↔supplier bipartite graph:
+    suppliers sharing >= 2 distinct parts, weighted by shared-part count
+    and Jaccard similarity of their (capped) part sets — the
+    supplier-substitutability graph a sourcing planner consumes. Top-20
+    pairs by Jaccard with a deterministic key tiebreak.
+
+    Jaccard = shared / (deg_a + deg_b - shared) is a single division of
+    exact BIGINTs — identical doubles in both engines, no quantization
+    needed (SCALING.md ratio rule). Degrees are computed over the SAME
+    capped relation the pairs come from, so the ratio is internally
+    consistent.
+
+    Scale: the part-side fan-out cap (<= {MAX_FANOUT} suppliers/part,
+    a window count riding the l_partkey shuffle the self-join needs
+    anyway) bounds pair generation at C({MAX_FANOUT},2) per part —
+    the MAX_BASKET recipe applied to the other bipartite axis. Cap-free
+    at sf <= 0.1 (max measured fan-out 52), so the driver check runs the
+    uncapped semantics while the bound still holds at 1000×."""
+    from kinesis_sample_spark.queries.graph import bounded_baskets, pair_counts
+
+    bounded = bounded_baskets(
+        _ps_edges(spark, sf_dir), "l_partkey", MAX_FANOUT
+    )
+    pairs = (
+        pair_counts(bounded, "l_partkey", "l_suppkey")
+        .withColumnRenamed("part_a", "supp_a")
+        .withColumnRenamed("part_b", "supp_b")
+        .withColumnRenamed("n_orders", "shared_parts")
+        .filter(F.col("shared_parts") >= 2)
+    )
+    deg = bounded.groupBy("l_suppkey").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("l_suppkey").alias("supp_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_suppkey").alias("supp_b"), F.col("d").alias("db"))
+    return (
+        pairs.join(da, "supp_a")
+        .join(db, "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "shared_parts",
+            (
+                F.col("shared_parts")
+                / (F.col("da") + F.col("db") - F.col("shared_parts"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
+        .limit(20)
+    )
+
+
+@query(
+    "q299_part_projection_density",
+    oracle=f"""
+WITH {_SQL_PS},
+capped AS (
+    SELECT l_partkey, l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_partkey) AS rk
+        FROM ps
+    ) s WHERE rk <= {SUPP_CAP}
+),
+proj AS (
+    SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM capped a
+    JOIN capped b
+      ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (
+    SELECT p.p_brand, CAST(COUNT(DISTINCT c.l_partkey) AS BIGINT) AS n_nodes
+    FROM capped c JOIN part p ON p.p_partkey = c.l_partkey
+    GROUP BY 1
+),
+intra AS (
+    SELECT pa.p_brand, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM proj e
+    JOIN part pa ON pa.p_partkey = e.part_a
+    JOIN part pb ON pb.p_partkey = e.part_b
+    WHERE pa.p_brand = pb.p_brand
+    GROUP BY 1
+)
+SELECT n.p_brand AS brand, n.n_nodes,
+       COALESCE(i.n_edges, 0) AS n_edges,
+       CAST(n.n_nodes * (n.n_nodes - 1) / 2 AS BIGINT) AS clique_bound,
+       COALESCE(i.n_edges, 0) / CAST(n.n_nodes * (n.n_nodes - 1) / 2 AS BIGINT)
+         AS density
+FROM nodes n LEFT JOIN intra i ON i.p_brand = n.p_brand
+WHERE n.n_nodes >= 2
+ORDER BY brand
+""",
+)
+def q299_part_projection_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-explosion diagnostic: how dense would the part-part
+    graph (parts sharing a supplier) be, summarized per brand against
+    the theoretical clique bound — the number a planner needs BEFORE
+    materializing any bipartite projection at 100 TB (a density near 1
+    means the projection is a clique blow-up, not a graph).
+
+    The supplier side is rank-capped (first {SUPP_CAP} parts per
+    supplier by key): suppliers carry ~500+ parts even at sf0.01, so a
+    MAX_BASKET-style drop-cap would empty the graph — truncation keeps
+    every supplier with a bounded C({SUPP_CAP},2) pair contribution,
+    applied as the same ROW_NUMBER text in both engines. The cap is part
+    of the query's declared semantics, not an approximation of an
+    uncapped ideal.
+
+    Scale: pair generation is bounded per supplier; the projection is
+    deduplicated (DISTINCT pair) before the brand join; density is a
+    single division of exact BIGINTs."""
+    from pyspark.sql import Window as W
+
+    ps = _ps_edges(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rk = F.row_number().over(
+        W.partitionBy("l_suppkey").orderBy("l_partkey")
+    )
+    capped = (
+        ps.withColumn("rk", rk).filter(F.col("rk") <= SUPP_CAP).drop("rk")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        capped.join(
+            F.broadcast(part), capped.l_partkey == part.p_partkey
+        )
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_partkey").alias("n_nodes"))
+    )
+    pa = part.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_brand").alias("brand_a")
+    )
+    pb = part.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_brand").alias("brand_b")
+    )
+    intra = (
+        proj.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("p_brand"))
+        .agg(F.count("*").alias("n_edges"))
+    )
+    clique = (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2).cast("bigint")
+    return (
+        nodes.join(intra, "p_brand", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            clique.alias("clique_bound"),
+            (F.coalesce(F.col("n_edges"), F.lit(0)) / clique).alias("density"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "q300_bipartite_degree_balance",
+    oracle=f"""
+WITH {_SQL_PS},
+part_deg AS (
+    SELECT l_partkey AS node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM ps GROUP BY 1
+),
+supp_deg AS (
+    SELECT l_suppkey AS node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM ps GROUP BY 1
+),
+both_sides AS (
+    SELECT 'part' AS side, d FROM part_deg
+    UNION ALL
+    SELECT 'supplier' AS side, d FROM supp_deg
+)
+SELECT side, {_bucket_case('d')} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree
+FROM both_sides
+GROUP BY side, bucket
+ORDER BY side, bucket
+""",
+)
+def q300_bipartite_degree_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided degree audit of the part↔supplier bipartite graph:
+    power-of-two-binned histograms of suppliers-per-part and
+    parts-per-supplier in one table with a ``side`` column. This is the
+    measurement behind the family's cap choices — the part side's max
+    fan-out justifies MAX_FANOUT={MAX_FANOUT} being cap-free at test
+    scale, while the supplier side's ~2^9 tail is why q299 needs a
+    rank truncation rather than a drop-cap. q246 audits one projected
+    side of one bipartite graph; this audits BOTH raw sides, which is
+    what a planner reads before choosing a projection direction at all.
+
+    The bin index is the shared integer CASE ladder (no float log2).
+
+    Scale: two counts over the distinct edge relation (each one shuffle
+    keyed on its side), binned to <= 2·{_MAX_EXP + 1} output rows."""
+    ps = _ps_edges(spark, sf_dir)
+    part_deg = ps.groupBy(F.col("l_partkey").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    supp_deg = ps.groupBy(F.col("l_suppkey").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    both = part_deg.select(F.lit("part").alias("side"), "d").unionByName(
+        supp_deg.select(F.lit("supplier").alias("side"), "d")
+    )
+    return (
+        both.groupBy("side", F.expr(_bucket_case("d")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+        .orderBy("side", "bucket")
+    )
