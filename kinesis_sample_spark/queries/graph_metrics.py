@@ -615,3 +615,324 @@ def q300_bipartite_degree_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("side", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 family D — INCREMENTAL graph maintenance. q182 maintains
+# signatures incrementally; these maintain graph STRUCTURE: the full
+# co-purchase communities recomputed the streaming way (contract old
+# components, solve only the delta) and the change audit a pipeline
+# needs to invalidate downstream caches.
+# ---------------------------------------------------------------------------
+
+#: edges whose support was already >= threshold using only shipments
+#: before this date form the "old" accumulated graph; everything the
+#: FULL fact adds beyond them is the delta. Late cut so old carries most
+#: of the graph (shipdates span 1992-1998).
+DELTA_CUT = "1998-01-01"
+
+
+def _sql_pairs_suffixed(suffix: str, where: str = "") -> str:
+    """The _SQL_PAIRS projection with suffixed CTE names and an optional
+    fact predicate — lets one oracle hold the full-fact and old-fact
+    closures side by side."""
+    wh = f" WHERE {where}" if where else ""
+    return f"""op{suffix} AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem{wh}
+),
+bounded{suffix} AS (
+    SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_size
+        FROM op{suffix}
+    ) s WHERE basket_size <= {MAX_BASKET}
+),
+pairs{suffix} AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS sup
+    FROM bounded{suffix} a
+    JOIN bounded{suffix} b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)"""
+
+
+def _old_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded co-purchase edges using only pre-cut shipments —
+    support recomputed on the OLD fact (support is NOT additive across a
+    date cut: an order's basket spans it), so old ⊆ full by monotonicity."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(DELTA_CUT).cast("date")
+    )
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .withColumnRenamed("n_orders", "sup")
+        .filter(F.col("sup") >= COMMUNITY_MIN_SUPPORT)
+    )
+
+
+@query(
+    "q301_incremental_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIRS},
+edges AS (SELECT part_a, part_b FROM pairs WHERE sup >= {COMMUNITY_MIN_SUPPORT}),
+bidir AS (
+    SELECT part_a AS a, part_b AS b FROM edges
+    UNION ALL
+    SELECT part_b, part_a FROM edges
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir) n
+    UNION
+    SELECT e.b, r.lbl FROM bidir e JOIN reach r ON e.a = r.node
+),
+lbl AS (SELECT node, MIN(lbl) AS community FROM reach GROUP BY node),
+node_stats AS (
+    SELECT community, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM lbl GROUP BY community
+),
+edge_stats AS (
+    SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM edges e JOIN lbl l ON l.node = e.part_a
+    GROUP BY l.community
+)
+SELECT n.community, n.n_parts, e.n_edges
+FROM node_stats n JOIN edge_stats e ON e.community = n.community
+ORDER BY n.community
+""",
+)
+def q301_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q241's communities computed the INCREMENTAL way: CC on the
+    pre-{cut} graph, contract each old component to its label, map the
+    delta edges (full-graph edges minus old edges, an anti-join — edge
+    support must be recomputed on the full fact because a basket spans
+    the cut) through the contraction, re-solve only contracted+delta,
+    expand back. The oracle is the full-graph recursive closure, so the
+    driver gate asserts the maintenance path is EXACTLY the batch
+    answer — the property that lets an accumulated 10^9-node graph
+    absorb a day's edges without a full recompute (the re-solved graph
+    is |communities| + |delta|, not |V|).
+
+    Labels agree exactly, not just partition-wise: contracted ids are
+    old min-member labels, so min-label CC over the contraction yields
+    the global min per merged component (operators/components.py
+    ``incremental_components``; pinned against a full recompute on a
+    synthetic graph in tests/test_round14_ops.py).
+
+    Scale: both CC runs ride the support threshold (>= {sup}) and the
+    MAX_BASKET-capped pair projection; the delta anti-join is one
+    shuffle on the edge key.""".format(cut=DELTA_CUT, sup=COMMUNITY_MIN_SUPPORT)
+    from kinesis_sample_spark.operators.components import incremental_components
+
+    full_edges = (
+        _edges(spark, sf_dir)
+        .filter(F.col("sup") >= COMMUNITY_MIN_SUPPORT)
+        .localCheckpoint(eager=True)
+    )
+    old_edges = _old_edges(spark, sf_dir)
+    delta = full_edges.join(old_edges, ["part_a", "part_b"], "left_anti")
+    cc = incremental_components(old_edges, delta, "part_a", "part_b")
+    node_stats = cc.groupBy("component").agg(F.count("*").alias("n_parts"))
+    edge_stats = (
+        full_edges.join(cc, full_edges.part_a == cc.node)
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        node_stats.join(edge_stats, "component")
+        .select(F.col("component").alias("community"), "n_parts", "n_edges")
+        .orderBy("community")
+    )
+
+
+@query(
+    "q302_affected_community_delta",
+    oracle=f"""
+WITH RECURSIVE {_SQL_PAIRS},
+{_sql_pairs_suffixed("_o", f"l_shipdate < DATE '{DELTA_CUT}'")},
+edges_n AS (SELECT part_a, part_b FROM pairs WHERE sup >= {COMMUNITY_MIN_SUPPORT}),
+edges_o AS (SELECT part_a, part_b FROM pairs_o WHERE sup >= {COMMUNITY_MIN_SUPPORT}),
+bidir_n AS (
+    SELECT part_a AS a, part_b AS b FROM edges_n
+    UNION ALL SELECT part_b, part_a FROM edges_n
+),
+bidir_o AS (
+    SELECT part_a AS a, part_b AS b FROM edges_o
+    UNION ALL SELECT part_b, part_a FROM edges_o
+),
+reach_n(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir_n) n
+    UNION
+    SELECT e.b, r.lbl FROM bidir_n e JOIN reach_n r ON e.a = r.node
+),
+reach_o(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir_o) n
+    UNION
+    SELECT e.b, r.lbl FROM bidir_o e JOIN reach_o r ON e.a = r.node
+),
+lbl_n AS (SELECT node, MIN(lbl) AS c FROM reach_n GROUP BY node),
+lbl_o AS (SELECT node, MIN(lbl) AS c FROM reach_o GROUP BY node),
+joined AS (
+    SELECT n.node, n.c AS new_c, o.c AS old_c
+    FROM lbl_n n LEFT JOIN lbl_o o ON o.node = n.node
+),
+agg AS (
+    SELECT new_c AS community,
+           CAST(SUM(CASE WHEN old_c IS NOT NULL AND old_c <> new_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes_moved,
+           CAST(SUM(CASE WHEN old_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_nodes,
+           CAST(COUNT(DISTINCT old_c) AS BIGINT) AS merged_from
+    FROM joined GROUP BY 1
+)
+SELECT community, n_nodes_moved, n_new_nodes, merged_from
+FROM agg
+WHERE n_nodes_moved > 0 OR n_new_nodes > 0
+ORDER BY community
+""",
+)
+def q302_affected_community_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which communities CHANGED when the delta arrived — the cache-
+    invalidation audit that makes q301's incremental maintenance usable:
+    downstream per-community artifacts (recommendation lists, rollups)
+    only need rebuilding for communities this table names. Per changed
+    new-graph community: members whose label moved, members that are new
+    to the graph, and how many old communities collapsed into it
+    (``merged_from``). Unchanged communities are filtered out, so the
+    output IS the invalidation work-list.
+
+    Old labels come from CC on the pre-{cut} thresholded graph (support
+    recomputed on the old fact), new labels from CC on the full graph;
+    the oracle runs both recursive closures and diffs them identically.
+
+    Scale: two thresholded CC runs plus one node-keyed join; the output
+    is bounded by |changed communities|, which is what makes delta-
+    driven invalidation cheaper than rebuild-the-world.""".format(cut=DELTA_CUT)
+    full_edges = _edges(spark, sf_dir).filter(
+        F.col("sup") >= COMMUNITY_MIN_SUPPORT
+    )
+    cc_new = connected_components(full_edges, "part_a", "part_b")
+    cc_old = connected_components(_old_edges(spark, sf_dir), "part_a", "part_b")
+    joined = cc_new.select(
+        "node", F.col("component").alias("new_c")
+    ).join(
+        cc_old.select("node", F.col("component").alias("old_c")), "node", "left"
+    )
+    moved = (F.col("old_c").isNotNull() & (F.col("old_c") != F.col("new_c"))).cast(
+        "long"
+    )
+    return (
+        joined.groupBy(F.col("new_c").alias("community"))
+        .agg(
+            F.sum(moved).alias("n_nodes_moved"),
+            F.sum(F.col("old_c").isNull().cast("long")).alias("n_new_nodes"),
+            F.countDistinct("old_c").alias("merged_from"),
+        )
+        .filter((F.col("n_nodes_moved") > 0) | (F.col("n_new_nodes") > 0))
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304 — percolation curve: component structure vs support threshold.
+# ---------------------------------------------------------------------------
+_PERC_TS = (3, 4, 5, 6)
+
+
+def _perc_oracle() -> str:
+    blocks = []
+    selects = []
+    for t in _PERC_TS:
+        blocks.append(f"""bidir{t} AS (
+    SELECT part_a AS a, part_b AS b FROM pairs WHERE sup >= {t}
+    UNION ALL
+    SELECT part_b, part_a FROM pairs WHERE sup >= {t}
+),
+reach{t}(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir{t}) n
+    UNION
+    SELECT e.b, r.lbl FROM bidir{t} e JOIN reach{t} r ON e.a = r.node
+),
+sizes{t} AS (
+    SELECT lbl AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT node, MIN(lbl) AS lbl FROM reach{t} GROUP BY node) l
+    GROUP BY 1
+)""")
+        selects.append(f"""SELECT CAST({t} AS BIGINT) AS support_t,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       COALESCE(CAST(MAX(cnt) AS BIGINT), 0) AS max_component_size,
+       (SELECT COUNT(*) FROM u) - COALESCE(CAST(SUM(cnt) AS BIGINT), 0)
+         AS n_singletons
+FROM sizes{t}""")
+    return (
+        "WITH RECURSIVE " + _SQL_PAIRS + ",\n"
+        + f"e3 AS (SELECT part_a, part_b FROM pairs WHERE sup >= {_PERC_TS[0]}),\n"
+        + "u AS (SELECT DISTINCT node FROM (SELECT part_a AS node FROM e3 "
+        + "UNION ALL SELECT part_b FROM e3) t),\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY support_t"
+    )
+
+
+@query("q304_percolation_threshold_sweep", oracle=_perc_oracle())
+def q304_percolation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percolation curve that justifies COMMUNITY_MIN_SUPPORT: for
+    support thresholds {ts}, the component count, giant-component size
+    and number of stranded nodes (nodes of the threshold-{t0} universe
+    with no surviving edge). Reading the curve tells a planner where the
+    graph fractures — below the percolation point a single giant
+    component makes per-community processing meaningless; above it the
+    graph is all singletons. Threshold 2 is deliberately outside the
+    sweep: its giant component (1860 nodes at sf0.01) makes the oracle's
+    quadratic closure infeasible at sf0.1 — the same scale cliff the
+    threshold exists to avoid.
+
+    Spark runs four thresholded CC passes over ONE materialized pair
+    projection (the expensive MAX_BASKET-capped self-join runs once;
+    each pass filters it); the oracle runs four recursive closures.
+
+    Scale: each CC rides a monotonically smaller edge set; the curve's
+    cost is dominated by the shared projection, so sweeping thresholds
+    is cheap once the graph is built — which is why this audit is
+    WORTH running before committing to a threshold at 100 TB.""".format(
+        ts=_PERC_TS, t0=_PERC_TS[0]
+    )
+    pairs = (
+        _edges(spark, sf_dir)
+        .filter(F.col("sup") >= _PERC_TS[0])
+        .localCheckpoint(eager=True)
+    )
+    universe = (
+        pairs.select(F.col("part_a").alias("node"))
+        .unionByName(pairs.select(F.col("part_b").alias("node")))
+        .distinct()
+        .agg(F.count("*").alias("n_universe"))
+    )
+    out = None
+    for t in _PERC_TS:
+        et = pairs.filter(F.col("sup") >= t)
+        cc = connected_components(et, "part_a", "part_b")
+        sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+        stats = sizes.agg(
+            F.count("*").alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).alias("max_component_size"),
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("n_nodes_t"),
+        )
+        row = (
+            stats.crossJoin(F.broadcast(universe))
+            .select(
+                F.lit(t).cast("long").alias("support_t"),
+                F.col("n_components").cast("long").alias("n_components"),
+                F.col("max_component_size")
+                .cast("long")
+                .alias("max_component_size"),
+                (F.col("n_universe") - F.col("n_nodes_t"))
+                .cast("long")
+                .alias("n_singletons"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("support_t")
