@@ -1006,3 +1006,106 @@ def q219_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim", "n", "variance")
         .orderBy(F.col("variance").desc(), "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — mutual k-nearest-neighbor pairs (reciprocal top-k).
+# ---------------------------------------------------------------------------
+_MUTUAL_K = 5
+
+
+@query(
+    "q303_mutual_topk_pairs",
+    oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS src, c.vec_id AS dst, {_SQL_COS} AS cos_sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+topk AS (
+    SELECT src, dst, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst) AS rank
+    FROM scored
+    QUALIFY rank <= {_MUTUAL_K}
+)
+SELECT a.src AS vec_a, a.dst AS vec_b, a.cos_sim,
+       a.rank AS rank_ab, b.rank AS rank_ba
+FROM topk a
+JOIN topk b ON b.src = a.dst AND b.dst = a.src
+WHERE a.src < a.dst
+ORDER BY vec_a, vec_b
+""",
+)
+def q303_mutual_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-NN: pairs where EACH vector is in the other's cosine
+    top-{k} — the mutual-kNN graph whose edges are the standard seeds
+    for density-based clustering and near-dup verification (one-way
+    top-k is noisy near hubs; mutuality filters hub edges out). Output
+    carries both ranks, so the asymmetry of the relation stays visible.
+
+    Unlike q34 (a fixed 5-query set against the corpus), every vector is
+    a query here: corpus × corpus scoring, per-source top-k via window
+    rank with the deterministic tiebreak, then a self-join on the
+    reversed pair to keep mutual edges. cos_sim is the q34 fold —
+    bit-identical doubles in both engines.
+
+    Scale: brute-force corpus² scoring is the EXACTNESS baseline, viable
+    to ~10^5 vectors (broadcast one side, map-only score, one shuffle of
+    n·k survivors into the rank). At 100 TB the same mutuality test runs
+    over q35/q37's LSH/IVF candidate pairs instead — the reciprocal join
+    (this query's second half) is unchanged, only candidate generation
+    swaps, which is exactly how the operator is factored.""".format(k=_MUTUAL_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Stage each vector's norm ONCE (n rows) instead of re-folding the two
+    # self-dots inside every one of the n² pair rows — same doubles, 3×
+    # less HOF work (the q142 stage-don't-inline rule applied to joins).
+    # Repartition: the fixture is one file, and a broadcast join is
+    # map-only, so without this the whole n² scoring runs in ONE task.
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    corpus = normed.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        normed.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(corpus), F.col("dst") != F.col("src"))
+        .select(
+            "src",
+            "dst",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _MUTUAL_K
+    )
+    rev = topk.select(
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        topk.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cos_sim",
+            F.col("rank").alias("rank_ab"),
+            "rank_ba",
+        )
+        .orderBy("vec_a", "vec_b")
+    )
