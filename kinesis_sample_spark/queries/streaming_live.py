@@ -1172,3 +1172,294 @@ def q187_live_graceful_shutdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, last.schema).orderBy("user_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 family A — multi-stream LIVE fan-in. The live shelf above
+# covers windows/dedup/state/joins/restart for ONE stream; production
+# topologies union several. Two independent file-replayed streams (split
+# on event_id parity, written in different orders) stand in for two
+# sources; the laws gated are the fan-in ones: exactly-once per side,
+# cross-stream dedup state, schema-evolution union, and two-producer CDC.
+# ---------------------------------------------------------------------------
+def _two_parity_streams(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two independent event streams: even event_ids (ascending order)
+    and odd event_ids (descending — different arrival order), each its
+    own directory + readStream, one file per micro-batch."""
+    out = scratch_dir(prefix="kss_live2_")
+    ev = load_table(spark, sf_dir, "events")
+    even_dir = os.path.join(out, "even")
+    odd_dir = os.path.join(out, "odd")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartition(2)
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(even_dir)
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition(2)
+        .sortWithinPartitions(F.col("event_id").desc())
+        .write.mode("overwrite")
+        .parquet(odd_dir)
+    )
+    return (
+        replay_events_stream(spark, even_dir),
+        replay_events_stream(spark, odd_dir),
+    )
+
+
+@query(
+    "q290_live_union_two_streams",
+    oracle="""
+SELECT date_trunc('hour', ts) AS w_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY 1, 2
+ORDER BY w_start, event_type
+""",
+)
+def q290_live_union_two_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE two-stream fan-in: the even-id and odd-id halves of the
+    events fixture replay as two INDEPENDENT file streams (different
+    directories, different file order), each watermarked at its own
+    source, then ``unionByName`` → tumbling 1 h aggregate. The law: a
+    union of streams is processed exactly-once per side and the final
+    table equals the batch aggregate over the union — the oracle is
+    plain SQL over ALL events. min/max event_id per group make per-side
+    presence visible (even-only or odd-only ingestion cannot fake the
+    parity-spanning min/max + count at once).
+
+    Watermarks are applied per-source BEFORE the union: Spark advances a
+    unioned stream's watermark as the MIN over sources, which is the
+    semantics a fan-in needs (one slow source must hold back eviction
+    for all). Sum rides DECIMAL(12,2) → double via the VARCHAR path.
+
+    Scale: union is narrow (no shuffle); aggregate state is keyed by
+    (window, type) exactly as single-stream — fan-in adds sources, not
+    state. Kinesis parallel: one consumer over N streams (Cons:70-84
+    handles exactly one)."""
+    s_even, s_odd = _two_parity_streams(spark, sf_dir)
+    unioned = s_even.withWatermark("ts", "3650 days").unionByName(
+        s_odd.withWatermark("ts", "3650 days")
+    )
+    agg = (
+        unioned.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_event_id",
+            "max_event_id",
+        )
+    )
+    return _run(agg, "complete").orderBy("w_start", "event_type")
+
+
+@query(
+    "q291_live_union_dedup_across_streams",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_dedup
+FROM events
+GROUP BY 1
+ORDER BY event_type
+""",
+)
+def q291_live_union_dedup_across_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-stream dedup: stream 1 carries ALL events, stream 2
+    re-delivers every third event (the cross-topic redelivery a fan-in
+    actually sees), and ``dropDuplicatesWithinWatermark`` AFTER the
+    union collapses them — dedup state is keyed across sources, which is
+    the point: per-source dedup cannot catch cross-source replays. The
+    final count per event_type must equal the batch DISTINCT.
+
+    The failure mode this pins (found in the round-13 prototype): the
+    watermark must be applied per-source BEFORE the union. The unioned
+    watermark is the MIN of the sources', so late data on one stream
+    cannot evict the other's dedup state early; watermarking after the
+    union would tie eviction to whichever source the engine read last.
+
+    Scale: dedup state is bounded by the watermark horizon per key —
+    identical to single-stream q81; fan-in multiplies arrival paths,
+    not state."""
+    out = scratch_dir(prefix="kss_live2_")
+    ev = load_table(spark, sf_dir, "events")
+    all_dir = os.path.join(out, "all")
+    third_dir = os.path.join(out, "third")
+    ev.repartition(3).write.mode("overwrite").parquet(all_dir)
+    (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(third_dir)
+    )
+    s_all = replay_events_stream(spark, all_dir).withWatermark("ts", "3650 days")
+    s_third = replay_events_stream(spark, third_dir).withWatermark(
+        "ts", "3650 days"
+    )
+    dedup = (
+        s_all.unionByName(s_third)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    emitted = _run(dedup, "append")
+    return (
+        emitted.groupBy("event_type")
+        .agg(F.count("*").alias("n_dedup"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q292_live_union_heterogeneous_schema",
+    oracle="""
+WITH a AS (
+    SELECT 'props_stream' AS src, CAST(NULL AS DOUBLE) AS value, props
+    FROM events WHERE event_id % 2 = 1
+),
+b AS (
+    SELECT 'value_stream' AS src, value, CAST(NULL AS VARCHAR) AS props
+    FROM events WHERE event_id % 2 = 0
+),
+u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+SELECT src,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_value,
+       CAST(COUNT(props) AS BIGINT) AS n_props
+FROM u
+GROUP BY src
+ORDER BY src
+""",
+)
+def q292_live_union_heterogeneous_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution fan-in, LIVE: one stream carries ``value`` but
+    no ``props`` (a slim metrics topic), the other carries ``props`` but
+    no ``value`` (an enriched topic) — unioned with
+    ``unionByName(allowMissingColumns=True)``, which NULL-pads each
+    side's missing column, then a per-source null-profile aggregate.
+    The oracle mirrors the padding with DuckDB's UNION ALL BY NAME. The
+    batch twin is q179; this proves the same evolution contract holds
+    under MicroBatchExecution with two readStream schemas.
+
+    Scale: the union is narrow; the null-profile is the audit a fan-in
+    pipeline runs BEFORE trusting a merged topic at 100 TB — count(col)
+    per source over the padded frame is exactly the column-coverage
+    matrix."""
+    out = scratch_dir(prefix="kss_live2_")
+    ev = load_table(spark, sf_dir, "events")
+    vdir = os.path.join(out, "value_stream")
+    pdir = os.path.join(out, "props_stream")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .drop("props")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(vdir)
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .drop("value")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(pdir)
+    )
+    import pyspark.sql.types as T
+
+    v_schema = T.StructType([f for f in EVENTS_SCHEMA if f.name != "props"])
+    p_schema = T.StructType([f for f in EVENTS_SCHEMA if f.name != "value"])
+    s_value = (
+        spark.readStream.schema(v_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vdir)
+        .withColumn("src", F.lit("value_stream"))
+    )
+    s_props = (
+        spark.readStream.schema(p_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .withColumn("src", F.lit("props_stream"))
+    )
+    unioned = s_value.withWatermark("ts", "3650 days").unionByName(
+        s_props.withWatermark("ts", "3650 days"), allowMissingColumns=True
+    )
+    agg = unioned.groupBy("src").agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.count("props").alias("n_props"),
+    )
+    return _run(agg, "complete").orderBy("src")
+
+
+@query(
+    "q293_live_priority_merge_latest",
+    oracle="""
+SELECT user_id,
+       event_id AS last_event_id,
+       CAST(event_id % 2 AS BIGINT) AS last_src,
+       value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def q293_live_priority_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-producer CDC merge: the even- and odd-id streams both carry
+    updates for the SAME user_id key space (every user appears on both
+    sides); the union feeds one foreachBatch last-writer-wins upsert
+    keyed on user_id with event_id as the version. The final table state
+    must equal the batch argmax per user REGARDLESS of which producer's
+    micro-batch landed last — ``last_src`` (= last_event_id parity)
+    exposes which producer won each key, so a merge that favored one
+    source would break the hash row-by-row, not just in aggregate.
+
+    q112 gates the single-producer upsert; this gates the CONTENTION
+    case — two interleaved producers converging onto one table, the
+    standard dual-writer CDC topology (A13/A14 with N producers).
+
+    Scale: the upsert is one shuffle per micro-batch on the key; union
+    fan-in adds producers without changing the sink contract, because
+    the version column (not arrival order) decides every collision."""
+    from kinesis_sample_spark.operators.upsert import foreach_batch_upsert
+
+    out = scratch_dir(prefix="kss_live2_")
+    table_path = os.path.join(out, "merged_table")
+    s_even, s_odd = _two_parity_streams(spark, sf_dir)
+    unioned = s_even.unionByName(s_odd)
+    q = (
+        unioned.writeStream.foreachBatch(
+            foreach_batch_upsert(table_path, "user_id", "event_id")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(table_path)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            (F.col("event_id") % 2).alias("last_src"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
