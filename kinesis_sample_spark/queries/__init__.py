@@ -98,6 +98,22 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- never-green (mandatory)
+    "q290_live_union_two_streams",
+    "q291_live_union_dedup_across_streams",
+    "q292_live_union_heterogeneous_schema",
+    "q293_live_priority_merge_latest",
+    "q294_hll_merge_invariance",
+    "q295_countmin_merge_skew",
+    "q296_histogram_merge_commutativity",
+    "q297_sample_union_stability",
+    "q298_supplier_projection",
+    "q299_part_projection_density",
+    "q300_bipartite_degree_balance",
+    "q301_incremental_components",
+    "q302_affected_community_delta",
+    "q303_mutual_topk_pairs",
+    "q304_percolation_threshold_sweep",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -134,21 +150,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q148_content_defined_chunks",
     "q149_top_terms_per_source",
     "q150_triangle_count",
-    "q151_udtf_user_sessions",
-    "q152_prefix_filter_simjoin",
-    "q153_live_left_outer_join",
-    "q40_token_stats",
-    "q50_media_features",
-    "q58_array_ops",
-    "q59_string_extras",
-    "q99_ols_regression",
-    "q134_json_roundtrip_agg",
-    "q135_csv_roundtrip_agg",
-    "q136_orc_roundtrip_agg",
-    "q154_bm25_topk",
-    "q155_window_frame_gallery",
-    "q156_hof_gallery",
-    "q157_cogroup_reconcile",
 )
 
 
