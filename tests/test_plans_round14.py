@@ -1,0 +1,88 @@
+"""Plan-shape assertions for the round-14 batch: the scale guarantees the
+docstrings claim must be visible in the executed plan (same discipline as
+test_plans_round10/12; the global no-cartesian sweep in test_plans.py
+already covers every registered batch query)."""
+
+from __future__ import annotations
+
+from kinesis_sample_spark.plans import has_broadcast_join, has_partial_aggregate
+from kinesis_sample_spark.queries import load_registry
+
+REGISTRY = load_registry()
+SF = "/root/testdata/sf0.01"
+
+
+def _df(spark, name: str):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def _plan(spark, name: str) -> str:
+    return _df(spark, name)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q294_sketch_build_partial_agg(spark):
+    """Every layout's sketch build must map-side combine — the shuffle
+    carries fixed-KB sketch partials, never raw fact rows."""
+    assert has_partial_aggregate(_df(spark, "q294_hll_merge_invariance"))
+
+
+def test_q295_merged_sketch_broadcasts(spark):
+    """The finished 3×1024-cell sketch must BROADCAST to score the
+    top-10 candidates (the docstring's lookup claim), and the cell
+    builds must partial-aggregate."""
+    df = _df(spark, "q295_countmin_merge_skew")
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_q296_dim_broadcast_and_partial_agg(spark):
+    """Nation dim broadcasts into the customer scan; the per-(region,
+    nat, bin) cell build partial-aggregates. The fold itself must be an
+    expression over collected arrays — no extra join for the two fold
+    orders."""
+    df = _df(spark, "q296_histogram_merge_commutativity")
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+    assert _plan(spark, "q296_histogram_merge_commutativity").count("Join") <= 2
+
+
+def test_q297_map_only_filters(spark):
+    """Both sampling plans are map-side filters + bounded aggregates —
+    no shuffle of sampled rows, no nested loop."""
+    plan = _plan(spark, "q297_sample_union_stability")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(_df(spark, "q297_sample_union_stability"))
+
+
+def test_q298_projection_is_keyed_self_join(spark):
+    """Supplier pairing must ride the l_partkey equi-join (hash/SMJ) —
+    never a nested loop; degree joins are keyed too."""
+    plan = _plan(spark, "q298_supplier_projection")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q299_part_dim_broadcasts(spark):
+    """Both endpoint brand lookups must broadcast the part dim; the
+    pairing itself is the l_suppkey equi-join."""
+    df = _df(spark, "q299_part_projection_density")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in _plan(spark, "q299_part_projection_density")
+
+
+def test_q300_no_joins_at_all(spark):
+    """The two-sided degree audit is two aggregations and a union —
+    zero joins (the cheapest possible read of the bipartite shape)."""
+    assert "Join" not in _plan(spark, "q300_bipartite_degree_balance")
+
+
+def test_q303_scoring_is_broadcast_fanout(spark):
+    """Corpus² scoring must broadcast one side (map-only scoring stage);
+    the mutual join is an equi-join on the (src, dst) pair. The
+    BroadcastNestedLoopJoin IS the declared design for the != fan-out —
+    what must not appear is a CartesianProduct (unbounded × unbounded
+    with no broadcast)."""
+    plan = _plan(spark, "q303_mutual_topk_pairs")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

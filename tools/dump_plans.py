@@ -138,6 +138,16 @@ EXTRA = (
     # round-13 addition: the one-pass symmetric-moment aggregate (the
     # union-free assortativity rewrite)
     "q247_degree_assortativity",
+    # round-14 additions: sketch-merge algebra, bipartite projections,
+    # mutual kNN — the plan-guarded frontier of test_plans_round14.py
+    "q294_hll_merge_invariance",
+    "q295_countmin_merge_skew",
+    "q296_histogram_merge_commutativity",
+    "q297_sample_union_stability",
+    "q298_supplier_projection",
+    "q299_part_projection_density",
+    "q300_bipartite_degree_balance",
+    "q303_mutual_topk_pairs",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
