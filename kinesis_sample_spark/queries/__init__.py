@@ -193,6 +193,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.textcal",
     "kinesis_sample_spark.queries.opstats",
     "kinesis_sample_spark.queries.inference",
+    "kinesis_sample_spark.queries.frontier",
 )
 
 

@@ -352,3 +352,116 @@ def q226_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q308 — phrase-query consistency: positional index == boundary scan.
+# ---------------------------------------------------------------------------
+_PHRASE_TOP = 5
+
+
+@query(
+    "q308_phrase_index_consistency",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok
+    FROM documents, (SELECT unnest(range(1, 129)) AS i) idx
+    WHERE i <= len(string_split(text, ' '))
+),
+big AS (
+    SELECT doc_id, tok AS tok1,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2
+    FROM toks
+),
+pairs AS (SELECT doc_id, tok1, tok2 FROM big WHERE tok2 IS NOT NULL),
+top AS (
+    SELECT tok1, tok2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_pairs DESC, tok1, tok2 LIMIT {_PHRASE_TOP}
+),
+via_index AS (
+    SELECT t.tok1, t.tok2, CAST(COUNT(DISTINCT p.doc_id) AS BIGINT)
+             AS n_docs_index
+    FROM top t JOIN pairs p ON p.tok1 = t.tok1 AND p.tok2 = t.tok2
+    GROUP BY 1, 2
+),
+via_scan AS (
+    SELECT t.tok1, t.tok2, CAST(COUNT(*) AS BIGINT) AS n_docs_scan
+    FROM top t JOIN documents d
+      ON regexp_matches(d.text, '(^| )' || t.tok1 || ' ' || t.tok2 || '( |$)')
+    GROUP BY 1, 2
+)
+SELECT t.tok1, t.tok2, t.n_pairs, i.n_docs_index, s.n_docs_scan,
+       i.n_docs_index = s.n_docs_scan AS index_matches_scan
+FROM top t
+JOIN via_index i ON i.tok1 = t.tok1 AND i.tok2 = t.tok2
+JOIN via_scan s ON s.tok1 = t.tok1 AND s.tok2 = t.tok2
+ORDER BY t.n_pairs DESC, t.tok1, t.tok2
+""",
+)
+def q308_phrase_index_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An index is only as good as its agreement with the scan it
+    replaces. For the corpus's top-{k} bigrams, phrase-match documents
+    two independent ways — (1) the POSITIONAL-INDEX plan: adjacent-
+    position token pairs (the q204 posting list plus positions), an
+    equi-join on the phrase terms, COUNT(DISTINCT doc); (2) the SCAN
+    plan: a word-boundary regex over the raw text — and emit both counts
+    plus their equality. The flag is COMPUTED in both engines (not
+    pinned), so the law is checked twice independently AND cross-engine
+    hash-gated; any tokenizer/boundary drift between index build and
+    query rewrite breaks it loudly.
+
+    This is the audit that guards an index-accelerated query rewrite at
+    100 TB: the optimizer may only substitute the index plan if the two
+    are provably interchangeable on live data.
+
+    Scale: positions come from one window LEAD over the exploded corpus
+    (a single doc-keyed shuffle, no position self-join); the index probe
+    is an equi-join against the {k}-row phrase set (broadcast); the
+    regex scan — the expensive plan the index replaces — touches each
+    document once per phrase.""".format(k=_PHRASE_TOP)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", F.col("tok").alias("tok1"), F.lead("tok").over(w).alias("tok2"))
+        .filter(F.col("tok2").isNotNull())
+    )
+    top = (
+        pairs.groupBy("tok1", "tok2")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "tok1", "tok2")
+        .limit(_PHRASE_TOP)
+    )
+    via_index = (
+        pairs.join(F.broadcast(top.select("tok1", "tok2")), ["tok1", "tok2"])
+        .groupBy("tok1", "tok2")
+        .agg(F.countDistinct("doc_id").alias("n_docs_index"))
+    )
+    pattern = F.concat(
+        F.lit("(^| )"), F.col("tok1"), F.lit(" "), F.col("tok2"), F.lit("( |$)")
+    )
+    via_scan = (
+        docs.select("text")
+        .join(F.broadcast(top.select("tok1", "tok2")))
+        .filter(F.expr("text rlike concat('(^| )', tok1, ' ', tok2, '( |$)')"))
+        .groupBy("tok1", "tok2")
+        .agg(F.count("*").alias("n_docs_scan"))
+    )
+    return (
+        top.join(via_index, ["tok1", "tok2"])
+        .join(via_scan, ["tok1", "tok2"])
+        .select(
+            "tok1",
+            "tok2",
+            "n_pairs",
+            "n_docs_index",
+            "n_docs_scan",
+            (F.col("n_docs_index") == F.col("n_docs_scan")).alias(
+                "index_matches_scan"
+            ),
+        )
+        .orderBy(F.desc("n_pairs"), "tok1", "tok2")
+    )

@@ -34,6 +34,7 @@ has no selection surface; SURVEY §2 training-data-pipeline mandate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
@@ -112,4 +113,74 @@ def q123_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("score_q", F.expr(f"(t_sum * {_RATIO_SCALE}) div p_sum"))
         .orderBy(F.desc("score_q"), "doc_id")
         .limit(_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q307 — deterministic weighted sampling (Efraimidis–Spirakis).
+# ---------------------------------------------------------------------------
+_WS_M = 1_000_000
+_WS_K = 20
+
+
+@query(
+    "q307_weighted_sample_es",
+    oracle=f"""
+WITH keyed AS (
+    SELECT source, doc_id, n_chars,
+           CAST(CAST(round(ln(CAST(({md5_long_sql("'ws:' || CAST(doc_id AS VARCHAR)")} % {_WS_M}) + 1 AS DOUBLE)
+                              / CAST({_WS_M} + 1 AS DOUBLE)), 6)
+                     AS DECIMAL(18,6)) AS VARCHAR)::DOUBLE
+             / CAST(n_chars AS DOUBLE) AS sample_key
+    FROM documents
+)
+SELECT source, doc_id, n_chars, sample_key, rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY sample_key DESC, doc_id) AS rank
+    FROM keyed
+) t
+WHERE rank <= {_WS_K}
+ORDER BY source, rank
+""",
+)
+def q307_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, the Efraimidis–Spirakis
+    way: every document draws a deterministic uniform u from the md5
+    recipe and competes on key = ln(u)/w (equivalent to the classic
+    u^(1/w) — monotone transform), and the top-k keys per source ARE a
+    weighted sample without replacement: inclusion probability is
+    proportional to weight (n_chars here — longer documents are
+    likelier picks, the usual token-budget-aware selection).
+
+    Why this and not ``df.sample``: the key is a pure per-row function
+    of (doc_id, weight), so the drawn sample is identical across
+    engines, partitionings, retries and shards — q54's reproducibility
+    argument extended from uniform to WEIGHTED draws, and the ES
+    construction is what makes per-shard top-k mergeable: top-k of a
+    union is the top-k of per-shard top-ks (the distributed-selection
+    property; take the per-partition top-k, merge, re-take).
+
+    ln is the one transcendental: quantized round(·,6) → DECIMAL →
+    correctly-rounded double (the SCALING.md rule), then one division by
+    the exact weight — bit-identical keys in both engines.
+
+    Scale: map-side key computation, one (source, key) top-k — no
+    shuffle wider than k rows per source after the window's partial
+    rank pushdown; no seed coordination across 1000 executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (md5_long(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) % _WS_M)
+        + 1
+    ).cast("double") / F.lit(_WS_M + 1).cast("double")
+    key = (
+        F.round(F.log(u), 6).cast("decimal(18,6)").cast("double")
+        / F.col("n_chars").cast("double")
+    )
+    keyed = docs.select("source", "doc_id", "n_chars", key.alias("sample_key"))
+    w = W.partitionBy("source").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _WS_K)
+        .orderBy("source", "rank")
     )
