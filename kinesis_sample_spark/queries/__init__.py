@@ -114,6 +114,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q302_affected_community_delta",
     "q303_mutual_topk_pairs",
     "q304_percolation_threshold_sweep",
+    "q305_pareto_skyline_parts",
+    "q306_supplier_skyline_3d",
+    "q307_weighted_sample_es",
+    "q308_phrase_index_consistency",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -146,10 +150,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q144_bpe_pair_counts",
     "q145_covariance_moments",
     "q146_interval_overlap_join",
-    "q147_join_key_skew_audit",
-    "q148_content_defined_chunks",
-    "q149_top_terms_per_source",
-    "q150_triangle_count",
 )
 
 

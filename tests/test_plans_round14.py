@@ -86,3 +86,39 @@ def test_q303_scoring_is_broadcast_fanout(spark):
     plan = _plan(spark, "q303_mutual_topk_pairs")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q305_skyline_no_self_join(spark):
+    """The 2-D skyline must be window algebra: the only join is the
+    per-(brand, price-level) scalars back onto part rows — the NOT-EXISTS
+    self-join the oracle runs must NOT appear (no nested loop, no
+    cartesian, at most the one equi-join)."""
+    plan = _plan(spark, "q305_pareto_skyline_parts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q306_skyline_partial_prune(spark):
+    """The 3-D skyline must build metrics with a partial aggregate and
+    contain the two-level mapInPandas (local skyline + merge) — visible
+    as MapInPandas operators — with no join at all."""
+    df = REGISTRY["q306_supplier_skyline_3d"].fn(spark, SF)
+    plan = _plan(spark, "q306_supplier_skyline_3d")
+    assert has_partial_aggregate(df)
+    assert plan.count("MapInPandas") == 2
+    assert "Join" not in plan
+
+
+def test_q307_weighted_sample_map_side_key(spark):
+    """ES sampling must be a map-side key computation + one window —
+    no join anywhere (the no-seed-coordination claim)."""
+    assert "Join" not in _plan(spark, "q307_weighted_sample_es")
+
+
+def test_q308_phrase_probe_broadcasts(spark):
+    """Both the index probe and the scan probe must broadcast the 5-row
+    phrase set; the corpus is never shuffled for the probes themselves
+    (the LEAD window over (doc, pos) is the one corpus shuffle)."""
+    df = REGISTRY["q308_phrase_index_consistency"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in _plan(spark, "q308_phrase_index_consistency")

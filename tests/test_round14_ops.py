@@ -441,3 +441,117 @@ def test_q303_mutual_topk_third_impl(spark):
         assert r.cos_sim == pytest.approx(
             cos[idx[r.vec_a], idx[r.vec_b]], rel=1e-12
         )
+
+
+# ---------------------------------------------------------------------------
+# second batch — skylines, weighted sampling, phrase consistency
+# ---------------------------------------------------------------------------
+def test_q305_skyline_third_impl(spark):
+    part = _pd("part")
+    part["price_c"] = (
+        part.p_retailprice.map(lambda v: int(_dec2(v) * 100))
+    )
+    exp = set()
+    for brand, g in part.groupby("p_brand"):
+        pts = list(zip(g.p_partkey, g.price_c, g.p_size))
+        for k, p, s in pts:
+            dominated = any(
+                p2 <= p and s2 >= s and (p2 < p or s2 > s)
+                for _, p2, s2 in pts
+            )
+            if not dominated:
+                exp.add((brand, int(k), int(p), int(s)))
+    rows = _run(spark, "q305_pareto_skyline_parts")
+    assert {(r.brand, r.p_partkey, r.price_c, r.p_size) for r in rows} == exp
+
+
+def test_q306_skyline3d_third_impl(spark):
+    li = _pd("lineitem")
+    epoch = pd.Timestamp("1970-01-01")
+    metrics = {}
+    for s, g in li.groupby("l_suppkey"):
+        rev = sum(
+            (_dec2(p) * (Decimal(1) - _dec2(d)) for p, d in zip(g.l_extendedprice, g.l_discount)),
+            Decimal(0),
+        )
+        metrics[int(s)] = (
+            int(rev * 10000),
+            g.l_partkey.nunique(),
+            (g.l_shipdate.min() - epoch).days,
+        )
+    exp = set()
+    items = list(metrics.items())
+    for k, (r, n, d) in items:
+        dominated = any(
+            r2 >= r and n2 >= n and d2 <= d and (r2 > r or n2 > n or d2 < d or k2 < k)
+            for k2, (r2, n2, d2) in items
+            if k2 != k
+        )
+        if not dominated:
+            exp.add((k, r, n, d))
+    rows = _run(spark, "q306_supplier_skyline_3d")
+    assert {(r.l_suppkey, r.rev_u, r.n_parts, r.first_day) for r in rows} == exp
+
+
+def test_q307_weighted_sample_third_impl(spark):
+    docs = _pd("documents")
+    keyed = []
+    for r in docs.itertuples():
+        h = _md5_long(f"ws:{int(r.doc_id)}") % 1_000_000
+        u = (h + 1) / 1_000_001
+        t = float(
+            Decimal(repr(round(math.log(u), 6))).quantize(Decimal("1e-6"))
+        )
+        keyed.append((r.source, int(r.doc_id), int(r.n_chars), t / r.n_chars))
+    exp = {}
+    for src in {k[0] for k in keyed}:
+        grp = sorted(
+            (k for k in keyed if k[0] == src), key=lambda k: (-k[3], k[1])
+        )[:20]
+        exp[src] = [(k[1], k[2]) for k in grp]
+    rows = _run(spark, "q307_weighted_sample_es")
+    got = defaultdict(list)
+    for r in rows:
+        got[r.source].append((r.doc_id, r.n_chars))
+        # inclusion leans to heavier docs by construction; the key itself
+        # must match the quantized-ln recipe exactly
+        h = _md5_long(f"ws:{r.doc_id}") % 1_000_000
+        t = float(
+            Decimal(repr(round(math.log((h + 1) / 1_000_001), 6))).quantize(
+                Decimal("1e-6")
+            )
+        )
+        assert r.sample_key == t / r.n_chars
+    assert dict(got) == exp
+
+
+def test_q307_weighted_inclusion_bias(spark):
+    """Sanity on the semantics: the weighted sample must skew heavier
+    than a uniform draw — its mean n_chars exceeds the corpus mean."""
+    docs = _pd("documents")
+    rows = _run(spark, "q307_weighted_sample_es")
+    assert np.mean([r.n_chars for r in rows]) > docs.n_chars.mean()
+
+
+def test_q308_phrase_consistency_third_impl(spark):
+    import re
+
+    docs = _pd("documents")
+    pair_count = Counter()
+    docs_with = defaultdict(set)
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            pair_count[(a, b)] += 1
+            docs_with[(a, b)].add(int(r.doc_id))
+    top = sorted(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    rows = _run(spark, "q308_phrase_index_consistency")
+    assert [(r.tok1, r.tok2, r.n_pairs) for r in rows] == [
+        (a, b, n) for (a, b), n in top
+    ]
+    for r in rows:
+        n_idx = len(docs_with[(r.tok1, r.tok2)])
+        pat = re.compile(f"(^| ){re.escape(r.tok1)} {re.escape(r.tok2)}( |$)")
+        n_scan = sum(bool(pat.search(t)) for t in docs.text)
+        assert (r.n_docs_index, r.n_docs_scan) == (n_idx, n_scan)
+        assert r.index_matches_scan == (n_idx == n_scan)

@@ -148,6 +148,10 @@ EXTRA = (
     "q299_part_projection_density",
     "q300_bipartite_degree_balance",
     "q303_mutual_topk_pairs",
+    "q305_pareto_skyline_parts",
+    "q306_supplier_skyline_3d",
+    "q307_weighted_sample_es",
+    "q308_phrase_index_consistency",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
