@@ -118,6 +118,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q306_supplier_skyline_3d",
     "q307_weighted_sample_es",
     "q308_phrase_index_consistency",
+    "q309_zorder_locality_audit",
+    "q310_grid_density_clusters",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -148,8 +150,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q142_int8_quantization",
     "q143_snapshot_diff",
     "q144_bpe_pair_counts",
-    "q145_covariance_moments",
-    "q146_interval_overlap_join",
 )
 
 

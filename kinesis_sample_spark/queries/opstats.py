@@ -924,3 +924,100 @@ def q282_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(z).cast("double").alias("zscore"),
         F.when(F.abs(z) > 3, 1).otherwise(0).alias("out_of_control"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# q309 — z-order locality audit (round 14).
+# ---------------------------------------------------------------------------
+_Z_BITS = 8  # 256 levels per dimension, 16-bit z-value
+
+
+def _z_sql(d: str, c: str, shl, shr) -> str:
+    """Bit-interleave two 8-bit bucket expressions into a 16-bit z-value.
+    ``shl``/``shr`` render shifts per engine (Spark: shiftleft/shiftright
+    functions; DuckDB: << / >> operators) over identical integer math."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(shl(f"({shr(d, b)} & 1)", 2 * b + 1))
+        terms.append(shl(f"({shr(c, b)} & 1)", 2 * b))
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_sql(dialect: str) -> str:
+    if dialect == "spark":
+        shl = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+        shr = lambda e, n: f"shiftright({e}, {n})"  # noqa: E731
+        idiv = "DIV"
+        days = "datediff(DAY, DATE '1970-01-01', o_orderdate)"
+    else:
+        shl = lambda e, n: f"(({e}) << {n})"  # noqa: E731
+        shr = lambda e, n: f"(({e}) >> {n})"  # noqa: E731
+        idiv = "//"
+        days = "datediff('day', DATE '1970-01-01', o_orderdate)"
+    z = _z_sql("d8", "c8", shl, shr)
+    return f"""
+WITH bounds AS (
+    SELECT CAST(MIN({days}) AS BIGINT) AS mind,
+           CAST(MAX({days}) AS BIGINT) AS maxd,
+           CAST(MAX(o_custkey) AS BIGINT) AS maxc
+    FROM orders
+),
+bucketed AS (
+    SELECT ((CAST({days} AS BIGINT) - b.mind)
+              * 256) {idiv} (b.maxd - b.mind + 1) AS d8,
+           (CAST(o_custkey AS BIGINT) * 256) {idiv} (b.maxc + 1) AS c8
+    FROM orders, bounds b
+),
+zed AS (
+    SELECT d8, c8, {z} AS z FROM bucketed
+),
+z_spans AS (
+    SELECT {shr('z', 10)} AS bucket,
+           MAX(d8) - MIN(d8) AS d_span, MAX(c8) - MIN(c8) AS c_span
+    FROM zed GROUP BY 1
+),
+d_spans AS (
+    SELECT {shr('d8', 2)} AS bucket,
+           MAX(d8) - MIN(d8) AS d_span, MAX(c8) - MIN(c8) AS c_span
+    FROM zed GROUP BY 1
+)
+SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(sd AS BIGINT) / CAST(n_buckets AS BIGINT) AS avg_d_span,
+       CAST(sc AS BIGINT) / CAST(n_buckets AS BIGINT) AS avg_c_span
+FROM (
+    SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+           SUM(d_span) AS sd, SUM(c_span) AS sc FROM z_spans
+    UNION ALL
+    SELECT 'date_range', COUNT(*), SUM(d_span), SUM(c_span) FROM d_spans
+) t
+ORDER BY layout
+"""
+
+
+@query("q309_zorder_locality_audit", oracle=_zorder_sql("duckdb"))
+def q309_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement behind a layout decision every 100 TB table faces:
+    does z-order (Morton) clustering on (order date, customer) beat a
+    plain date-range sort for two-dimensional pruning? Orders map to an
+    exact integer grid (256 levels per dimension via integer-DIV range
+    bucketing), the 16-bit z-value interleaves the bits, and both
+    candidate layouts are bucketed (top-6 z-bits vs top-6 date bits —
+    64 buckets each). Per bucket the audit reads the d- and c-span a
+    min/max-pruned scan would carry; the output is each layout's average
+    span per dimension — z-order shows BOTH spans bounded (~2^5 each),
+    the date sort shows a full 255 customer span. That pair of numbers
+    IS the file-skipping story: a predicate on either dimension prunes
+    z-ordered files, but only date predicates prune the date sort.
+
+    Everything is integer arithmetic (DIV bucketing, bit interleave via
+    shift/mask, span = max - min, average = one BIGINT division), so the
+    audit is bit-identical across engines; shifts render per dialect,
+    the math is one shared template.
+
+    Scale: two aggregations over a map-side-computed z-value — the audit
+    costs two bounded groupBys regardless of table size, which is why
+    it should run BEFORE rewriting petabytes into either layout."""
+    from kinesis_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_zorder_sql("spark"))

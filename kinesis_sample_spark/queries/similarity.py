@@ -1109,3 +1109,148 @@ def q303_mutual_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q310 — grid-density clustering over embedding dims (DBSCAN-style).
+# ---------------------------------------------------------------------------
+_GRID = 8
+_MINPTS = 8
+
+
+@query(
+    "q310_grid_density_clusters",
+    oracle=f"""
+WITH RECURSIVE pts AS (
+    SELECT CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+    FROM embeddings
+),
+bounds AS (
+    SELECT MIN(x) AS mnx, (MAX(x) - MIN(x)) / {_GRID}.0 AS wx,
+           MIN(y) AS mny, (MAX(y) - MIN(y)) / {_GRID}.0 AS wy
+    FROM pts
+),
+cells AS (
+    SELECT CAST(CASE WHEN b.wx = 0 THEN 0
+                     ELSE LEAST(FLOOR((x - b.mnx) / b.wx), {_GRID - 1}) END
+                AS BIGINT) AS cx,
+           CAST(CASE WHEN b.wy = 0 THEN 0
+                     ELSE LEAST(FLOOR((y - b.mny) / b.wy), {_GRID - 1}) END
+                AS BIGINT) AS cy
+    FROM pts, bounds b
+),
+dense AS (
+    SELECT cx, cy, cx * {_GRID} + cy AS cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cells GROUP BY 1, 2
+    HAVING COUNT(*) >= {_MINPTS}
+),
+edges AS (
+    SELECT a.cell_id AS ca, b.cell_id AS cb
+    FROM dense a JOIN dense b
+      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+     AND a.cell_id < b.cell_id
+),
+bidir AS (
+    SELECT ca AS a, cb AS b FROM edges
+    UNION ALL SELECT cb, ca FROM edges
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM bidir) n
+    UNION
+    SELECT e.b, r.lbl FROM bidir e JOIN reach r ON e.a = r.node
+),
+lbl AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+labeled AS (
+    SELECT d.*, COALESCE(l.cluster, d.cell_id) AS cluster
+    FROM dense d LEFT JOIN lbl l ON l.node = d.cell_id
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_points,
+       CAST(MIN(cx) AS BIGINT) AS min_cx, CAST(MAX(cx) AS BIGINT) AS max_cx,
+       CAST(MIN(cy) AS BIGINT) AS min_cy, CAST(MAX(cy) AS BIGINT) AS max_cy
+FROM labeled
+GROUP BY cluster
+ORDER BY cluster
+""",
+)
+def q310_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering the distributable way (the GriDBSCAN /
+    cell-based DBSCAN family): embed points onto a fixed 8×8 grid
+    over two embedding dimensions (global min/max pass → exact double
+    bin math, q159's recipe), keep cells with >= 8 points (the density
+    threshold), and connect 8-adjacent dense cells into clusters with
+    the engine's CC operator. k-means (q38) needs k up front and
+    struggles with non-convex shapes; grid-density discovers cluster
+    COUNT and shape, and its cost is bounded by the GRID, not the corpus
+    — the property that makes density clustering feasible at 100 TB
+    (cell counting is one map-side-combined aggregate; the adjacency
+    graph has at most 64 cell nodes regardless of data size).
+
+    Isolated dense cells are their own single-cell cluster (the
+    COALESCE over CC labels — CC only sees edged nodes); the oracle runs
+    the same pipeline with a recursive-CTE closure over the same
+    bounded cell graph.
+
+    Output per cluster: cell count, point count, and the grid bounding
+    box a downstream ANN search would use as its candidate region."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from kinesis_sample_spark.operators.components import connected_components
+
+    pts = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    bounds = pts.agg(
+        F.min("x").alias("mnx"),
+        ((F.max("x") - F.min("x")) / F.lit(float(_GRID))).alias("wx"),
+        F.min("y").alias("mny"),
+        ((F.max("y") - F.min("y")) / F.lit(float(_GRID))).alias("wy"),
+    )
+
+    def _cell(v, mn, w):
+        return (
+            F.when(F.col(w) == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col(v) - F.col(mn)) / F.col(w)),
+                    F.lit(_GRID - 1),
+                )
+            )
+            .cast("bigint")
+        )
+
+    cells = pts.crossJoin(F.broadcast(bounds)).select(
+        _cell("x", "mnx", "wx").alias("cx"), _cell("y", "mny", "wy").alias("cy")
+    )
+    dense = (
+        cells.groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _MINPTS)
+        .withColumn("cell_id", F.col("cx") * _GRID + F.col("cy"))
+        .localCheckpoint(eager=True)  # feeds the self-join AND the CC loop
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.cell_id") < F.col("b.cell_id")),
+    ).select(F.col("a.cell_id").alias("ca"), F.col("b.cell_id").alias("cb"))
+    cc = connected_components(edges, "ca", "cb")
+    labeled = dense.join(
+        cc.select(F.col("node").alias("cell_id"), "component"), "cell_id", "left"
+    ).withColumn("cluster", F.coalesce("component", F.col("cell_id")))
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n").alias("n_points"),
+            F.min("cx").alias("min_cx"),
+            F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"),
+            F.max("cy").alias("max_cy"),
+        )
+        .orderBy("cluster")
+    )

@@ -122,3 +122,20 @@ def test_q308_phrase_probe_broadcasts(spark):
     df = REGISTRY["q308_phrase_index_consistency"].fn(spark, SF)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in _plan(spark, "q308_phrase_index_consistency")
+
+
+def test_q309_zorder_two_bounded_aggs(spark):
+    """The audit must be two bounded aggregations over a map-side z
+    computation — no nested loop; the bounds scalar broadcasts."""
+    plan = _plan(spark, "q309_zorder_locality_audit")
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(REGISTRY["q309_zorder_locality_audit"].fn(spark, SF))
+
+
+def test_q310_grid_cell_count_partial_agg(spark):
+    """Cell counting must map-side combine (the shuffle carries at most
+    64 cell partials per task, never points), and the adjacency self-join
+    runs on the ≤64-row dense relation — tiny, but must not be a
+    cartesian over the points."""
+    df = REGISTRY["q310_grid_density_clusters"].fn(spark, SF)
+    assert has_partial_aggregate(df)

@@ -555,3 +555,76 @@ def test_q308_phrase_consistency_third_impl(spark):
         n_scan = sum(bool(pat.search(t)) for t in docs.text)
         assert (r.n_docs_index, r.n_docs_scan) == (n_idx, n_scan)
         assert r.index_matches_scan == (n_idx == n_scan)
+
+
+# ---------------------------------------------------------------------------
+# third batch — z-order locality, grid-density clustering
+# ---------------------------------------------------------------------------
+def test_q309_zorder_third_impl(spark):
+    orders = _pd("orders")
+    epoch = pd.Timestamp("1970-01-01")
+    days = (orders.o_orderdate - epoch).dt.days.to_numpy()
+    cust = orders.o_custkey.to_numpy()
+    mind, maxd, maxc = days.min(), days.max(), cust.max()
+    d8 = (days - mind) * 256 // (maxd - mind + 1)
+    c8 = cust * 256 // (maxc + 1)
+    z = np.zeros(len(d8), dtype=np.int64)
+    for b in range(8):
+        z |= ((d8 >> b) & 1) << (2 * b + 1)
+        z |= ((c8 >> b) & 1) << (2 * b)
+    exp = {}
+    for layout, bucket in (("zorder", z >> 10), ("date_range", d8 >> 2)):
+        df = pd.DataFrame({"bucket": bucket, "d8": d8, "c8": c8})
+        spans = df.groupby("bucket").agg(
+            ds=("d8", lambda s: s.max() - s.min()),
+            cs=("c8", lambda s: s.max() - s.min()),
+        )
+        exp[layout] = (
+            len(spans),
+            int(spans.ds.sum()) / len(spans),
+            int(spans.cs.sum()) / len(spans),
+        )
+    rows = _run(spark, "q309_zorder_locality_audit")
+    assert {r.layout: (r.n_buckets, r.avg_d_span, r.avg_c_span) for r in rows} == exp
+    got = {r.layout: r for r in rows}
+    # the story the audit exists to tell: z-order bounds BOTH spans,
+    # the date sort leaves the customer span unbounded
+    assert got["zorder"].avg_c_span < got["date_range"].avg_c_span / 2
+
+
+def test_q310_grid_density_third_impl(spark):
+    emb = _pd("embeddings")
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    x, y = mat[:, 0], mat[:, 1]
+    wx, wy = (x.max() - x.min()) / 8.0, (y.max() - y.min()) / 8.0
+    cx = np.minimum(np.floor((x - x.min()) / wx), 7).astype(int)
+    cy = np.minimum(np.floor((y - y.min()) / wy), 7).astype(int)
+    counts = Counter(zip(cx, cy))
+    dense = {c: n for c, n in counts.items() if n >= 8}
+    edges = [
+        (a[0] * 8 + a[1], b[0] * 8 + b[1])
+        for a in dense
+        for b in dense
+        if a < b and abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
+    ]
+    lbl = _uf_components(edges)
+    clusters = defaultdict(list)
+    for (ccx, ccy), n in dense.items():
+        cid = ccx * 8 + ccy
+        clusters[lbl.get(cid, cid)].append((ccx, ccy, n))
+    exp = {
+        cl: (
+            len(cells),
+            sum(n for _, _, n in cells),
+            min(c[0] for c in cells),
+            max(c[0] for c in cells),
+            min(c[1] for c in cells),
+            max(c[1] for c in cells),
+        )
+        for cl, cells in clusters.items()
+    }
+    rows = _run(spark, "q310_grid_density_clusters")
+    assert {
+        r.cluster: (r.n_cells, r.n_points, r.min_cx, r.max_cx, r.min_cy, r.max_cy)
+        for r in rows
+    } == exp

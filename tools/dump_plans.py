@@ -152,6 +152,8 @@ EXTRA = (
     "q306_supplier_skyline_3d",
     "q307_weighted_sample_es",
     "q308_phrase_index_consistency",
+    "q309_zorder_locality_audit",
+    "q310_grid_density_clusters",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
