@@ -57,12 +57,20 @@ def main() -> None:
         # pinned (r10's q152 47 s mid-sweep outlier). Rationale lives on
         # the shared helper, session.release_checkpoints.
         release_checkpoints(spark)
+        # r13 VERDICT item 8: q241 was the one query with a >3× mid-sweep
+        # vs solo gap. Record the persistent-RDD block count entering each
+        # query so a recurrence is diagnosable from the artifact alone: a
+        # nonzero count here means release_checkpoints missed something;
+        # zero means the gap is JVM-state (GC/JIT/code-cache), not blocks.
+        rdds_before = len(spark.sparkContext._jsc.getPersistentRDDs())
         t0 = time.perf_counter()
         try:
             registry[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             rec = {"query": n, "sec": round(time.perf_counter() - t0, 3), "sf_dir": sf_dir}
         except Exception as e:  # record, keep sweeping
             rec = {"query": n, "sec": None, "err": str(e)[:200], "sf_dir": sf_dir}
+        if rdds_before:
+            rec["rdd_blocks_before"] = rdds_before
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec, flush=True)

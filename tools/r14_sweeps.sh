@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-14 evidence sequence — strictly serial (SCALING.md contention rule)
+set -x
+cd /root/repo
+date
+python tools/correctness_report.py /root/testdata/sf0.1 > /tmp/r14_corr01.log 2>&1
+echo "CORR01_EXIT=$?"
+date
+SPARK_GRAFT_CPUS=7 python tools/correctness_report.py /root/testdata/sf0.1 > /tmp/r14_alt7.log 2>&1
+echo "ALT7_EXIT=$?"
+date
+python tools/latency_sweep.py /root/testdata/sf0.1 /tmp/r14_latency.jsonl > /tmp/r14_lat.log 2>&1
+echo "LAT_EXIT=$?"
+date
+python bench.py > /tmp/r14_bench.log 2>&1
+echo "BENCH_EXIT=$?"
+date
+echo ALL_DONE
