@@ -49,37 +49,25 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
 # round, so iteration order IS the verification budget. After
-# CORRECTNESS_r11 (50/50 green on the inherited window), q206-q240
-# settled and the registry reached 143 settled / 0 never-green / 0
-# eligible — the first fully-discretionary window of the project. This
-# round-12 window spends it on the largest batch so far:
-#   50 slots — never-green (mandatory), the whole window: the 49
-#              round-12 additions in seven modules — graph_metrics (q241 communities, q246
-#              degree distribution, q247 assortativity), temporal
-#              (q242 session gaps, q243 as-of spread, q250 cohort LTV,
-#              q251 backlog, q253 point-in-time, q256 peaks, q258
-#              EWMA, q260 autocorr, q261 inter-arrival, q272 revenue
-#              spread), robuststats (q244 histogram merge, q252
-#              Theil-Sen, q255 Markov stationary, q262 rank-sum, q271
-#              Spearman), bizaudit (q254 FD audit, q265 shift-share,
-#              q266 double billing, q267 band migration, q268 key
-#              density, q269 MoM contribution, q270 largest-remainder),
-#              textcal (q245 LCP near-dup, q248 Zipf, q249 minhash
-#              calibration, q257 cosine distribution, q259 agreement,
-#              q263 burstiness, q264 shingle duplication), opstats
-#              (q273 runs test, q274 Kendall tau, q275 ABC-XYZ, q276
-#              Bowley/Moors, q277 two-proportion z, q278 demand
-#              intermittency, q279 embedding norms, q280 source-lang
-#              JSD, q281 basket fan-out audit, q282 Shewhart chart),
-#              inference (q283 Hill tail index, q284 seasonal-strength
-#              ANOVA, q285 order-statistic median CI, q286 quantile
-#              drift bands, q287 rank-stability RBO, q288 dedup cluster
-#              census, q289 index of dispersion) — PLUS
-#              q36_embedding_neardup, re-entering as never-green via
-#              settlement.REVERIFY_SINCE: its settled greens predate
-#              the round-10 banded-LSH rewrite (ADVICE item 1).
-#    0 slots — backfills: displaced by the mandatory class (they are
-#              min-evidence once-greens; no settlement streak is lost).
+# CORRECTNESS_r13 (50/50 green on the frozen round-12 window), the whole
+# registry settled — 193 settled / 0 never-green / 0 eligible — so the
+# round-14 window opened as pure zero-cost backfills. This round-14
+# window spends those free slots on the new batch:
+#   21 slots — never-green (mandatory): the round-14 additions —
+#              live multi-stream fan-in q290-q293 (streaming_live),
+#              sketch-merge algebra under adversarial layouts q294-q297
+#              (sketches), bipartite part↔supplier projections
+#              q298-q300 (graph_metrics), incremental component
+#              maintenance q301-q302 + percolation sweep q304
+#              (graph_metrics, operators/components), mutual-kNN q303
+#              and grid-density clustering q310 (similarity), Pareto
+#              skylines q305-q306 (frontier), Efraimidis-Spirakis
+#              weighted sampling q307 (reweighting), phrase-index
+#              consistency q308 (retrieval), z-order locality audit
+#              q309 (opstats).
+#   29 slots — backfills: the least-evidenced settled/once-green
+#              queries (displacing a backfill costs nothing; every
+#              displaced name was a min-evidence once-green).
 #
 # test_registry_hygiene.py enforces the queue mechanically: any
 # latest-round failure must lead the window; never-green queries must
