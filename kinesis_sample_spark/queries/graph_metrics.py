@@ -936,3 +936,151 @@ def q304_percolation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFr
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("support_t")
+
+
+# ---------------------------------------------------------------------------
+# q311 — k-core decomposition by iterative peeling (round 14, batch 3).
+# ---------------------------------------------------------------------------
+_KCORE_KS = (2, 3)
+_KCORE_SUPPORT = 2  # support >= 3 leaves a near-empty graph; the k-core
+# structure lives in the support-2 band (measured: sf0.01 k=3 peels 11
+# rounds over 3108 -> 1970 edges; sf0.1's support-2 graph is tiny —
+# co-purchase support DILUTES with scale because the part space grows)
+_KCORE_UNROLL = 14  # >= measured max peel rounds (11) + margin; the
+# Spark side RAISES if it hasn't converged within this many rounds, so
+# the unrolled oracle text can never silently diverge from the engine
+
+
+def _kcore_oracle() -> str:
+    # every unrolled CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # each peel round references its predecessor three times (two degree
+    # arms + the semi-join), so un-materialized the expansion is 3^rounds
+    # scans of the base pair projection — found as an EMFILE "too many
+    # open files" on the parquet source at unroll depth 14
+    blocks = [
+        f"e2_0 AS MATERIALIZED (SELECT part_a, part_b FROM pairs WHERE sup >= {_KCORE_SUPPORT})"
+    ]
+    selects = []
+    for k in _KCORE_KS:
+        prev = "e2_0"
+        for r in range(1, _KCORE_UNROLL + 1):
+            cur = f"e{k}_{r}"
+            blocks.append(f"""n{k}_{r} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT part_a AS node FROM {prev}
+            UNION ALL SELECT part_b FROM {prev}
+        ) t GROUP BY node
+    ) s WHERE d >= {k}
+),
+{cur} AS MATERIALIZED (
+    SELECT e.part_a, e.part_b FROM {prev} e
+    JOIN n{k}_{r} a ON a.node = e.part_a
+    JOIN n{k}_{r} b ON b.node = e.part_b
+)""")
+            prev = cur
+        selects.append(f"""SELECT CAST({k} AS BIGINT) AS k,
+       COALESCE(CAST((SELECT COUNT(*) FROM (
+           SELECT part_a AS node FROM {prev} UNION SELECT part_b FROM {prev}
+       ) u) AS BIGINT), 0) AS n_core_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_core_edges,
+       COALESCE(CAST((SELECT MAX(d) FROM (
+           SELECT COUNT(*) AS d FROM (
+               SELECT part_a AS node FROM {prev}
+               UNION ALL SELECT part_b FROM {prev}
+           ) t GROUP BY node
+       ) dd) AS BIGINT), 0) AS max_core_degree
+FROM {prev}""")
+    return (
+        "WITH " + _SQL_PAIRS + ",\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY k"
+    )
+
+
+@query("q311_kcore_census", oracle=_kcore_oracle())
+def q311_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph (support >=
+    {sup}): repeatedly peel nodes of degree < k until the graph stops
+    shrinking; what survives is the maximal subgraph where EVERY node
+    keeps >= k neighbors — the standard cohesion core (k-cores seed
+    community detection, measure engagement durability, and bound the
+    clique number). Census per k in {ks}: core nodes, core edges, max
+    in-core degree.
+
+    This is a NEW fixpoint shape for the engine: the iterate SHRINKS the
+    edge relation each round (CC relabels a fixed node set; PageRank
+    re-weights a fixed edge set). Same iterative discipline as
+    components.py — lazy localCheckpoint per round, the convergence
+    count materializes it, and the loop RAISES if the peel hasn't
+    converged within {n} rounds, so the oracle's {n}-round unrolled CTE
+    chain can never silently disagree with a deeper engine run
+    (measured max 11 rounds at sf0.01 k=3).
+
+    Scale: each round is one degree aggregation + one semi-join, both
+    keyed on node, over a monotonically shrinking relation; rounds are
+    bounded by the peel depth (typically <= tens on real graphs), and
+    the support threshold bounds the starting edge list exactly as in
+    q241.""".format(sup=_KCORE_SUPPORT, ks=_KCORE_KS, n=_KCORE_UNROLL)
+    pairs = (
+        _edges(spark, sf_dir)
+        .filter(F.col("sup") >= _KCORE_SUPPORT)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in _KCORE_KS:
+        edges = pairs
+        n_edges = edges.count()
+        converged = False
+        for _ in range(_KCORE_UNROLL):
+            deg = (
+                edges.select(F.col("part_a").alias("node"))
+                .unionByName(edges.select(F.col("part_b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("node")
+            nxt = (
+                edges.join(keep.withColumnRenamed("node", "part_a"), "part_a")
+                .join(keep.withColumnRenamed("node", "part_b"), "part_b")
+                .select("part_a", "part_b")
+                .localCheckpoint(eager=False)
+            )
+            n_next = nxt.count()  # materializes the lazy checkpoint
+            edges = nxt
+            if n_next == n_edges:
+                converged = True
+                break
+            n_edges = n_next
+        if not converged:
+            raise RuntimeError(
+                f"k-core peel for k={k} did not converge within "
+                f"{_KCORE_UNROLL} rounds — the unrolled oracle would be "
+                f"wrong; raise _KCORE_UNROLL (and regenerate the oracle)"
+            )
+        deg_final = (
+            edges.select(F.col("part_a").alias("node"))
+            .unionByName(edges.select(F.col("part_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        row = (
+            edges.agg(F.count("*").alias("n_core_edges"))
+            .crossJoin(
+                deg_final.agg(
+                    F.coalesce(F.count("*"), F.lit(0)).alias("n_core_nodes"),
+                    F.coalesce(F.max("d"), F.lit(0)).alias("max_core_degree"),
+                )
+            )
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("n_core_nodes").cast("long").alias("n_core_nodes"),
+                F.col("n_core_edges").cast("long").alias("n_core_edges"),
+                F.col("max_core_degree").cast("long").alias("max_core_degree"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

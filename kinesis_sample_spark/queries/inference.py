@@ -671,3 +671,130 @@ def q289_index_of_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(vmr).cast("double").alias("vmr"),
         _q6(z).cast("double").alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q312 — deterministic Poisson-bootstrap CI for the mean (round 14).
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+# Poisson(1) multiplicity thresholds over md5 % 10000:
+# P(0)=P(1)=e^-1≈0.3679, P(2)≈0.1839, P(>=3)≈0.0803 (truncated at 3).
+_BOOT_T0, _BOOT_T1, _BOOT_T2 = 3679, 7358, 9197
+
+
+def _boot_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("'boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+m AS (
+    SELECT b.b, o_orderkey,
+           CASE WHEN {h} % 10000 < {_BOOT_T0} THEN 0
+                WHEN {h} % 10000 < {_BOOT_T1} THEN 1
+                WHEN {h} % 10000 < {_BOOT_T2} THEN 2
+                ELSE 3 END AS mult,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price
+    FROM orders, reps b
+),
+means AS (
+    SELECT b,
+           {sql_double("SUM(mult * price)")} / CAST(SUM(mult) AS DOUBLE)
+             AS rep_mean
+    FROM m GROUP BY b
+),
+ranked AS (
+    SELECT rep_mean, ROW_NUMBER() OVER (ORDER BY rep_mean, b) AS rk
+    FROM means
+),
+full_mean AS (
+    SELECT {sql_double("SUM(CAST(o_totalprice AS DECIMAL(12,2)))")}
+             / CAST(COUNT(*) AS DOUBLE) AS mean_full
+    FROM orders
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas, f.mean_full,
+       (SELECT rep_mean FROM ranked WHERE rk = 2) AS ci_lo,
+       (SELECT rep_mean FROM ranked WHERE rk = {_BOOT_B - 1}) AS ci_hi
+FROM full_mean f
+"""
+
+
+@query("q312_bootstrap_mean_ci", oracle=_boot_oracle())
+def q312_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value, built the
+    only way a bootstrap distributes AND reproduces: the POISSON
+    bootstrap (each of B={b} replicas includes row i with multiplicity
+    ~ Poisson(1)), with the multiplicity drawn from the md5 recipe
+    (integer thresholds for P(0)/P(1)/P(2)/P(3+), truncated at 3) —
+    a pure per-(replica, row) function, so all {b} resamples stream
+    through ONE scan with no sampling coordination, no seed state, and
+    bit-identical draws on any engine or partitioning. Classic resample-
+    by-index bootstraps need n draws WITH replacement from a global
+    index — undistributable; this is the standard large-scale
+    substitute (and the substitution is visible: multiplicities, not
+    index draws).
+
+    Replica means are exact-decimal sums over exact integer
+    multiplicities divided once; the CI is percentile-by-order-statistic
+    across the B replica means (ranks 2 and B-1 ≈ 93.75 % coverage).
+    q285 bounds the MEDIAN by binomial order statistics; this bounds the
+    MEAN by resampling — different estimator, different machinery, both
+    distribution-free.
+
+    Scale: one fact scan fanned out ×{b} map-side (an Expand, no
+    shuffle), one (replica)-keyed aggregate of B rows, one B-row sort.
+    B controls cost linearly and 32 already gives a stable
+    percentile CI.""".format(b=_BOOT_B)
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    h = (
+        md5_long(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+        % 10000
+    )
+    mult = (
+        F.when(h < _BOOT_T0, F.lit(0))
+        .when(h < _BOOT_T1, F.lit(1))
+        .when(h < _BOOT_T2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    m = orders.select(
+        reps, "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    ).select("b", mult.alias("mult"), "price")
+    means = m.groupBy("b").agg(
+        (
+            F.sum(F.col("mult") * F.col("price")).cast("double")
+            / F.sum("mult").cast("double")
+        ).alias("rep_mean")
+    )
+    ranked = means.select(
+        "rep_mean", F.row_number().over(W.orderBy("rep_mean", "b")).alias("rk")
+    )
+    full_mean = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_full")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("rep_mean").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
+        F.col("rep_mean").alias("ci_hi")
+    )
+    return (
+        full_mean.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -139,3 +139,22 @@ def test_q310_grid_cell_count_partial_agg(spark):
     cartesian over the points."""
     df = REGISTRY["q310_grid_density_clusters"].fn(spark, SF)
     assert has_partial_aggregate(df)
+
+
+def test_q311_kcore_no_cartesian(spark):
+    """Each peel round is a degree aggregate + keyed semi-joins over the
+    checkpointed pair projection — no nested loop anywhere, and the
+    degree build must partial-aggregate."""
+    df = REGISTRY["q311_kcore_census"].fn(spark, SF)
+    plan = _plan(spark, "q311_kcore_census")
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_q312_bootstrap_fanout_no_shuffle_before_agg(spark):
+    """The ×32 replica fan-out must be a map-side explode feeding one
+    partial-aggregated (replica)-keyed groupBy — no join in the replica
+    pipeline (the two 1-row CI scalars broadcast at the end)."""
+    df = REGISTRY["q312_bootstrap_mean_ci"].fn(spark, SF)
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in _plan(spark, "q312_bootstrap_mean_ci")

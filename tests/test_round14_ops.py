@@ -628,3 +628,61 @@ def test_q310_grid_density_third_impl(spark):
         r.cluster: (r.n_cells, r.n_points, r.min_cx, r.max_cx, r.min_cy, r.max_cy)
         for r in rows
     } == exp
+
+
+# ---------------------------------------------------------------------------
+# fourth mini-batch — k-core peeling, Poisson bootstrap
+# ---------------------------------------------------------------------------
+def test_q311_kcore_third_impl(spark):
+    sup = _copurchase_edges(min_support=2)
+    exp = {}
+    for k in (2, 3):
+        es = set(sup.keys())
+        while True:
+            deg = Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            es2 = {(a, b) for a, b in es if a in keep and b in keep}
+            if es2 == es:
+                break
+            es = es2
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        exp[k] = (len(deg), len(es), max(deg.values()) if deg else 0)
+    rows = _run(spark, "q311_kcore_census")
+    assert {
+        r.k: (r.n_core_nodes, r.n_core_edges, r.max_core_degree) for r in rows
+    } == exp
+    # the census is only meaningful if cores nest: the 3-core is a
+    # subgraph of the 2-core
+    got = {r.k: r for r in rows}
+    assert got[3].n_core_edges <= got[2].n_core_edges
+
+
+def test_q312_bootstrap_third_impl(spark):
+    orders = _pd("orders")
+    t0, t1, t2 = 3679, 7358, 9197
+    means = []
+    for b in range(32):
+        num = Decimal(0)
+        den = 0
+        for r in orders.itertuples():
+            h = _md5_long(f"boot:{b}:{int(r.o_orderkey)}") % 10000
+            m = 0 if h < t0 else 1 if h < t1 else 2 if h < t2 else 3
+            num += m * _dec2(r.o_totalprice)
+            den += m
+        means.append(float(num) / den)
+    means.sort()
+    full = float(sum(_dec2(v) for v in orders.o_totalprice)) / len(orders)
+    rows = _run(spark, "q312_bootstrap_mean_ci")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_replicas == 32
+    assert r.mean_full == pytest.approx(full, rel=1e-12)
+    assert r.ci_lo == pytest.approx(means[1], rel=1e-12)
+    assert r.ci_hi == pytest.approx(means[30], rel=1e-12)
+    assert r.ci_lo <= r.mean_full <= r.ci_hi

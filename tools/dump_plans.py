@@ -154,6 +154,8 @@ EXTRA = (
     "q308_phrase_index_consistency",
     "q309_zorder_locality_audit",
     "q310_grid_density_clusters",
+    "q311_kcore_census",
+    "q312_bootstrap_mean_ci",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
