@@ -95,3 +95,76 @@ def foreach_batch_upsert(table_path: str, key: str, version_col: str):
         fs.delete(bak, True)
 
     return _apply
+
+
+def _publish(spark, df: DataFrame, table_path: str) -> None:
+    """Write ``df`` to ``table_path`` with the same crash-safe
+    tmp → (live → bak) → live rename dance ``foreach_batch_upsert``
+    uses; reads of ``table_path`` must go through :func:`_read_live`."""
+    tmp_path = table_path + "__tmp"
+    bak_path = table_path + "__bak"
+    fs, live = _hadoop_fs(spark, table_path)
+    _, tmp = _hadoop_fs(spark, tmp_path)
+    _, bak = _hadoop_fs(spark, bak_path)
+    df.write.mode("overwrite").parquet(tmp_path)
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if fs.exists(live):
+        if not fs.rename(live, bak):
+            raise OSError(f"rename {table_path} -> {bak_path} failed")
+    if not fs.rename(tmp, live):
+        raise OSError(f"rename {tmp_path} -> {table_path} failed")
+    fs.delete(bak, True)
+
+
+def _read_live(spark, table_path: str) -> DataFrame | None:
+    fs, live = _hadoop_fs(spark, table_path)
+    _, bak = _hadoop_fs(spark, table_path + "__bak")
+    if fs.exists(live):
+        return spark.read.parquet(table_path)
+    if fs.exists(bak):
+        return spark.read.parquet(table_path + "__bak")
+    return None
+
+
+def foreach_batch_dual_sink(raw_dir: str, agg_path: str):
+    """foreachBatch sink feeding TWO tables from one micro-batch — the
+    fan-OUT dual of a stream union: (1) raw rows land in one
+    epoch-addressed directory per batch (``epoch=<id>`` overwritten
+    whole, so a replayed epoch converges instead of duplicating), and
+    (2) a running per-event-type aggregate is additively merged and
+    published with the crash-safe rename dance. Because both sinks ride
+    the SAME epoch, they cannot drift under retry/replay: re-running an
+    epoch rewrites its raw partition and re-derives the aggregate from
+    scratch state plus the batch — the multi-sink exactly-once contract
+    q313 hash-gates end to end.
+
+    The merged sum is re-narrowed to DECIMAL(22,2) before every publish:
+    Spark widens SUM(decimal) by 10 digits per aggregation, so an
+    un-narrowed running table would hit the 38-digit precision cap after
+    three epochs (the SCALING.md decimal-width trap, streaming edition).
+    """
+    import os
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(raw_dir, f"epoch={epoch_id}")
+        )
+        batch_agg = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(22,2)")
+            .alias("sum_value"),
+        )
+        current = _read_live(spark, agg_path)
+        both = batch_agg if current is None else current.unionByName(batch_agg)
+        merged = both.groupBy("event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(22,2)").alias("sum_value"),
+        )
+        # localCheckpoint: the publish rename would otherwise invalidate
+        # the lazy lineage that still reads the live table being renamed
+        _publish(spark, merged.localCheckpoint(eager=True), agg_path)
+
+    return _apply

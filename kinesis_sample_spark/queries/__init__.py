@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # registry settled — 193 settled / 0 never-green / 0 eligible — so the
 # round-14 window opened as pure zero-cost backfills. This round-14
 # window spends those free slots on the new batch:
-#   23 slots — never-green (mandatory): the round-14 additions —
+#   24 slots — never-green (mandatory): the round-14 additions —
 #              live multi-stream fan-in q290-q293 (streaming_live),
 #              sketch-merge algebra under adversarial layouts q294-q297
 #              (sketches), bipartite part↔supplier projections
@@ -65,8 +65,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              weighted sampling q307 (reweighting), phrase-index
 #              consistency q308 (retrieval), z-order locality audit
 #              q309 (opstats), k-core peeling q311 (graph_metrics),
-#              Poisson-bootstrap CI q312 (inference).
-#   27 slots — backfills: the least-evidenced settled/once-green
+#              Poisson-bootstrap CI q312 (inference), live dual-sink
+#              fan-out q313 (streaming_live, operators/upsert).
+#   26 slots — backfills: the least-evidenced settled/once-green
 #              queries (displacing a backfill costs nothing; every
 #              displaced name was a min-evidence once-green).
 #
@@ -111,6 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q310_grid_density_clusters",
     "q311_kcore_census",
     "q312_bootstrap_mean_ci",
+    "q313_live_dual_sink_consistency",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -138,7 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q139_scd2_intervals",
     "q140_workspace_manifest",
     "q141_transition_mining",
-    "q142_int8_quantization",
 )
 
 

@@ -1463,3 +1463,79 @@ def q293_live_priority_merge_latest(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q313_live_dual_sink_consistency",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       TRUE AS sinks_agree
+FROM events
+GROUP BY 1
+ORDER BY event_type
+""",
+)
+def q313_live_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE fan-OUT (the dual of q290's fan-in): one replayed stream,
+    one ``foreachBatch`` feeding TWO sinks in the same epoch — raw rows
+    into an epoch-addressed parquet directory, and a running per-type
+    aggregate additively merged and published crash-safe
+    (operators/upsert.py::foreach_batch_dual_sink). The law: after the
+    drain, the aggregate TABLE equals the re-aggregation of the raw
+    SINK (``sinks_agree``, computed — not pinned — Spark-side) and both
+    equal the plain batch SQL the oracle runs over events. A multi-sink
+    consumer that duplicated an epoch in one sink but not the other, or
+    dropped a batch from either, breaks the hash row-by-row.
+
+    This is the contract that makes one-stream/N-tables topologies
+    (raw + serving rollup is the standard pair) safe under replay:
+    both sinks ride the same epoch id, raw partitions are overwritten
+    whole, and the aggregate merge is re-derived per epoch — at-least-
+    once delivery converges to exactly-once TABLE STATE (A13/A14 for
+    N sinks; q112/q293 gate the one-sink and two-producer corners).
+
+    Scale: the raw sink is a partitioned append (no read-modify-write);
+    the aggregate table is bounded by |event_type| so its per-epoch
+    merge reads KBs regardless of stream volume."""
+    import os
+
+    from kinesis_sample_spark.operators.upsert import foreach_batch_dual_sink
+
+    out = scratch_dir(prefix="kss_live2_")
+    events_dir = write_stream_fixture(spark, sf_dir, out, n_files=4)
+    raw_dir = os.path.join(out, "raw_sink")
+    agg_path = os.path.join(out, "agg_table")
+    stream = replay_events_stream(spark, events_dir, files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_dual_sink(raw_dir, agg_path))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    agg = spark.read.parquet(agg_path)
+    re_agg = (
+        spark.read.parquet(raw_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("raw_n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(22,2)")
+            .alias("raw_sum"),
+        )
+    )
+    return (
+        agg.join(re_agg, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            (
+                (F.col("n_events") == F.col("raw_n"))
+                & (F.col("sum_value") == F.col("raw_sum"))
+            ).alias("sinks_agree"),
+        )
+        .orderBy("event_type")
+    )

@@ -686,3 +686,18 @@ def test_q312_bootstrap_third_impl(spark):
     assert r.ci_lo == pytest.approx(means[1], rel=1e-12)
     assert r.ci_hi == pytest.approx(means[30], rel=1e-12)
     assert r.ci_lo <= r.mean_full <= r.ci_hi
+
+
+def test_q313_dual_sink_third_impl(spark):
+    ev = _pd("events")
+    exp = {}
+    for t, g in ev.groupby("event_type"):
+        s = sum((_dec2(v) for v in g.value), Decimal(0))
+        exp[t] = (len(g), float(s))
+    rows = _run(spark, "q313_live_dual_sink_consistency")
+    assert len(rows) == len(exp)
+    for r in rows:
+        n, sv = exp[r.event_type]
+        assert r.n_events == n
+        assert r.sum_value == pytest.approx(sv, abs=1e-9)
+        assert r.sinks_agree
