@@ -113,6 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q311_kcore_census",
     "q312_bootstrap_mean_ci",
     "q313_live_dual_sink_consistency",
+    "q314_power_iteration_pc1",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -139,7 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q138_dedup_rate_per_source",
     "q139_scd2_intervals",
     "q140_workspace_manifest",
-    "q141_transition_mining",
 )
 
 

@@ -15,6 +15,10 @@ distributed-sketch laws:
   cross-engine oracle: the SAME unrolled SQL text runs on both engines).
 - q262: Wilcoxon/Mann-Whitney rank-sum test with average-tie ranks.
 - q271: Spearman rank correlation (Pearson over average-tie ranks).
+- q314: first principal component of the embedding covariance by
+  decimal-quantized power iteration (round 14; the q255 recipe lifted
+  from a k×k Markov matrix to a d×d covariance built in one
+  distributed pass).
 
 Rank determinism: average ranks are carried as ``2*rank`` BIGINTs
 (2*RANK() + ties - 1), so every rank statistic is exact integer math
@@ -26,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kinesis_sample_spark.catalog import load_table
 from kinesis_sample_spark.functions.numeric import sql_double
@@ -526,3 +531,266 @@ def q271_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(rho, 6).cast("decimal(18,6)").cast("double").alias("spearman_rho"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q314 — first principal component by decimal power iteration (round 14).
+# ---------------------------------------------------------------------------
+_PC1_ITERS = 8
+_PC1_DIMS = 64
+_PC1_TOPK = 10
+
+
+def _pc1_iter_sql(cov: str) -> str:
+    """Dialect-shared unrolled power iteration over ``{cov}(i, j, c)``.
+
+    Runs verbatim on BOTH engines (the q255 contract). Two structural
+    rules keep the unrolled plan linear instead of exponential:
+
+    - every CTE references its predecessor exactly ONCE — the L2 norm
+      rides a whole-set window aggregate ``SUM(w*w) OVER ()`` instead of
+      a scalar subquery (a scalar subquery would make v{k} reference
+      w{k} twice, doubling the inlined subtree per round on engines that
+      inline CTEs — the q311 EMFILE lesson);
+    - every round is exact decimal: products quantized round(.,12)
+      before the (exact) SUM, the normalized vector re-quantized to
+      DECIMAL(12,9), and every decimal→double crossing routed through
+      STRING (sql_double rationale) so both engines parse the same
+      correctly-rounded double.
+    """
+    ctes = [
+        f"""v0 AS (
+    SELECT DISTINCT i AS dim, CAST(0.125 AS DECIMAL(12,9)) AS v FROM {cov}
+)"""
+    ]
+    for k in range(1, _PC1_ITERS + 1):
+        ctes.append(
+            f"""w{k} AS (
+    SELECT m.i AS dim,
+           CAST(SUM(CAST(round(CAST(v.v AS DECIMAL(19,9)) * m.c, 12)
+                         AS DECIMAL(30,12))) AS DECIMAL(16,12)) AS w
+    FROM v{k - 1} v JOIN {cov} m ON m.j = v.dim
+    GROUP BY m.i
+)"""
+        )
+        ctes.append(
+            f"""v{k} AS (
+    SELECT dim,
+           CAST(round(CAST(CAST(w AS STRING) AS DOUBLE)
+                      / sqrt(CAST(CAST(SUM(w * w) OVER () AS STRING)
+                                  AS DOUBLE)), 9) AS DECIMAL(12,9)) AS v
+    FROM w{k}
+)"""
+        )
+    ctes.append(
+        f"""ray_r AS (
+    SELECT m.i AS dim,
+           CAST(SUM(CAST(round(CAST(v.v AS DECIMAL(19,9)) * m.c, 12)
+                         AS DECIMAL(30,12))) AS DECIMAL(16,12)) AS r
+    FROM v{_PC1_ITERS} v JOIN {cov} m ON m.j = v.dim
+    GROUP BY m.i
+)"""
+    )
+    ctes.append(
+        f"""ray AS (
+    SELECT CAST(CAST(SUM(CAST(round(CAST(v.v AS DECIMAL(19,9))
+                                    * CAST(r.r AS DECIMAL(19,12)), 12)
+                              AS DECIMAL(30,12))) AS STRING) AS DOUBLE)
+             AS eigenvalue
+    FROM v{_PC1_ITERS} v JOIN ray_r r ON r.dim = v.dim
+)"""
+    )
+    final = f"""
+SELECT dim, CAST(CAST(v AS STRING) AS DOUBLE) AS loading,
+       (SELECT eigenvalue FROM ray) AS eigenvalue
+FROM v{_PC1_ITERS}
+ORDER BY abs(CAST(CAST(v AS STRING) AS DOUBLE)) DESC, dim
+LIMIT {_PC1_TOPK}
+"""
+    return ",\n".join(ctes) + final
+
+
+def _pc1_oracle() -> str:
+    # cov build is DuckDB dialect (generate_subscripts is 1-based, so
+    # Spark's posexplode/Gram indices use dim0+1 to match); the
+    # iteration text is shared verbatim. MATERIALIZED on every
+    # cov-build CTE: DuckDB inlines plain CTEs and the iteration
+    # references cov ~10 times. The SUM(a.xl * b.xl) runs in DuckDB's
+    # int128 accumulator — exact, like Spark's chunked-int64 +
+    # DECIMAL(38,0) merge.
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS dim,
+           CAST(round(unnest(embedding)::DOUBLE * 1000000, 0) AS BIGINT) AS xl
+    FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+mu AS MATERIALIZED (
+    SELECT dim,
+           CAST(round(CAST(CAST(SUM(xl) AS STRING) AS DOUBLE) / 1000000
+                      / (SELECT n FROM nn), 9) AS DECIMAL(12,9)) AS mu
+    FROM e GROUP BY dim
+),
+q314_cov AS MATERIALIZED (
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(round(CAST(CAST(SUM(a.xl * b.xl) AS STRING) AS DOUBLE)
+                        / 1000000 / 1000000 / (SELECT n FROM nn)
+                      - CAST(CAST(CAST(ma.mu AS DECIMAL(13,9)) * mb.mu
+                                  AS STRING) AS DOUBLE), 9)
+                AS DECIMAL(12,9)) AS c
+    FROM e a JOIN e b ON a.vec_id = b.vec_id
+    JOIN mu ma ON ma.dim = a.dim
+    JOIN mu mb ON mb.dim = b.dim
+    GROUP BY a.dim, b.dim, ma.mu, mb.mu
+),
+{_pc1_iter_sql("q314_cov")}
+"""
+
+
+_PC1_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("s", T.LongType()),
+    ]
+)
+#: rows per numpy chunk inside the Gram pass. Exactness bound: each
+#: scaled element is ~|x|*1e6 <= 1e7-ish, so a product is <= ~1e14 and a
+#: chunk's cell sum is <= CHUNK * 1e14 — CHUNK=50k keeps that under the
+#: int64 ceiling 9.2e18 with 180x headroom; partials are merged as
+#: DECIMAL(38,0), which holds ~1e24 rows before overflow.
+_PC1_CHUNK = 50_000
+
+
+def _pc1_gram_partials(batches):
+    """Per-partition exact Gram partials: for each <=CHUNK row slab,
+    emit the d*d int64 matrix X^T X plus (i=0, j=dim) column sums and an
+    (i=0, j=0) row count — one Arrow pass computes every moment the
+    covariance needs."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        arrs = pdf["xl"].to_list()
+        for lo in range(0, len(arrs), _PC1_CHUNK):
+            x = np.asarray(arrs[lo : lo + _PC1_CHUNK], dtype=np.int64)
+            if x.size == 0:
+                continue
+            s = x.T @ x
+            cs = x.sum(axis=0)
+            ii, jj = np.indices(s.shape)
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {"i": (ii + 1).ravel(), "j": (jj + 1).ravel(), "s": s.ravel()}
+                    ),
+                    pd.DataFrame(
+                        {
+                            "i": [0] * (len(cs) + 1),
+                            "j": list(range(1, len(cs) + 1)) + [0],
+                            "s": list(cs) + [len(x)],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+
+@query("q314_power_iteration_pc1", oracle=_pc1_oracle())
+def q314_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding covariance by {k}
+    unrolled power-iteration rounds — the dimensionality-reduction
+    family the registry lacked (q38 clusters the embeddings, q142
+    quantizes them, q189 truncates them; nothing yet asks "which
+    direction carries the variance"). Output: the top-{t} dimensions by
+    |loading| plus the Rayleigh-quotient eigenvalue estimate.
+
+    Determinism is the q255 shared-fixpoint recipe, lifted from a k×k
+    Markov matrix to the d×d covariance: elements scaled round(x*1e6)
+    into int64 micro-units, ALL second moments exact integers (numpy
+    int64 Gram per chunk, DECIMAL(38,0) merge on Spark; int128 SUM in
+    DuckDB), means and covariance quantized round(.,9)→DECIMAL(12,9)
+    from the raw moments (cov = E[xy] - mu_x*mu_y, one shared formula),
+    then the IDENTICAL unrolled iteration SQL runs on both engines
+    (every product quantized before an exact decimal SUM; every
+    decimal→double crossing via STRING). The start vector is uniform
+    1/sqrt({d}) = 0.125 exactly; with deterministic arithmetic the
+    (sign-ambiguous) limit is the same on both engines.
+
+    Scale: the covariance is ONE map-only pass — mapInPandas computes a
+    chunked exact int64 Gram X^T X per partition (plus column sums and
+    row count folded in as i=0 partial rows, so there is no separate
+    mean pass and no count() scan), and the shuffle carries only
+    {d}²-cell partials per chunk, never rows. The first version
+    self-joined the exploded elements on vec_id — a 20M-row decimal
+    shuffle join that cost 68 s at sf0.1; the Gram pass is the measured
+    10x fix and the textbook 100 TB plan (partial Gram per split, tiny
+    merge). The 4096-cell summary is collected and re-parallelized as a
+    LocalRelation — same footing as the literal weight tables elsewhere
+    in this module — so the {k} unrolled rounds never touch the fact
+    again.
+
+    Cross-engine traps pinned by the round-14 prototype: (a) a scalar-
+    subquery norm makes each round reference its predecessor twice, so
+    engines that inline CTEs expand 2^K copies of the covariance
+    subtree — the first prototype hung DuckDB at K={k}; the window-
+    aggregate norm keeps both plans linear in K. (b) BigDecimal
+    products in the hot pass (decimal(19,9)²) are ~4x slower than
+    int64 — scale-to-integer first, widen at the merge.""".format(
+        k=_PC1_ITERS, t=_PC1_TOPK, d=_PC1_DIMS
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    xl = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("xl")
+    )
+    g = (
+        xl.mapInPandas(_pc1_gram_partials, _PC1_PART_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+    )
+    # one tiny collect: d*d Gram cells + d column sums + the count row
+    grows = g.collect()
+    if len(grows) != _PC1_DIMS * _PC1_DIMS + _PC1_DIMS + 1:
+        raise RuntimeError(
+            f"q314: expected {_PC1_DIMS}x{_PC1_DIMS}+{_PC1_DIMS}+1 Gram rows,"
+            f" got {len(grows)}"
+        )
+    gl = spark.createDataFrame(grows, g.schema)
+    n = int(next(r["s"] for r in grows if r["i"] == 0 and r["j"] == 0))
+    mu = gl.filter((F.col("i") == 0) & (F.col("j") > 0)).select(
+        F.col("j").alias("dim"),
+        F.round(F.col("s").cast("double") / 1000000 / F.lit(n), 9)
+        .cast("decimal(12,9)")
+        .alias("mu"),
+    )
+    cov = (
+        gl.filter(F.col("i") > 0)
+        .join(mu.alias("ma"), F.col("i") == F.col("ma.dim"))
+        .join(mu.alias("mb"), F.col("j") == F.col("mb.dim"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s").cast("double") / 1000000 / 1000000 / F.lit(n)
+                - (F.col("ma.mu").cast("decimal(13,9)") * F.col("mb.mu")).cast(
+                    "double"
+                ),
+                9,
+            )
+            .cast("decimal(12,9)")
+            .alias("c"),
+        )
+    )
+    # 64×64 summary matrix — materialize once as a LocalRelation so the
+    # unrolled SQL can reference it ~10× without re-running anything.
+    rows = cov.collect()
+    if len(rows) != _PC1_DIMS * _PC1_DIMS:
+        raise RuntimeError(
+            f"q314: expected {_PC1_DIMS}x{_PC1_DIMS} covariance, got {len(rows)} cells"
+        )
+    spark.createDataFrame(rows, cov.schema).createOrReplaceTempView("q314_cov")
+    return spark.sql("WITH " + _pc1_iter_sql("q314_cov"))

@@ -158,3 +158,16 @@ def test_q312_bootstrap_fanout_no_shuffle_before_agg(spark):
     df = REGISTRY["q312_bootstrap_mean_ci"].fn(spark, SF)
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in _plan(spark, "q312_bootstrap_mean_ci")
+
+
+def test_q314_gram_pass_shape(spark):
+    """The covariance pass must be the map-only Gram: exactly one
+    ArrowEvalPython/MapInPandas over the fact, partial-aggregated cell
+    partials, and no join anywhere near the fact (joins happen on the
+    64-row mean vector / 4096-cell LocalRelations only). The returned
+    plan is the unrolled iteration over LocalRelations — no scan, no
+    cartesian."""
+    df = _df(spark, "q314_power_iteration_pc1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "FileScan" not in plan  # iteration never re-touches the fact
