@@ -114,6 +114,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q312_bootstrap_mean_ci",
     "q313_live_dual_sink_consistency",
     "q314_power_iteration_pc1",
+    "q315_misra_gries_bounds",
+    "q316_live_rate_limited_backlog",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -138,8 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q133_frame_sampling",
     "q137_curriculum_bins",
     "q138_dedup_rate_per_source",
-    "q139_scd2_intervals",
-    "q140_workspace_manifest",
 )
 
 

@@ -681,3 +681,173 @@ def q297_sample_union_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+# ---------------------------------------------------------------------------
+# q315 — Misra-Gries heavy hitters: the merge LAW, gated per true heavy
+# hitter (round 14, DESIGN_r15 family E landed early).
+# ---------------------------------------------------------------------------
+_MG_K = 64  # counters per summary
+_MG_G = 32  # partition-groups (md5-assigned — layout-INdependent)
+_MG_M = 1000000  # zipf inverse-CDF range
+
+
+def _mg_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import md5_long_sql
+
+    hi = md5_long_sql("'mgitem:' || CAST(event_id AS VARCHAR)")
+    hg = md5_long_sql("'mggrp:' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH items AS (
+  SELECT CASE WHEN ({hi} % {_MG_M}) = 0 THEN {_MG_M}
+              ELSE CAST(floor({_MG_M}.0 / (({hi} % {_MG_M}) + 1)) AS BIGINT) + 1
+         END AS item,
+         {hg} % {_MG_G} AS g
+  FROM events
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items),
+gc AS (
+  SELECT g, item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY g, item
+),
+lam AS (
+  SELECT g, COALESCE(MAX(CASE WHEN rk = {_MG_K + 1} THEN c END), 0) AS lam
+  FROM (SELECT g, item, c,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, item) AS rk
+        FROM gc) t
+  GROUP BY g
+),
+mg AS (
+  SELECT gc.item, gc.c - l.lam AS est
+  FROM gc JOIN lam l ON l.g = gc.g
+  WHERE gc.c > l.lam
+),
+merged AS (SELECT item, CAST(SUM(est) AS BIGINT) AS s FROM mg GROUP BY item),
+mu AS (
+  SELECT COALESCE(MAX(CASE WHEN rk = {_MG_K + 1} THEN s END), 0) AS mu
+  FROM (SELECT item, s, ROW_NUMBER() OVER (ORDER BY s DESC, item) AS rk
+        FROM merged) t
+),
+final AS (
+  SELECT item, s - (SELECT mu FROM mu) AS est FROM merged
+  WHERE s > (SELECT mu FROM mu)
+),
+sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_summary FROM final),
+exact AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item)
+SELECT e.item, e.c AS exact_count,
+       COALESCE(f.est, 0) AS mg_estimate,
+       (f.item IS NOT NULL) AS in_summary,
+       (e.c - COALESCE(f.est, 0)) * {_MG_K + 1} <= (SELECT n FROM nn)
+         AS within_bound,
+       COALESCE(f.est, 0) <= e.c AS no_overestimate,
+       (SELECT n_summary FROM sz) <= {_MG_K} AS summary_size_ok
+FROM exact e LEFT JOIN final f ON f.item = e.item
+WHERE e.c * {_MG_K + 1} > (SELECT n FROM nn)
+ORDER BY e.item
+"""
+
+
+@query("q315_misra_gries_bounds", oracle=_mg_oracle())
+def q315_misra_gries_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters with the MERGE guarantee gated per
+    true heavy hitter: k={k} counters per partition-group summary,
+    groups merged by summing surviving counters and re-truncating at
+    the (k+1)-th largest (Agarwal et al., "Mergeable Summaries"). For
+    every item with exact count > n/(k+1), the law gated is the
+    textbook inequality: the item IS in the merged summary, its
+    estimate never exceeds the exact count, and the undercount is at
+    most n/(k+1) — checked in exact integer math
+    ((exact - est) * (k+1) <= n), never via doubles.
+
+    Two determinism choices make a famously order-dependent sketch
+    hash-gateable: (a) the per-group summary is the ORDER-FREE offline
+    equivalent of MG — subtract the (k+1)-th largest per-group count
+    from every count and keep the positives (the fixpoint every MG
+    arrival order converges to, ties broken by item), and (b) groups
+    are md5-assigned from row data, not physical partitions, so the
+    merged summary is identical under any layout (contrast q294, where
+    the HLL ESTIMATE is layout-dependent and only the law crosses the
+    gate — here both the law AND the estimates do).
+
+    The fixture columns are deliberately near-uniform (max user count
+    ~n/115 — no true heavy hitter anywhere), so the item stream is
+    synthesized zipfian by inverse-CDF over the md5 uniform:
+    item = floor(M/(u+1))+1 gives P(item=i) ~ 1/(i(i-1)) — item 2
+    carries ~half the stream, and the true-heavy-hitter set
+    {{i: P > 1/(k+1)}} is the same ~8 items at EVERY scale factor
+    (a fixed-cardinality column would make MG exact and the law
+    vacuous; a uniform one would make it empty).
+
+    Scale: per-group counts partial-aggregate; summaries are <=k rows
+    per group ({g} groups x {k} counters merge in one tiny stage); the
+    exact-count audit rides the same shuffle. At 100 TB only the
+    summary path runs; the audit column exists to gate the law.""".format(
+        k=_MG_K, g=_MG_G
+    )
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        md5_long(F.concat(F.lit("mgitem:"), F.col("event_id").cast("string")))
+        % _MG_M
+    )
+    item = F.when(u == 0, F.lit(_MG_M).cast("bigint")).otherwise(
+        F.floor(F.lit(float(_MG_M)) / (u + 1).cast("double")).cast("bigint") + 1
+    )
+    grp = (
+        md5_long(F.concat(F.lit("mggrp:"), F.col("event_id").cast("string")))
+        % _MG_G
+    )
+    items = ev.select(item.alias("item"), grp.alias("g"))
+    gc = items.groupBy("g", "item").agg(F.count("*").alias("c"))
+    rk = F.row_number().over(W.partitionBy("g").orderBy(F.col("c").desc(), "item"))
+    lam = (
+        gc.select("g", "c", rk.alias("rk"))
+        .groupBy("g")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rk") == _MG_K + 1, F.col("c"))), F.lit(0)
+            ).alias("lam")
+        )
+    )
+    mg = (
+        gc.join(F.broadcast(lam), "g")
+        .filter(F.col("c") > F.col("lam"))
+        .select("item", (F.col("c") - F.col("lam")).alias("est"))
+    )
+    merged = mg.groupBy("item").agg(F.sum("est").alias("s"))
+    mu = (
+        merged.select(
+            "s", F.row_number().over(W.orderBy(F.col("s").desc(), "item")).alias("rk")
+        )
+        .groupBy()
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rk") == _MG_K + 1, F.col("s"))), F.lit(0)
+            ).alias("mu")
+        )
+    )
+    final = (
+        merged.crossJoin(F.broadcast(mu))
+        .filter(F.col("s") > F.col("mu"))
+        .select("item", (F.col("s") - F.col("mu")).alias("est"))
+    )
+    sz = final.groupBy().agg(F.count("*").alias("n_summary"))
+    nn = items.groupBy().agg(F.count("*").alias("n"))
+    exact = items.groupBy("item").agg(F.count("*").alias("c"))
+    est0 = F.coalesce(F.col("est"), F.lit(0))
+    return (
+        exact.join(final, "item", "left")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(sz))
+        .filter(F.col("c") * (_MG_K + 1) > F.col("n"))
+        .select(
+            "item",
+            F.col("c").alias("exact_count"),
+            est0.alias("mg_estimate"),
+            F.col("est").isNotNull().alias("in_summary"),
+            ((F.col("c") - est0) * (_MG_K + 1) <= F.col("n")).alias("within_bound"),
+            (est0 <= F.col("c")).alias("no_overestimate"),
+            (F.col("n_summary") <= _MG_K).alias("summary_size_ok"),
+        )
+        .orderBy("item")
+    )

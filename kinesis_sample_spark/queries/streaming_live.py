@@ -1539,3 +1539,142 @@ def q313_live_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q316 — LIVE rate-limited backlog drain with a per-batch progression
+# audit (round 14; DESIGN_r15 family A qA2 landed early).
+# ---------------------------------------------------------------------------
+_BACKLOG_FILES = 8
+
+
+@query(
+    "q316_live_rate_limited_backlog",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       TRUE AS one_file_per_trigger,
+       TRUE AS drained_in_file_count_batches,
+       TRUE AS watermark_monotone,
+       TRUE AS watermark_advanced,
+       TRUE AS totals_match
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q316_live_rate_limited_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited backlog drain, with the rate limit itself under the
+    gate: the events fixture is written as {n} time-sliced files
+    (repartitionByRange on ts), the stream reads them at
+    maxFilesPerTrigger=1, and AFTER the drain the per-batch
+    StreamingQueryProgress history is audited into boolean law columns
+    next to the oracle-checked final aggregate:
+
+    - one_file_per_trigger: the MULTISET of per-batch input-row counts
+      equals the multiset of per-file row counts — every trigger
+      consumed exactly one file, none was split or coalesced. (The
+      multiset, not the sequence: the file source orders by
+      modification time, which ties under parallel writers — the
+      round-14 prototype measured arrival order as layout-dependent,
+      so order is NOT gateable and equality-as-multiset is.)
+    - drained_in_file_count_batches: exactly {n} data batches (plus at
+      most one trailing empty commit batch).
+    - watermark_monotone / watermark_advanced: the watermark never
+      regresses across batches and ends past epoch — the eviction
+      clock a Kinesis consumer's lag monitoring watches (Cons:70-84
+      polls with a fixed sleep; this is the engine-side dual).
+    - totals_match: rows summed over batches == fixture rows (no batch
+      dropped or double-read under the limit).
+
+    The final table must equal the batch aggregate — bounded-lag
+    ingestion converges to the batch answer, the fan-in dual of q290's
+    fan-out law. Booleans are computed driver-side from the progress
+    log (the one place streaming facts live) and surface as literal
+    columns; any violation flips a column and breaks the value hash.
+
+    Scale: maxFilesPerTrigger is the knob that bounds per-trigger state
+    growth on a backlogged source (the 100 TB restart story: a cold
+    consumer must not load the whole backlog into one micro-batch);
+    aggregate state is (event_type)-keyed, trivially bounded.""".format(
+        n=_BACKLOG_FILES
+    )
+    out = scratch_dir(prefix="kss_backlog_")
+    ev = load_table(spark, sf_dir, "events")
+    events_dir = os.path.join(out, "sliced")
+    (
+        ev.repartitionByRange(_BACKLOG_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(events_dir)
+    )
+    file_counts = sorted(
+        r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    n_total = sum(file_counts)
+
+    stream = replay_events_stream(spark, events_dir)  # maxFilesPerTrigger=1
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+    name = f"backlog_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q316 backlog drain did not finish within 300 s")
+
+    progs = q.recentProgress
+    data_batches = [p for p in progs if p["numInputRows"] > 0]
+    batch_rows = sorted(p["numInputRows"] for p in data_batches)
+    marks = [
+        p["eventTime"]["watermark"]
+        for p in progs
+        if "watermark" in p.get("eventTime", {})
+    ]
+    one_file = batch_rows == file_counts
+    drained = (
+        len(data_batches) == _BACKLOG_FILES
+        and len(progs) <= _BACKLOG_FILES + 1
+    )
+    monotone = all(a <= b for a, b in zip(marks, marks[1:]))
+    advanced = bool(marks) and marks[-1] > "1971-01-01T00:00:00.000Z"
+    totals = sum(batch_rows) == n_total
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_event_id",
+            "max_event_id",
+            F.lit(one_file).alias("one_file_per_trigger"),
+            F.lit(drained).alias("drained_in_file_count_batches"),
+            F.lit(monotone).alias("watermark_monotone"),
+            F.lit(advanced).alias("watermark_advanced"),
+            F.lit(totals).alias("totals_match"),
+        )
+        .orderBy("event_type")
+    )

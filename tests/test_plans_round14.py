@@ -171,3 +171,14 @@ def test_q314_gram_pass_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "FileScan" not in plan  # iteration never re-touches the fact
+
+
+def test_q315_mg_counts_partial_agg(spark):
+    """Per-group counts must map-side combine (the shuffle carries
+    (g, item) partials, not raw events) and the lam/mu summaries must
+    broadcast — the merged-summary path never shuffles fact rows twice."""
+    df = _df(spark, "q315_misra_gries_bounds")
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+    plan = _plan(spark, "q315_misra_gries_bounds")
+    assert "CartesianProduct" not in plan

@@ -6,6 +6,7 @@ Same methodology as tests/test_round14_ops.py."""
 from __future__ import annotations
 
 import hashlib
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pandas as pd
@@ -26,6 +27,10 @@ def _run(spark, name, sf=SF):
 
 def _md5_long(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _dec2(v: float) -> Decimal:
+    return Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
 
 
 # ---------------------------------------------------------------------------
@@ -65,3 +70,65 @@ def test_q314_pc1_third_impl(spark):
     for r in rows:
         assert r.loading == pytest.approx(sign * v[r.dim - 1], abs=1e-4)
     assert rows[0].eigenvalue == pytest.approx(lam, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# q315 — Misra-Gries merge law
+# ---------------------------------------------------------------------------
+def test_q315_misra_gries_third_impl(spark):
+    """Pure-Python mirror of the offline-MG merge over md5 groups; rows
+    compare exactly (the md5-assigned construction is deterministic, so
+    estimates — not just the law booleans — must match)."""
+    from collections import Counter
+
+    K, G, M = 64, 32, 1000000
+    ev = _pd("events")
+    per_group = [Counter() for _ in range(G)]
+    total = Counter()
+    for eid in ev.event_id:
+        u = _md5_long(f"mgitem:{int(eid)}") % M
+        item = M if u == 0 else int(1000000.0 // (u + 1)) + 1
+        g = _md5_long(f"mggrp:{int(eid)}") % G
+        per_group[g][item] += 1
+        total[item] += 1
+    n = len(ev)
+    merged = Counter()
+    for cnt in per_group:
+        lam = sorted(cnt.values(), reverse=True)[K] if len(cnt) > K else 0
+        for item, c in cnt.items():
+            if c > lam:
+                merged[item] += c - lam
+    mu = sorted(merged.values(), reverse=True)[K] if len(merged) > K else 0
+    final = {i: s - mu for i, s in merged.items() if s > mu}
+    rows = _run(spark, "q315_misra_gries_bounds")
+    hh = sorted(i for i, c in total.items() if c * (K + 1) > n)
+    assert [r.item for r in rows] == hh
+    for r in rows:
+        est = final.get(r.item, 0)
+        assert (r.exact_count, r.mg_estimate) == (total[r.item], est)
+        assert r.in_summary == (r.item in final)
+        assert r.within_bound and r.no_overestimate and r.summary_size_ok
+        # the actual textbook inequality, re-derived
+        assert (total[r.item] - est) * (K + 1) <= n
+        assert 0 <= est <= total[r.item]
+    assert len(final) <= K
+
+
+# ---------------------------------------------------------------------------
+# q316 — rate-limited backlog drain
+# ---------------------------------------------------------------------------
+def test_q316_backlog_third_impl(spark):
+    """The final table must equal the pandas batch aggregate, and every
+    progression-law boolean must have come out TRUE on a healthy run."""
+    ev = _pd("events")
+    rows = _run(spark, "q316_live_rate_limited_backlog")
+    assert len(rows) == ev.event_type.nunique()
+    for r in rows:
+        g = ev[ev.event_type == r.event_type]
+        s = sum((_dec2(v) for v in g.value), Decimal(0))
+        assert r.n_events == len(g)
+        assert r.min_event_id == int(g.event_id.min())
+        assert r.max_event_id == int(g.event_id.max())
+        assert r.sum_value == pytest.approx(float(s), abs=1e-9)
+        assert r.one_file_per_trigger and r.drained_in_file_count_batches
+        assert r.watermark_monotone and r.watermark_advanced and r.totals_match
