@@ -116,6 +116,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q314_power_iteration_pc1",
     "q315_misra_gries_bounds",
     "q316_live_rate_limited_backlog",
+    "q317_haar_wavelet_energy",
+    "q318_rendezvous_rebalance",
+    "q319_cuped_variance_reduction",
+    "q320_neyman_allocation",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -136,10 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q129_hard_negative_mining",
     "q130_source_overlap_matrix",
     "q131_live_session_windows",
-    "q132_countmin_heavy_hitters",
-    "q133_frame_sampling",
-    "q137_curriculum_bins",
-    "q138_dedup_rate_per_source",
 )
 
 

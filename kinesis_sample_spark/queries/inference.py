@@ -798,3 +798,123 @@ def q312_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q319 — CUPED variance reduction (round 14).
+# ---------------------------------------------------------------------------
+@query(
+    "q319_cuped_variance_reduction",
+    oracle=f"""
+WITH span AS (
+    SELECT CAST(datediff('day', DATE '1970-01-01', MIN(ts)) AS BIGINT) AS d0,
+           CAST(datediff('day', DATE '1970-01-01', MAX(ts)) AS BIGINT) AS d1
+    FROM events
+),
+split AS (SELECT CAST((d0 + d1 + 1) / 2 AS BIGINT) AS sd FROM span),
+per_user AS (
+    SELECT user_id,
+           SUM(CASE WHEN CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT)
+                         < (SELECT sd FROM split)
+                    THEN CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS x,
+           SUM(CASE WHEN CAST(datediff('day', DATE '1970-01-01', ts) AS BIGINT)
+                         >= (SELECT sd FROM split)
+                    THEN CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS y
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_double('SUM(x)')} AS sx, {sql_double('SUM(y)')} AS sy,
+           {sql_double('SUM(CAST(x AS DECIMAL(19,2)) * y)')} AS sxy,
+           {sql_double('SUM(CAST(x AS DECIMAL(19,2)) * x)')} AS sxx,
+           {sql_double('SUM(CAST(y AS DECIMAL(19,2)) * y)')} AS syy
+    FROM per_user
+),
+st AS (
+    SELECT n, sx / n AS mean_y_pre, sy / n AS mean_y,
+           (n * sxy - sx * sy) / (n * CAST(n - 1 AS DOUBLE)) AS cxy,
+           (n * sxx - sx * sx) / (n * CAST(n - 1 AS DOUBLE)) AS vx,
+           (n * syy - sy * sy) / (n * CAST(n - 1 AS DOUBLE)) AS vy
+    FROM m
+)
+SELECT n AS n_users,
+       CAST(CAST(CAST(round(mean_y, 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS mean_post,
+       CAST(CAST(CAST(round(cxy / vx, 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS theta,
+       CAST(CAST(CAST(round(vy, 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS var_post,
+       CAST(CAST(CAST(round(vy - cxy * cxy / vx, 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS var_cuped,
+       CAST(CAST(CAST(round((cxy * cxy / vx) / vy, 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS variance_reduction
+FROM st
+""",
+)
+def q319_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): the
+    variance-reduction estimator every large-scale A/B platform applies
+    before reading an experiment. Each user's event-value total is
+    split at the fixture's midpoint day into a pre-period covariate X
+    and a post-period metric Y; theta = cov(X,Y)/var(X) and the
+    adjusted metric Y - theta*(X - mean(X)) has variance
+    var(Y) - cov^2/var(X) — reported as var_cuped next to the raw
+    variance and the reduction fraction. The inference shelf gates
+    interval machinery (q285 order statistics, q312 bootstrap); this is
+    the third leg: reducing the variance before the interval is built.
+
+    Determinism: per-user sums are exact DECIMAL(12,2); second moments
+    widen one factor to DECIMAL(19,2) before multiplying (the q262
+    int64/HUGEINT lesson applied to decimals) and stay exact through
+    SUM; every downstream statistic is the identical double expression
+    on both engines, quantized round(.,6). The split day is derived
+    from the data's own min/max epoch-days — exact integer midpoint,
+    no timestamp arithmetic ambiguity.
+
+    Scale: one user-keyed partial aggregate over the fact (the CASE
+    split rides the same scan — pre and post are columns, not passes),
+    one scalar moment row. The theta fit at 100 TB is the same five
+    moments, shuffled as one row per executor."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    epoch = F.lit("1970-01-01").cast("date")
+    day = F.datediff(F.col("ts"), epoch).cast("bigint")
+    span = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    ).select(((F.col("d0") + F.col("d1") + 1) / 2).cast("bigint").alias("sd"))
+    val = F.col("value").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(day < F.col("sd"), val).otherwise(zero)).alias("x"),
+            F.sum(F.when(day >= F.col("sd"), val).otherwise(zero)).alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,2)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n")
+    denom = nd * (nd - 1).cast("double")
+    cxy = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / denom
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")) / denom
+    q6 = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+    return m.select(
+        F.col("n").alias("n_users"),
+        q6(F.col("sy") / nd).alias("mean_post"),
+        q6(cxy / vx).alias("theta"),
+        q6(vy).alias("var_post"),
+        q6(vy - cxy * cxy / vx).alias("var_cuped"),
+        q6((cxy * cxy / vx) / vy).alias("variance_reduction"),
+    )

@@ -1021,3 +1021,165 @@ def q309_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(_zorder_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# q318 — rendezvous (HRW) shard rebalance law (round 14).
+# ---------------------------------------------------------------------------
+_HRW_OLD = 7  # shards before scale-out
+_HRW_NEW = 8  # shards after (one added)
+
+
+def _hrw_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        "'hrw:' || CAST(s.shard AS VARCHAR) || ':' || CAST(k.key AS VARCHAR)"
+    )
+    shards = ",".join(f"({i})" for i in range(_HRW_NEW))
+    return f"""
+WITH keys AS (SELECT o_orderkey AS key FROM orders),
+shards AS (SELECT shard FROM (VALUES {shards}) AS t(shard)),
+scored AS (
+  SELECT k.key, s.shard, {h} AS h
+  FROM keys k CROSS JOIN shards s
+),
+assign AS (
+  SELECT key,
+         max_by(shard, h) FILTER (WHERE shard < {_HRW_OLD}) AS old_shard,
+         max_by(shard, h) AS new_shard
+  FROM scored GROUP BY key
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign),
+per AS (
+  SELECT g.shard,
+         CAST(COALESCE(SUM(CASE WHEN a.old_shard = g.shard THEN 1 END), 0)
+              AS BIGINT) AS n_old,
+         CAST(COALESCE(SUM(CASE WHEN a.new_shard = g.shard THEN 1 END), 0)
+              AS BIGINT) AS n_new,
+         CAST(COALESCE(SUM(CASE WHEN a.new_shard = g.shard
+                                 AND a.old_shard <> a.new_shard
+                            THEN 1 END), 0) AS BIGINT) AS n_arrived
+  FROM shards g LEFT JOIN assign a
+    ON a.old_shard = g.shard OR a.new_shard = g.shard
+  GROUP BY g.shard
+)
+SELECT shard, n_old, n_new, n_arrived,
+       (n_arrived = 0 OR shard = {_HRW_OLD}) AND
+       (shard < {_HRW_OLD} OR n_old = 0) AS arrivals_only_at_new,
+       (shard >= {_HRW_OLD} OR n_new <= n_old) AS old_shards_only_shrink,
+       (SELECT SUM(n_arrived) FROM per) * {_HRW_NEW}
+         <= 2 * (SELECT n FROM nn) AS moved_fraction_bounded,
+       {_HRW_NEW} * (SELECT MAX(n_new) FROM per)
+         <= 2 * {_HRW_NEW} * (SELECT MIN(n_new) FROM per)
+           + (SELECT n FROM nn) AS balanced
+FROM per
+ORDER BY shard
+"""
+
+
+@query("q318_rendezvous_rebalance", oracle=_hrw_oracle())
+def q318_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment under a
+    {o}→{n} scale-out, with the minimal-disruption law gated per shard:
+    every order key scores each shard by md5('hrw:'||shard||':'||key)
+    and lands on the argmax. Adding shard {o} can only STEAL the keys
+    whose new top score is the new shard — so (a) arrivals_only_at_new:
+    no key migrates between the {o} old shards, (b)
+    old_shards_only_shrink: each old shard's population can only
+    decrease, (c) moved_fraction_bounded: the total moved mass is
+    ~n/{n} (gated at <= 2n/{n} in exact integer math), (d) balanced:
+    max new-shard load <= 2x min + slack. This is the consistent-
+    placement algebra every distributed store/stream reshard leans on
+    (the Kinesis resharding story, A15, made checkable engine-side) —
+    and the counts themselves cross the hash gate, not just the
+    booleans, because md5 scoring is layout-free.
+
+    Argmax determinism: max_by over the md5 scores; ties are impossible
+    in practice (distinct 'hrw:shard:key' strings under a 60-bit
+    truncated md5 — a collision would need ~2^30 keys per shard pair),
+    so both engines pick identical shards with no tie-break clause.
+
+    Scale: the score relation is keys x {n} rows, map-generated
+    (explode over a literal shard table, no shuffle), partial-aggregated
+    per key (max_by combines map-side), then an {n}-row census.
+    Re-scoring at 100 TB is embarrassingly parallel; the law holds at
+    any n because it is structural, not statistical.""".format(
+        o=_HRW_OLD, n=_HRW_NEW
+    )
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("key"))
+    scored = keys.select(
+        "key", F.explode(F.sequence(F.lit(0), F.lit(_HRW_NEW - 1))).alias("shard")
+    ).select(
+        "key",
+        "shard",
+        md5_long(
+            F.concat(
+                F.lit("hrw:"),
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("key").cast("string"),
+            )
+        ).alias("h"),
+    )
+    assign = scored.groupBy("key").agg(
+        F.expr(f"max_by(shard, h) FILTER (WHERE shard < {_HRW_OLD})").alias(
+            "old_shard"
+        ),
+        F.expr("max_by(shard, h)").alias("new_shard"),
+    )
+    n = assign.groupBy().agg(F.count("*").alias("n"))
+    old_c = assign.groupBy(F.col("old_shard").alias("shard")).agg(
+        F.count("*").alias("n_old")
+    )
+    new_c = assign.groupBy(F.col("new_shard").alias("shard")).agg(
+        F.count("*").alias("n_new"),
+        F.sum(
+            F.when(F.col("old_shard") != F.col("new_shard"), 1).otherwise(0)
+        ).alias("n_arrived"),
+    )
+    grid = spark.range(_HRW_NEW).select(F.col("id").cast("int").alias("shard"))
+    per = (
+        grid.join(F.broadcast(old_c), "shard", "left")
+        .join(F.broadcast(new_c), "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_arrived", F.lit(0)).alias("n_arrived"),
+        )
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_arrived").alias("moved"),
+        F.max("n_new").alias("mx"),
+        F.min("n_new").alias("mnw"),
+    )
+    old_n = _HRW_OLD
+    return (
+        per.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_old",
+            "n_new",
+            "n_arrived",
+            (
+                ((F.col("n_arrived") == 0) | (F.col("shard") == old_n))
+                & ((F.col("shard") < old_n) | (F.col("n_old") == 0))
+            ).alias("arrivals_only_at_new"),
+            (
+                (F.col("shard") >= old_n) | (F.col("n_new") <= F.col("n_old"))
+            ).alias("old_shards_only_shrink"),
+            (F.col("moved") * _HRW_NEW <= 2 * F.col("n")).alias(
+                "moved_fraction_bounded"
+            ),
+            (
+                _HRW_NEW * F.col("mx")
+                <= 2 * _HRW_NEW * F.col("mnw") + F.col("n")
+            ).alias("balanced"),
+        )
+        .orderBy("shard")
+    )

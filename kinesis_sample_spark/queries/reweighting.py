@@ -184,3 +184,180 @@ def q307_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _WS_K)
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q320 — Neyman-allocation stratified sampling (round 14).
+# ---------------------------------------------------------------------------
+_NEY_B = 500  # total sample budget
+
+
+def _ney_oracle() -> str:
+    h = md5_long_sql("'ney:' || CAST(c_custkey AS VARCHAR)")
+    d6 = "CAST(CAST(CAST(round({x}, 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH m AS (
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_pop,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS sx,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))
+                         * CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS sxx
+    FROM customer GROUP BY c_mktsegment
+),
+sd AS (
+    SELECT segment, n_pop, sx,
+           sqrt((n_pop * sxx - sx * sx)
+                / (n_pop * CAST(n_pop - 1 AS DOUBLE))) AS s_h
+    FROM m
+),
+w AS (
+    SELECT segment, n_pop, sx, s_h, n_pop * s_h AS w_h,
+           SUM(n_pop * s_h) OVER () AS w_tot
+    FROM sd
+),
+alloc0 AS (
+    SELECT segment, n_pop, sx, s_h,
+           CAST(floor({_NEY_B} * w_h / w_tot) AS BIGINT) AS base,
+           {_NEY_B} * w_h / w_tot
+             - floor({_NEY_B} * w_h / w_tot) AS rem
+    FROM w
+),
+alloc AS (
+    SELECT segment, n_pop, sx, s_h,
+           base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, segment)
+                            <= {_NEY_B} - SUM(base) OVER ()
+                       THEN 1 ELSE 0 END AS n_alloc
+    FROM alloc0
+),
+ranked AS (
+    SELECT c_mktsegment AS segment,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY {h}, c_custkey) AS rk
+    FROM customer
+),
+samp AS (
+    SELECT r.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(CAST(SUM(r.bal) AS VARCHAR) AS DOUBLE) AS ssx
+    FROM ranked r JOIN alloc a ON a.segment = r.segment
+    WHERE r.rk <= a.n_alloc
+    GROUP BY r.segment
+)
+SELECT a.segment, a.n_pop,
+       {d6.format(x='a.s_h')} AS sd_pop,
+       a.n_alloc, s.n_sampled,
+       a.n_alloc > a.n_pop AS exhausted,
+       (SELECT SUM(n_alloc) FROM alloc) = {_NEY_B} AS budget_exact,
+       {d6.format(x='s.ssx / s.n_sampled')} AS sample_mean,
+       {d6.format(x='a.sx / a.n_pop')} AS pop_mean
+FROM alloc a JOIN samp s ON s.segment = a.segment
+ORDER BY a.segment
+"""
+
+
+@query("q320_neyman_allocation", oracle=_ney_oracle())
+def q320_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the two-phase design
+    every survey/eval pipeline uses when strata differ in spread —
+    phase 1 measures each stratum's size and standard deviation, phase
+    2 allocates the B={b} sample budget proportional to N_h * S_h
+    (minimum-variance allocation for a fixed budget) and draws a
+    deterministic md5-ranked sample per stratum. The registry's
+    sampling shelf draws at FIXED rates (q93 bernoulli, q297 union
+    stability, q307 weighted-ES); this is the first whose rates are
+    fitted from the data's own variance structure.
+
+    The integer allocation uses the largest-remainder method (floor the
+    real allocation, hand the remaining budget to the largest
+    fractional parts, ties by segment) so sum(n_alloc) == B EXACTLY —
+    gated by the budget_exact boolean. This is the ONE-SHOT allocation:
+    a stratum smaller than its allocation simply exhausts
+    (n_sampled = min(n_pop, n_alloc), surfaced by the exhausted flag)
+    rather than re-distributing iteratively — the honest readout at
+    tiny scale factors, a no-op at production N_h. Moments are exact decimals (one factor widened to
+    DECIMAL(19,2) before multiplying); S_h and the means are identical
+    double expressions quantized round(.,6).
+
+    Scale: phase 1 is one partial-aggregated moment pass; phase 2's
+    rank-within-stratum is a per-stratum shuffle of (hash, key) pairs
+    ONLY (the md5 rank, not a global sort); the draw is a broadcast
+    join against the 5-row allocation table. At 100 TB with a big
+    stratum count both passes stay key-partitioned; nothing global
+    exists but the 5-row window over strata."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal2 = F.col("c_acctbal").cast("decimal(12,2)")
+    bal19 = F.col("c_acctbal").cast("decimal(19,2)")
+    m = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_pop"),
+        F.sum(bal2).cast("double").alias("sx"),
+        F.sum(bal19 * bal2).cast("double").alias("sxx"),
+    )
+    s_h = F.sqrt(
+        (F.col("n_pop") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n_pop") * (F.col("n_pop") - 1).cast("double"))
+    )
+    w = m.select("segment", "n_pop", "sx", s_h.alias("s_h")).withColumn(
+        "w_tot", F.sum(F.col("n_pop") * F.col("s_h")).over(W.partitionBy())
+    )
+    real = F.lit(_NEY_B) * F.col("n_pop") * F.col("s_h") / F.col("w_tot")
+    alloc0 = w.select(
+        "segment",
+        "n_pop",
+        "sx",
+        "s_h",
+        F.floor(real).cast("bigint").alias("base"),
+        (real - F.floor(real)).alias("rem"),
+    )
+    alloc = alloc0.select(
+        "segment",
+        "n_pop",
+        "sx",
+        "s_h",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(W.orderBy(F.col("rem").desc(), "segment"))
+                <= F.lit(_NEY_B) - F.sum("base").over(W.partitionBy()),
+                1,
+            ).otherwise(0)
+        ).alias("n_alloc"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy(
+            md5_long(F.concat(F.lit("ney:"), F.col("c_custkey").cast("string"))),
+            "c_custkey",
+        )
+    )
+    ranked = cust.select(
+        F.col("c_mktsegment").alias("segment"), bal2.alias("bal"), rk.alias("rk")
+    )
+    samp = (
+        ranked.join(F.broadcast(alloc.select("segment", "n_alloc")), "segment")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("bal").cast("double").alias("ssx"),
+        )
+    )
+    btot = alloc.groupBy().agg(F.sum("n_alloc").alias("btot"))
+    q6 = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+    return (
+        alloc.join(samp, "segment")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "segment",
+            "n_pop",
+            q6(F.col("s_h")).alias("sd_pop"),
+            "n_alloc",
+            "n_sampled",
+            (F.col("n_alloc") > F.col("n_pop")).alias("exhausted"),
+            (F.col("btot") == _NEY_B).alias("budget_exact"),
+            q6(F.col("ssx") / F.col("n_sampled")).alias("sample_mean"),
+            q6(F.col("sx") / F.col("n_pop")).alias("pop_mean"),
+        )
+        .orderBy("segment")
+    )

@@ -948,3 +948,129 @@ def q272_revenue_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q317 — Haar wavelet decomposition of the daily order series (round 14).
+# ---------------------------------------------------------------------------
+_HAAR_N = 256  # 2^8 days from the first order date
+_HAAR_LEVELS = 8
+
+
+def _haar_shared_sql() -> str:
+    """Dialect-shared Haar transform over ``q317_daily(idx, v)``.
+
+    The trick that makes an 8-level hierarchical transform ONE
+    aggregation instead of an unrolled fixpoint: the unnormalized Haar
+    detail at (level k, position p) is a SIGNED SUM over the base
+    series — +v where floor(idx/2^(k-1)) is even within block p,
+    -v where odd — so a cross join against the 8-row level table and a
+    single GROUP BY produce every coefficient. No iteration, no CTE
+    self-reference, nothing for an inlining engine to expand.
+
+    Every value is an exact BIGINT end-to-end (counts, signed sums,
+    squares), so Parseval's identity is gated as integer EQUALITY with
+    the level weights cleared of denominators:
+    256 * sum(v^2) == s_total^2 + sum_k 2^(8-k) * sum_p d_{k,p}^2.
+    """
+    levels = ",".join(f"({k})" for k in range(1, _HAAR_LEVELS + 1))
+    return f"""
+levels AS (SELECT k FROM (VALUES {levels}) AS t(k)),
+coeffs AS (
+  SELECT t.k AS level,
+         CAST(floor(d.idx / power(2, t.k)) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN CAST(floor(d.idx / power(2, t.k - 1)) AS BIGINT)
+                            % 2 = 0
+                  THEN d.v ELSE -d.v END) AS BIGINT) AS coeff
+  FROM q317_daily d CROSS JOIN levels t
+  GROUP BY t.k, CAST(floor(d.idx / power(2, t.k)) AS BIGINT)
+),
+tot AS (
+  SELECT CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS e
+  FROM q317_daily
+),
+pars AS (
+  SELECT (SELECT s * s FROM tot)
+         + CAST(SUM(CAST(power(2, {_HAAR_LEVELS} - level) AS BIGINT)
+                    * coeff * coeff) AS BIGINT) AS lhs,
+         (SELECT {_HAAR_N} * e FROM tot) AS rhs
+  FROM coeffs
+)
+SELECT level, pos, coeff,
+       (SELECT rhs FROM pars) AS energy_x{_HAAR_N},
+       (SELECT lhs = rhs FROM pars) AS parseval_ok
+FROM coeffs
+ORDER BY abs(coeff) DESC, level, pos
+LIMIT 10
+"""
+
+
+@query(
+    "q317_haar_wavelet_energy",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT datediff('day', (SELECT MIN(o_orderdate) FROM orders),
+                  o_orderdate) AS idx,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM orders
+  WHERE datediff('day', (SELECT MIN(o_orderdate) FROM orders),
+                 o_orderdate) < {_HAAR_N}
+  GROUP BY 1
+),
+q317_daily AS MATERIALIZED (
+  SELECT g.idx, COALESCE(b.v, 0) AS v
+  FROM (SELECT unnest(range(0, {_HAAR_N})) AS idx) g
+  LEFT JOIN base b ON b.idx = g.idx
+),
+{_haar_shared_sql()}
+""",
+)
+def q317_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet decomposition of the first-{n}-day daily order
+    series: the top-10 detail coefficients by magnitude (which
+    time-scale and where the demand series moves hardest — level 8 is
+    the ~128-day vs ~128-day macro swing, level 1 a day-to-day flip)
+    plus Parseval's identity gated as EXACT integer equality. The
+    registry's time-series shelf (q250 seasonality, q258 EWMA, q261 CV,
+    q289 dispersion) works in the time domain; this is its first
+    multi-resolution/frequency-domain operator.
+
+    The transform is deliberately the UNNORMALIZED integer Haar
+    (pairwise a+b / a-b, no sqrt2): every coefficient is an exact
+    BIGINT, so the energy-conservation law needs no tolerance — the
+    denominators clear to 2^{L} * sum(v^2) == s^2 + sum 2^(L-k) d^2,
+    and both engines compare integers. One float anywhere and Parseval
+    would need an epsilon; exactness is what makes it a hash gate.
+
+    Plan shape (the real content): a textbook Haar is an L-round
+    fixpoint, but each detail coefficient is a signed sum over the BASE
+    series (sign = parity of floor(idx/2^(k-1))), so the whole
+    decomposition is one cross join with an 8-row level table and one
+    GROUP BY — the q311/q314 CTE-expansion trap never arises. The daily
+    aggregate is the only distributed work; the {n}-point series is
+    collected to a LocalRelation (same footing as q314's 64x64 matrix)
+    and the transform runs on dialect-shared SQL text.
+
+    Scale: the daily rollup partial-aggregates over the fact; the
+    transform is O(N log N) on N=256 points regardless of fact size. A
+    longer horizon (N=2^16 days) changes nothing structurally — the
+    signed-sum formulation shuffles (level, pos) partials, never raw
+    rows.""".format(n=_HAAR_N, L=_HAAR_LEVELS)
+    orders = load_table(spark, sf_dir, "orders")
+    mn = orders.agg(F.min("o_orderdate").alias("mn"))
+    base = (
+        orders.crossJoin(F.broadcast(mn))
+        .select(F.datediff("o_orderdate", "mn").cast("bigint").alias("idx"))
+        .filter(F.col("idx") < _HAAR_N)
+        .groupBy("idx")
+        .agg(F.count("*").alias("v"))
+    )
+    grid = spark.range(_HAAR_N).select(F.col("id").alias("idx"))
+    daily = grid.join(base, "idx", "left").select(
+        "idx", F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("v")
+    )
+    rows = daily.collect()
+    if len(rows) != _HAAR_N:
+        raise RuntimeError(f"q317: expected {_HAAR_N} days, got {len(rows)}")
+    spark.createDataFrame(rows, daily.schema).createOrReplaceTempView("q317_daily")
+    return spark.sql("WITH " + _haar_shared_sql())

@@ -182,3 +182,42 @@ def test_q315_mg_counts_partial_agg(spark):
     assert has_broadcast_join(df)
     plan = _plan(spark, "q315_misra_gries_bounds")
     assert "CartesianProduct" not in plan
+
+
+def test_q317_haar_single_aggregation(spark):
+    """The transform must be the signed-sum formulation: the returned
+    plan runs on the 256-row LocalRelation only (no FileScan — the
+    distributed daily rollup happened before materialization), and no
+    cartesian anywhere."""
+    plan = _plan(spark, "q317_haar_wavelet_energy")
+    assert "FileScan" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q318_hrw_partial_agg_no_global_sort(spark):
+    """Per-key argmax must partial-aggregate (max_by combines map-side);
+    the census joins are broadcast; no global Sort over the score
+    relation (only the final 8-row ordering)."""
+    df = _df(spark, "q318_rendezvous_rebalance")
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_q319_cuped_single_scan_two_aggs(spark):
+    """Pre/post split must ride ONE scan of events (CASE columns, not
+    two passes): exactly one FileScan of the events parquet in the
+    plan, partial-aggregated."""
+    df = _df(spark, "q319_cuped_variance_reduction")
+    plan = _plan(spark, "q319_cuped_variance_reduction")
+    # span pass + per-user pass both scan events; the split itself must
+    # not add a third
+    assert plan.count("FileScan parquet") <= 2
+    assert has_partial_aggregate(df)
+
+
+def test_q320_neyman_broadcast_alloc(spark):
+    """The 5-row allocation table must broadcast into the ranked draw;
+    moment pass partial-aggregates."""
+    df = _df(spark, "q320_neyman_allocation")
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)

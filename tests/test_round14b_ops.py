@@ -132,3 +132,129 @@ def test_q316_backlog_third_impl(spark):
         assert r.sum_value == pytest.approx(float(s), abs=1e-9)
         assert r.one_file_per_trigger and r.drained_in_file_count_batches
         assert r.watermark_monotone and r.watermark_advanced and r.totals_match
+
+
+# ---------------------------------------------------------------------------
+# q317 — Haar wavelet energy
+# ---------------------------------------------------------------------------
+def test_q317_haar_third_impl(spark):
+    """Iterative pairwise Haar in numpy (the textbook formulation) must
+    produce the same top-10 coefficients as the engine's signed-sum
+    formulation, and Parseval must hold exactly in Python ints."""
+    orders = _pd("orders")
+    d0 = orders.o_orderdate.min()
+    idx = (orders.o_orderdate - d0).dt.days
+    counts = idx[idx < 256].value_counts()
+    x = np.zeros(256, dtype=np.int64)
+    x[counts.index] = counts.values
+    coeffs = {}
+    s = x.copy()
+    lhs = 0
+    for k in range(1, 9):
+        a, b = s[0::2], s[1::2]
+        d = a - b
+        for p, val in enumerate(d):
+            coeffs[(k, p)] = int(val)
+        lhs += (2 ** (8 - k)) * int((d.astype(object) ** 2).sum())
+        s = a + b
+    lhs += int(s[0]) ** 2
+    energy = 256 * int((x.astype(object) ** 2).sum())
+    assert lhs == energy
+    top = sorted(coeffs.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:10]
+    rows = _run(spark, "q317_haar_wavelet_energy")
+    assert [((r.level, r.pos), r.coeff) for r in rows] == top
+    assert all(r.parseval_ok for r in rows)
+    assert rows[0][3] == energy  # energy_x256 column
+
+
+# ---------------------------------------------------------------------------
+# q318 — rendezvous rebalance
+# ---------------------------------------------------------------------------
+def test_q318_hrw_third_impl(spark):
+    orders = _pd("orders")
+    old_c = [0] * 8
+    new_c = [0] * 8
+    arrived = [0] * 8
+    for key in orders.o_orderkey:
+        hs = [_md5_long(f"hrw:{s}:{int(key)}") for s in range(8)]
+        old = max(range(7), key=lambda s: hs[s])
+        new = max(range(8), key=lambda s: hs[s])
+        old_c[old] += 1
+        new_c[new] += 1
+        if old != new:
+            arrived[new] += 1
+            assert new == 7  # the HRW minimal-disruption law itself
+    rows = _run(spark, "q318_rendezvous_rebalance")
+    assert [(r.shard, r.n_old, r.n_new, r.n_arrived) for r in rows] == [
+        (s, old_c[s], new_c[s], arrived[s]) for s in range(8)
+    ]
+    for r in rows:
+        assert r.arrivals_only_at_new and r.old_shards_only_shrink
+        assert r.moved_fraction_bounded and r.balanced
+
+
+# ---------------------------------------------------------------------------
+# q319 — CUPED
+# ---------------------------------------------------------------------------
+def test_q319_cuped_third_impl(spark):
+    ev = _pd("events")
+    ev = ev[ev.value.notna()].copy()
+    day = (ev.ts - pd.Timestamp("1970-01-01")).dt.days
+    sd = int((day.min() + day.max() + 1) // 2)
+    ev["xv"] = [float(_dec2(v)) if d < sd else 0.0 for v, d in zip(ev.value, day)]
+    ev["yv"] = [float(_dec2(v)) if d >= sd else 0.0 for v, d in zip(ev.value, day)]
+    pu = ev.groupby("user_id")[["xv", "yv"]].sum()
+    n = len(pu)
+    vx = pu.xv.var(ddof=1)
+    vy = pu.yv.var(ddof=1)
+    cxy = pu.xv.cov(pu.yv)
+    (r,) = _run(spark, "q319_cuped_variance_reduction")
+    assert r.n_users == n
+    assert r.mean_post == pytest.approx(pu.yv.mean(), rel=1e-5, abs=1e-6)
+    assert r.theta == pytest.approx(cxy / vx, abs=1e-6)
+    assert r.var_post == pytest.approx(vy, rel=1e-5)
+    assert r.var_cuped == pytest.approx(vy - cxy * cxy / vx, rel=1e-5)
+    assert 0 < r.variance_reduction < 1
+    # the CUPED identity: adjusted variance equals var of Y - theta*X
+    adj = pu.yv - (cxy / vx) * (pu.xv - pu.xv.mean())
+    assert r.var_cuped == pytest.approx(adj.var(ddof=1), rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# q320 — Neyman allocation
+# ---------------------------------------------------------------------------
+def test_q320_neyman_third_impl(spark):
+    import math
+
+    cust = _pd("customer")
+    cust["bal"] = [float(_dec2(v)) for v in cust.c_acctbal]
+    g = cust.groupby("c_mktsegment")
+    stats = {
+        seg: (len(d), d.bal.std(ddof=1), d.bal.mean()) for seg, d in g
+    }
+    wtot = sum(n * s for n, s, _ in stats.values())
+    base = {seg: math.floor(500 * n * s / wtot) for seg, (n, s, _) in stats.items()}
+    rem = {
+        seg: 500 * n * s / wtot - base[seg] for seg, (n, s, _) in stats.items()
+    }
+    deficit = 500 - sum(base.values())
+    order = sorted(stats, key=lambda seg: (-rem[seg], seg))
+    alloc = {
+        seg: base[seg] + (1 if i < deficit else 0) for i, seg in enumerate(order)
+    }
+    assert sum(alloc.values()) == 500
+    rows = _run(spark, "q320_neyman_allocation")
+    assert [r.segment for r in rows] == sorted(stats)
+    for r in rows:
+        n, s, mean = stats[r.segment]
+        take = min(n, alloc[r.segment])
+        assert (r.n_pop, r.n_alloc, r.n_sampled) == (n, alloc[r.segment], take)
+        assert r.exhausted == (alloc[r.segment] > n)
+        assert r.sd_pop == pytest.approx(s, rel=1e-6)
+        assert r.pop_mean == pytest.approx(mean, rel=1e-6)
+        assert r.budget_exact
+        # the sampled mean comes from the md5-ranked draw — recompute it
+        d = cust[cust.c_mktsegment == r.segment].copy()
+        d["h"] = [_md5_long(f"ney:{int(k)}") for k in d.c_custkey]
+        top = d.sort_values(["h", "c_custkey"]).head(take)
+        assert r.sample_mean == pytest.approx(top.bal.mean(), rel=1e-6)
