@@ -120,6 +120,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q318_rendezvous_rebalance",
     "q319_cuped_variance_reduction",
     "q320_neyman_allocation",
+    "q321_allen_interval_census",
+    "q322_sax_motif_census",
+    "q323_heaps_vocabulary_growth",
+    "q324_ks_exponential_fit",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -136,10 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q125_pagerank_part_supplier",
     "q126_live_stream_static_enrich",
     "q127_canonical_selection",
-    "q128_winsorized_stats",
-    "q129_hard_negative_mining",
-    "q130_source_overlap_matrix",
-    "q131_live_session_windows",
 )
 
 

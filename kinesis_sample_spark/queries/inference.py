@@ -918,3 +918,128 @@ def q319_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         q6(vy - cxy * cxy / vx).alias("var_cuped"),
         q6((cxy * cxy / vx) / vy).alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q324 — one-sample KS test of inter-arrival exponentiality (round 14).
+# ---------------------------------------------------------------------------
+@query(
+    "q324_ks_exponential_fit",
+    oracle=f"""
+WITH seq AS (
+    SELECT epoch_us(ts) - lag(epoch_us(ts))
+             OVER (ORDER BY ts, event_id) AS dt
+    FROM events
+),
+gaps AS (SELECT CAST(dt AS BIGINT) AS dt FROM seq WHERE dt IS NOT NULL),
+mm AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dt) AS BIGINT) AS s
+    FROM gaps
+),
+dv AS (
+    SELECT dt, CAST(COUNT(*) AS BIGINT) AS cnt FROM gaps GROUP BY dt
+),
+cum AS (
+    SELECT dt, cnt,
+           SUM(cnt) OVER (ORDER BY dt ROWS UNBOUNDED PRECEDING) AS cle
+    FROM dv
+),
+terms AS (
+    SELECT CAST(round(CAST(cle AS DOUBLE) / m.n
+                      - (1 - exp(-(CAST(m.n AS DOUBLE) / m.s) * dt)), 6)
+                AS DECIMAL(18,6)) AS dplus,
+           CAST(round((1 - exp(-(CAST(m.n AS DOUBLE) / m.s) * dt))
+                      - CAST(cle - cnt AS DOUBLE) / m.n, 6)
+                AS DECIMAL(18,6)) AS dminus
+    FROM cum, mm m
+),
+d AS (
+    SELECT CAST(CAST(MAX(dplus) AS VARCHAR) AS DOUBLE) AS d_plus,
+           CAST(CAST(MAX(dminus) AS VARCHAR) AS DOUBLE) AS d_minus
+    FROM terms
+)
+SELECT m.n AS n_gaps,
+       CAST(CAST(CAST(round(86400000000.0 * m.n / m.s, 6) AS DECIMAL(18,6))
+                 AS VARCHAR) AS DOUBLE) AS lambda_per_day,
+       d.d_plus, d.d_minus,
+       CASE WHEN d.d_plus >= d.d_minus THEN d.d_plus ELSE d.d_minus END
+         AS d_stat,
+       CAST(CAST(CAST(round(sqrt(CAST(m.n AS DOUBLE))
+                            * (CASE WHEN d.d_plus >= d.d_minus
+                                    THEN d.d_plus ELSE d.d_minus END), 6)
+                      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS sqrt_n_d,
+       sqrt(CAST(m.n AS DOUBLE))
+         * (CASE WHEN d.d_plus >= d.d_minus THEN d.d_plus ELSE d.d_minus END)
+         > 1.358 AS exp_rejected_05
+FROM mm m, d
+""",
+)
+def q324_ks_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of the event inter-arrival
+    gaps against a FITTED exponential (lambda = n/sum(dt)): is the
+    arrival process Poisson? q199 compares two empirical samples; q289
+    tests the count dispersion; this is the third arrival diagnostic —
+    the distribution-shape test against the model queueing theory
+    assumes. Outputs D+, D-, D, sqrt(n)*D and a 5%-level flag at the
+    asymptotic critical value 1.358 (documented caveat: that quantile
+    assumes a FULLY SPECIFIED null; with lambda estimated from the same
+    data it is conservative — the honest Lilliefors-style reading, the
+    flag is directional evidence, not a calibrated p-value).
+
+    Determinism: gaps are exact integer microseconds from a
+    (ts, event_id)-ordered lag; ties collapse through a distinct-value
+    pre-aggregate + cumulative window (the q199 recipe), so the ECDF is
+    exact integers over n; each per-value KS term quantizes
+    round(.,6)->DECIMAL BEFORE the max (exp() is the one transcendental
+    — Java Math.exp vs libm can diverge 1 ulp, the q194 ln lesson), so
+    MAX compares exact decimals.
+
+    Scale: one global sort for the lag (range-partitionable), one
+    distinct-value aggregate + one ordered window over distinct gaps,
+    two scalar folds. Nothing is quadratic; the distinct-gap relation
+    is the only state."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        (us - F.lag(us).over(W.orderBy("ts", "event_id"))).alias("dt")
+    )
+    gaps = seq.filter(F.col("dt").isNotNull())
+    mm = gaps.groupBy().agg(
+        F.count("*").alias("n"), F.sum("dt").alias("s")
+    )
+    dv = gaps.groupBy("dt").agg(F.count("*").alias("cnt"))
+    cum = dv.select(
+        "dt",
+        "cnt",
+        F.sum("cnt")
+        .over(W.orderBy("dt").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cle"),
+    )
+    lam = F.col("n").cast("double") / F.col("s")
+    fexp = 1 - F.exp(-lam * F.col("dt"))
+    q6d = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    terms = cum.crossJoin(F.broadcast(mm)).select(
+        q6d(F.col("cle").cast("double") / F.col("n") - fexp).alias("dplus"),
+        q6d(fexp - (F.col("cle") - F.col("cnt")).cast("double") / F.col("n")).alias(
+            "dminus"
+        ),
+    )
+    d = terms.groupBy().agg(
+        F.max("dplus").cast("double").alias("d_plus"),
+        F.max("dminus").cast("double").alias("d_minus"),
+    )
+    dstat = F.when(
+        F.col("d_plus") >= F.col("d_minus"), F.col("d_plus")
+    ).otherwise(F.col("d_minus"))
+    q6 = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+    return mm.crossJoin(F.broadcast(d)).select(
+        F.col("n").alias("n_gaps"),
+        q6(F.lit(86400000000.0) * F.col("n") / F.col("s")).alias("lambda_per_day"),
+        "d_plus",
+        "d_minus",
+        dstat.alias("d_stat"),
+        q6(F.sqrt(F.col("n").cast("double")) * dstat).alias("sqrt_n_d"),
+        (F.sqrt(F.col("n").cast("double")) * dstat > 1.358).alias(
+            "exp_rejected_05"
+        ),
+    )

@@ -1074,3 +1074,300 @@ def q317_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"q317: expected {_HAAR_N} days, got {len(rows)}")
     spark.createDataFrame(rows, daily.schema).createOrReplaceTempView("q317_daily")
     return spark.sql("WITH " + _haar_shared_sql())
+
+
+# ---------------------------------------------------------------------------
+# q321 — Allen's interval-algebra census (round 14).
+# ---------------------------------------------------------------------------
+#: the 13 Allen relations in canonical order, as a shared CASE over
+#: (a_start, a_end, b_start, b_end). Branch order makes the taxonomy
+#: deterministic for degenerate (point) intervals too: the first
+#: matching arm wins on both engines — the CASE text is shared verbatim.
+_ALLEN_CASE = """CASE
+  WHEN a_end < b_start THEN 'before'
+  WHEN a_end = b_start THEN 'meets'
+  WHEN a_start < b_start AND a_end > b_start AND a_end < b_end THEN 'overlaps'
+  WHEN a_start = b_start AND a_end < b_end THEN 'starts'
+  WHEN a_start > b_start AND a_end < b_end THEN 'during'
+  WHEN a_start > b_start AND a_start < b_end AND a_end = b_end THEN 'finishes'
+  WHEN a_start = b_start AND a_end = b_end THEN 'equals'
+  WHEN a_start < b_start AND a_end = b_end THEN 'finished_by'
+  WHEN a_start < b_start AND a_end > b_end THEN 'contains'
+  WHEN a_start = b_start AND a_end > b_end THEN 'started_by'
+  WHEN a_start < b_end AND a_start > b_start AND a_end > b_end
+    THEN 'overlapped_by'
+  WHEN a_start = b_end THEN 'met_by'
+  WHEN a_start > b_end THEN 'after'
+  ELSE 'other'
+END"""
+
+_ALLEN_ORDER = (
+    "before", "meets", "overlaps", "starts", "during", "finishes", "equals",
+    "finished_by", "contains", "started_by", "overlapped_by", "met_by",
+    "after",
+)
+
+
+@query(
+    "q321_allen_interval_census",
+    oracle=f"""
+WITH fu AS (
+  SELECT o.o_custkey AS ck, o.o_orderkey AS k,
+         o.o_orderdate AS s, MAX(l.l_shipdate) AS e
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+),
+pairs AS (
+  SELECT s AS a_start, e AS a_end,
+         lead(s) OVER w AS b_start, lead(e) OVER w AS b_end
+  FROM fu WINDOW w AS (PARTITION BY ck ORDER BY s, k)
+),
+cls AS (
+  SELECT {_ALLEN_CASE} AS rel FROM pairs WHERE b_start IS NOT NULL
+),
+census AS (SELECT rel, CAST(COUNT(*) AS BIGINT) AS n FROM cls GROUP BY rel),
+taxonomy AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({i + 1}, '{r}')" for i, r in enumerate(_ALLEN_ORDER))}
+  ) AS t(ord, rel)
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM census)
+SELECT t.ord, t.rel, COALESCE(c.n, 0) AS n_pairs,
+       CAST(CAST(CAST(round(COALESCE(c.n, 0) / (SELECT CAST(total AS DOUBLE)
+                                                FROM tot), 6)
+                      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS share,
+       (SELECT COUNT(*) FROM census WHERE rel = 'other') = 0
+         AS all_classified
+FROM taxonomy t LEFT JOIN census c ON c.rel = t.rel
+ORDER BY t.ord
+""",
+)
+def q321_allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra, the complete 13-relation taxonomy,
+    censused over consecutive same-customer fulfillment intervals
+    ([o_orderdate, last l_shipdate] vs the customer's next order): did
+    the next order arrive before the previous finished shipping
+    (overlaps/contains — the concurrency the warehouse actually
+    schedules around), after a gap (before), or back-to-back (meets)?
+    The registry joins intervals (q243 as-of, q251 stabbing, q139
+    SCD2); this is the first operator that CLASSIFIES interval pairs —
+    the full taxonomy, not one predicate — and returns all 13 rows
+    (zeros included) so a vanished relation is a visible diff, with an
+    all_classified gate proving the CASE is exhaustive on real data.
+
+    Determinism: the 13 conditions are written in one canonical-order
+    CASE whose text both engines evaluate verbatim (dates compare
+    exactly; the branch ORDER resolves degenerate point intervals the
+    same way everywhere). Consecutive pairing is lead() over
+    (customer, start, orderkey) — the orderkey tiebreak pins same-day
+    orders.
+
+    Scale: the fulfillment interval is a partial-aggregated
+    order-grain rollup off the orders⋈lineitem join (orderkey-keyed
+    shuffle); pairing is a customer-partitioned window — no interval
+    self-join anywhere, so cost is one sort per customer partition,
+    not pairs x pairs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fu = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e"))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("s"),
+            "e",
+        )
+    )
+    w = W.partitionBy("ck").orderBy("s", "k")
+    pairs = fu.select(
+        F.col("s").alias("a_start"),
+        F.col("e").alias("a_end"),
+        F.lead("s").over(w).alias("b_start"),
+        F.lead("e").over(w).alias("b_end"),
+    ).filter(F.col("b_start").isNotNull())
+    census = pairs.select(F.expr(_ALLEN_CASE).alias("rel")).groupBy("rel").agg(
+        F.count("*").alias("n")
+    )
+    taxonomy = spark.createDataFrame(
+        [(i + 1, r) for i, r in enumerate(_ALLEN_ORDER)], ["ord", "rel"]
+    )
+    tot = census.groupBy().agg(F.sum("n").alias("total"))
+    other = census.filter(F.col("rel") == "other").groupBy().agg(
+        F.count("*").alias("n_other")
+    )
+    return (
+        taxonomy.join(F.broadcast(census), "rel", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(
+            F.broadcast(
+                other.select(F.coalesce("n_other", F.lit(0)).alias("n_other"))
+            )
+        )
+        .select(
+            "ord",
+            "rel",
+            F.coalesce("n", F.lit(0)).alias("n_pairs"),
+            F.round(
+                F.coalesce("n", F.lit(0)) / F.col("total").cast("double"), 6
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("share"),
+            (F.col("n_other") == 0).alias("all_classified"),
+        )
+        .orderBy("ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q322 — SAX symbolic motif census over the daily order series (round 14).
+# ---------------------------------------------------------------------------
+_SAX_N = 256  # days (shared with q317's horizon)
+_SAX_W = 8  # days per PAA segment -> 32 segments
+_SAX_SEGS = _SAX_N // _SAX_W
+#: N(0,1) quartile breakpoints for a 4-letter alphabet (Lin/Keogh SAX)
+_SAX_BP = (-0.6745, 0.0, 0.6745)
+
+
+@query(
+    "q322_sax_motif_census",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT datediff('day', (SELECT MIN(o_orderdate) FROM orders),
+                  o_orderdate) AS idx,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM orders
+  WHERE datediff('day', (SELECT MIN(o_orderdate) FROM orders),
+                 o_orderdate) < {_SAX_N}
+  GROUP BY 1
+),
+daily AS MATERIALIZED (
+  SELECT g.idx, COALESCE(b.v, 0) AS v
+  FROM (SELECT unnest(range(0, {_SAX_N})) AS idx) g
+  LEFT JOIN base b ON b.idx = g.idx
+),
+paa AS MATERIALIZED (
+  SELECT CAST(floor(idx / {_SAX_W}) AS BIGINT) AS pos,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM daily GROUP BY 1
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(s * s) AS BIGINT) AS sss
+  FROM paa
+),
+sym AS MATERIALIZED (
+  SELECT pos,
+         CASE WHEN z < {_SAX_BP[0]} THEN 'a'
+              WHEN z < {_SAX_BP[1]} THEN 'b'
+              WHEN z < {_SAX_BP[2]} THEN 'c'
+              ELSE 'd' END AS c
+  FROM (
+    SELECT pos,
+           (s - CAST(ss AS DOUBLE) / m)
+           / sqrt((m * sss - CAST(ss AS DOUBLE) * ss)
+                  / (m * CAST(m - 1 AS DOUBLE))) AS z
+    FROM paa, st
+  ) zz
+),
+words AS (
+  SELECT c || lead(c, 1) OVER (ORDER BY pos)
+           || lead(c, 2) OVER (ORDER BY pos) AS word
+  FROM sym
+),
+census AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words WHERE word IS NOT NULL GROUP BY word
+)
+SELECT word, n,
+       CAST(CAST(CAST(round(n / CAST({_SAX_SEGS - 2} AS DOUBLE), 6)
+                      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS share
+FROM census
+ORDER BY n DESC, word
+LIMIT 10
+""",
+)
+def q322_sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) motif census of the daily
+    order series: {n} days -> {m} PAA segments ({w}-day sums) ->
+    z-normalized -> 4-letter alphabet at the N(0,1) quartile
+    breakpoints -> sliding 3-letter words -> top-10 motif census. The
+    symbolic-discretization family (Lin & Keogh's SAX) the time-series
+    shelf lacked: q317 asks WHERE the energy lives, this asks WHICH
+    SHAPES repeat — 'abd' is a surge after a quiet fortnight, 'ddd' a
+    sustained peak; motif counts are what a forecaster's shape library
+    indexes at scale.
+
+    Determinism: PAA sums are exact BIGINTs; the z-scores are one
+    identical double expression (exact integer moments, n-1 variance)
+    on both engines, compared against literal breakpoints — symbols are
+    therefore bit-stable, and everything after the CASE is exact
+    strings/ints. (A z exactly equal to a breakpoint would be the only
+    ambiguity; breakpoints are irrational-valued literals, unreachable
+    from integer-derived ratios.)
+
+    Scale: one daily partial aggregate over the fact, then {m} rows —
+    the window lead and census are free. A year of 10-minute buckets
+    (52k points) changes the constant, not the plan: PAA partial-
+    aggregates, words ride one ordered window over segments.""".format(
+        n=_SAX_N, m=_SAX_SEGS, w=_SAX_W
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    mn = orders.agg(F.min("o_orderdate").alias("mn"))
+    base = (
+        orders.crossJoin(F.broadcast(mn))
+        .select(F.datediff("o_orderdate", "mn").cast("bigint").alias("idx"))
+        .filter(F.col("idx") < _SAX_N)
+        .groupBy("idx")
+        .agg(F.count("*").alias("v"))
+    )
+    grid = spark.range(_SAX_N).select(F.col("id").alias("idx"))
+    daily = grid.join(base, "idx", "left").select(
+        "idx", F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("v")
+    )
+    paa = daily.groupBy(
+        F.floor(F.col("idx") / _SAX_W).cast("bigint").alias("pos")
+    ).agg(F.sum("v").alias("s"))
+    st = paa.groupBy().agg(
+        F.count("*").alias("m"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+    )
+    z = (F.col("s") - F.col("ss").cast("double") / F.col("m")) / F.sqrt(
+        (F.col("m") * F.col("sss") - F.col("ss").cast("double") * F.col("ss"))
+        / (F.col("m") * (F.col("m") - 1).cast("double"))
+    )
+    sym = (
+        paa.crossJoin(F.broadcast(st))
+        .select("pos", z.alias("z"))
+        .select(
+            "pos",
+            F.when(F.col("z") < _SAX_BP[0], "a")
+            .when(F.col("z") < _SAX_BP[1], "b")
+            .when(F.col("z") < _SAX_BP[2], "c")
+            .otherwise("d")
+            .alias("c"),
+        )
+    )
+    w = W.orderBy("pos")
+    words = sym.select(
+        F.concat(
+            F.col("c"), F.lead("c", 1).over(w), F.lead("c", 2).over(w)
+        ).alias("word")
+    ).filter(F.col("word").isNotNull())
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.round(F.col("n") / F.lit(float(_SAX_SEGS - 2)), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "word")
+        .limit(10)
+    )

@@ -638,3 +638,179 @@ def q264_shingle_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q323 — Heaps'-law vocabulary-growth fit (round 14).
+# ---------------------------------------------------------------------------
+_HEAPS_KS = tuple(range(3, 13))  # checkpoint ranks 2^3 .. 2^12 (<= n_docs)
+
+
+def _heaps_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("'heaps:' || CAST(doc_id AS VARCHAR)")
+    ks = ", ".join(f"({k})" for k in _HEAPS_KS)
+    q6 = "CAST(round({x}, 6) AS DECIMAL(18,6))"
+    d6 = "CAST(CAST(CAST(round({x}, 6) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH ranked AS MATERIALIZED (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           ROW_NUMBER() OVER (ORDER BY {h}, doc_id) AS rk
+    FROM documents
+),
+doclen AS (SELECT rk, CAST(len(t) - 2 AS BIGINT) AS ntg FROM ranked),
+grams AS MATERIALIZED (
+    SELECT gram, CAST(MIN(rk) AS BIGINT) AS first_rk
+    FROM (
+        SELECT rk, unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+               AS gram
+        FROM ranked
+    ) g
+    GROUP BY gram
+),
+cps AS (
+    SELECT k, CAST(power(2, k) AS BIGINT) AS r
+    FROM (VALUES {ks}) AS t(k)
+    WHERE CAST(power(2, k) AS BIGINT) <= (SELECT MAX(rk) FROM ranked)
+),
+pts AS MATERIALIZED (
+    SELECT c.k, c.r,
+           (SELECT CAST(SUM(ntg) AS BIGINT) FROM doclen WHERE rk <= c.r)
+             AS corpus_tokens,
+           (SELECT COUNT(*) FROM grams WHERE first_rk <= c.r) AS vocab
+    FROM cps c
+),
+lp AS (
+    SELECT k, r, corpus_tokens, vocab,
+           {q6.format(x='ln(CAST(corpus_tokens AS DOUBLE))')} AS x,
+           {q6.format(x='ln(CAST(vocab AS DOUBLE))')} AS y
+    FROM pts
+),
+ols AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * y) AS VARCHAR) AS DOUBLE)
+             AS sxy,
+           CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS VARCHAR) AS DOUBLE)
+             AS sxx
+    FROM lp
+)
+SELECT lp.k, lp.r AS r_docs, lp.corpus_tokens, CAST(lp.vocab AS BIGINT) AS vocab,
+       {d6.format(x='(o.m * o.sxy - o.sx * o.sy) / (o.m * o.sxx - o.sx * o.sx)')}
+         AS heaps_beta,
+       {d6.format(
+           x='(o.sy - (o.m * o.sxy - o.sx * o.sy)'
+             ' / (o.m * o.sxx - o.sx * o.sx) * o.sx) / o.m')}
+         AS ln_k0
+FROM lp, ols o
+ORDER BY lp.k
+"""
+
+
+@query("q323_heaps_vocabulary_growth", oracle=_heaps_oracle())
+def q323_heaps_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: how the corpus's TRIGRAM vocabulary grows with
+    corpus size, V(T) ~ K * T^beta, measured at doubling document
+    checkpoints (ranks 2^3..2^12 in a deterministic md5 document order)
+    and fitted log-log by OLS. The dedup/quality shelf treats the
+    corpus as fixed; this is the GROWTH calibration — sublinear beta is
+    what says "new documents still bring new phrases" vs "the crawl has
+    saturated", the quantity an acquisition pipeline actually watches.
+    (q248 fits Zipf — frequency vs rank at fixed size; Heaps is its
+    growth-curve dual. Unigrams saturate this fixture's 31-word
+    vocabulary instantly, so the unit is the trigram — same unit as
+    q193's novelty.)
+
+    Determinism: document order is md5-ranked (layout-free); vocabulary
+    growth is first-occurrence-rank ≤ checkpoint — MIN(rank) per gram,
+    an exact integer — and corpus size is an exact token-count prefix
+    sum. The ln terms are quantized round(.,6)->DECIMAL per the house
+    recipe (Java log vs libm diverge 1 ulp); OLS moments are exact
+    decimal sums of the quantized terms, widened DECIMAL(19,6) before
+    multiplying; beta/intercept are identical double expressions.
+
+    Scale: first-occurrence is a gram-keyed partial MIN aggregate (the
+    same shuffle q193's df count rides); checkpoint evaluation is a
+    conditional aggregate of the gram table against a <=10-row
+    broadcast checkpoint list — no per-prefix rescan, no running
+    distinct-state. 10x the corpus adds one checkpoint row."""
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.orderBy(
+            md5_long(F.concat(F.lit("heaps:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    ranked = docs.select(
+        "doc_id", F.split("text", " ").alias("t"), rk.alias("rk")
+    )
+    doclen = ranked.select(
+        "rk", (F.size("t") - 2).cast("bigint").alias("ntg")
+    )
+    grams = (
+        ranked.select("rk", F.explode(shingle_array(F.col("t"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("rk").cast("bigint").alias("first_rk"))
+    )
+    n_docs = ranked.groupBy().agg(F.max("rk").alias("mx"))
+    cps = (
+        spark.createDataFrame([(k, 2**k) for k in _HEAPS_KS], ["k", "r"])
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("r") <= F.col("mx"))
+        .select("k", "r")
+    )
+    toks = (
+        doclen.crossJoin(F.broadcast(cps))
+        .groupBy("k", "r")
+        .agg(F.sum(F.when(F.col("rk") <= F.col("r"), F.col("ntg"))).alias("corpus_tokens"))
+    )
+    voc = (
+        grams.crossJoin(F.broadcast(cps))
+        .groupBy("k", "r")
+        .agg(
+            F.sum(
+                F.when(F.col("first_rk") <= F.col("r"), 1).otherwise(0)
+            ).cast("bigint").alias("vocab")
+        )
+    )
+    q6d = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    lp = toks.join(voc, ["k", "r"]).select(
+        "k",
+        "r",
+        "corpus_tokens",
+        "vocab",
+        q6d(F.log(F.col("corpus_tokens").cast("double"))).alias("x"),
+        q6d(F.log(F.col("vocab").cast("double"))).alias("y"),
+    )
+    ols = lp.groupBy().agg(
+        F.count("*").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,6)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,6)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    q6 = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+    return (
+        lp.crossJoin(F.broadcast(ols))
+        .select(
+            "k",
+            F.col("r").alias("r_docs"),
+            "corpus_tokens",
+            "vocab",
+            q6(beta).alias("heaps_beta"),
+            q6((F.col("sy") - beta * F.col("sx")) / F.col("m")).alias("ln_k0"),
+        )
+        .orderBy("k")
+    )

@@ -221,3 +221,33 @@ def test_q320_neyman_broadcast_alloc(spark):
     df = _df(spark, "q320_neyman_allocation")
     assert has_broadcast_join(df)
     assert has_partial_aggregate(df)
+
+
+def test_q321_allen_no_interval_self_join(spark):
+    """Pairing must be the lead() window, never an interval self-join:
+    exactly the orders-lineitem equi-join in the plan, no cartesian, and
+    the census partial-aggregates."""
+    df = _df(spark, "q321_allen_interval_census")
+    plan = _plan(spark, "q321_allen_interval_census")
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_q322_sax_partial_agg(spark):
+    """Daily rollup and PAA both partial-aggregate; the symbol/word
+    stage runs on 32 rows."""
+    assert has_partial_aggregate(_df(spark, "q322_sax_motif_census"))
+
+
+def test_q323_heaps_broadcast_checkpoints(spark):
+    """First-occurrence is a gram-keyed MIN partial aggregate; the
+    checkpoint list broadcasts into both conditional aggregates."""
+    df = _df(spark, "q323_heaps_vocabulary_growth")
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_q324_ks_distinct_value_preagg(spark):
+    """The ECDF must ride the distinct-gap pre-aggregate (tie-safe q199
+    recipe) — partial aggregation before the ordered window."""
+    assert has_partial_aggregate(_df(spark, "q324_ks_exponential_fit"))

@@ -6,6 +6,7 @@ Same methodology as tests/test_round14_ops.py."""
 from __future__ import annotations
 
 import hashlib
+import math
 from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
@@ -258,3 +259,155 @@ def test_q320_neyman_third_impl(spark):
         d["h"] = [_md5_long(f"ney:{int(k)}") for k in d.c_custkey]
         top = d.sort_values(["h", "c_custkey"]).head(take)
         assert r.sample_mean == pytest.approx(top.bal.mean(), rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# q321 — Allen interval census
+# ---------------------------------------------------------------------------
+def _allen(a_s, a_e, b_s, b_e):
+    if a_e < b_s:
+        return "before"
+    if a_e == b_s:
+        return "meets"
+    if a_s < b_s and a_e > b_s and a_e < b_e:
+        return "overlaps"
+    if a_s == b_s and a_e < b_e:
+        return "starts"
+    if a_s > b_s and a_e < b_e:
+        return "during"
+    if a_s > b_s and a_s < b_e and a_e == b_e:
+        return "finishes"
+    if a_s == b_s and a_e == b_e:
+        return "equals"
+    if a_s < b_s and a_e == b_e:
+        return "finished_by"
+    if a_s < b_s and a_e > b_e:
+        return "contains"
+    if a_s == b_s and a_e > b_e:
+        return "started_by"
+    if a_s < b_e and a_s > b_s and a_e > b_e:
+        return "overlapped_by"
+    if a_s == b_e:
+        return "met_by"
+    if a_s > b_e:
+        return "after"
+    return "other"
+
+
+def test_q321_allen_third_impl(spark):
+    from collections import Counter
+
+    orders = _pd("orders")
+    li = _pd("lineitem")
+    fu = (
+        li.groupby("l_orderkey").l_shipdate.max().rename("e").reset_index()
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    )
+    census = Counter()
+    for _, grp in fu.groupby("o_custkey"):
+        g = grp.sort_values(["o_orderdate", "o_orderkey"])
+        ivs = list(zip(g.o_orderdate, g.e))
+        for (a_s, a_e), (b_s, b_e) in zip(ivs, ivs[1:]):
+            census[_allen(a_s, a_e, b_s, b_e)] += 1
+    total = sum(census.values())
+    rows = _run(spark, "q321_allen_interval_census")
+    assert len(rows) == 13
+    assert census.get("other", 0) == 0
+    for r in rows:
+        assert r.n_pairs == census.get(r.rel, 0)
+        assert r.all_classified
+        assert r.share == pytest.approx(census.get(r.rel, 0) / total, abs=1e-6)
+    assert sum(r.n_pairs for r in rows) == total
+
+
+# ---------------------------------------------------------------------------
+# q322 — SAX motifs
+# ---------------------------------------------------------------------------
+def test_q322_sax_third_impl(spark):
+    from collections import Counter
+
+    orders = _pd("orders")
+    d0 = orders.o_orderdate.min()
+    idx = (orders.o_orderdate - d0).dt.days
+    counts = idx[idx < 256].value_counts()
+    x = np.zeros(256, dtype=np.int64)
+    x[counts.index] = counts.values
+    paa = x.reshape(32, 8).sum(axis=1).astype(float)
+    z = (paa - paa.mean()) / paa.std(ddof=1)
+    sym = np.select(
+        [z < -0.6745, z < 0.0, z < 0.6745], ["a", "b", "c"], default="d"
+    )
+    words = Counter(
+        "".join(sym[i : i + 3]) for i in range(30)
+    )
+    exp = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = _run(spark, "q322_sax_motif_census")
+    assert [(r.word, r.n) for r in rows] == exp
+    for r in rows:
+        assert r.share == pytest.approx(r.n / 30, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# q323 — Heaps' law
+# ---------------------------------------------------------------------------
+def test_q323_heaps_third_impl(spark):
+    docs = _pd("documents")
+    docs = docs.assign(h=[_md5_long(f"heaps:{int(d)}") for d in docs.doc_id])
+    docs = docs.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    first_occ = {}
+    cum_tokens = []
+    tot = 0
+    for rk, text in enumerate(docs.text, start=1):
+        t = text.split(" ")
+        tot += len(t) - 2
+        cum_tokens.append(tot)
+        for i in range(len(t) - 2):
+            g = " ".join(t[i : i + 3])
+            first_occ.setdefault(g, rk)
+    n = len(docs)
+    pts = []
+    for k in range(3, 13):
+        r = 2**k
+        if r > n:
+            break
+        T = cum_tokens[r - 1]
+        V = sum(1 for rk in first_occ.values() if rk <= r)
+        pts.append((k, r, T, V))
+    xs = [round(math.log(T), 6) for _, _, T, _ in pts]
+    ys = [round(math.log(V), 6) for _, _, _, V in pts]
+    m = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    rows = _run(spark, "q323_heaps_vocabulary_growth")
+    assert [(r.k, r.r_docs, r.corpus_tokens, r.vocab) for r in rows] == pts
+    for r in rows:
+        assert r.heaps_beta == pytest.approx(beta, abs=1e-5)
+        assert 0 < r.heaps_beta < 1  # sublinear growth, the Heaps regime
+        assert r.ln_k0 == pytest.approx((sy - beta * sx) / m, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# q324 — KS exponential fit
+# ---------------------------------------------------------------------------
+def test_q324_ks_third_impl(spark):
+    ev = _pd("events").sort_values(["ts", "event_id"])
+    us = (ev.ts - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    dt = np.diff(us.values)
+    n = len(dt)
+    lam = n / dt.sum()
+    vals, cnts = np.unique(dt, return_counts=True)
+    cle = np.cumsum(cnts)
+    fexp = 1 - np.exp(-lam * vals)
+    dplus = np.round(cle / n - fexp, 6).max()
+    dminus = np.round(fexp - (cle - cnts) / n, 6).max()
+    d = max(dplus, dminus)
+    (r,) = _run(spark, "q324_ks_exponential_fit")
+    assert r.n_gaps == n
+    assert r.lambda_per_day == pytest.approx(86400e6 * lam, abs=1e-6)
+    assert r.d_plus == pytest.approx(dplus, abs=2e-6)
+    assert r.d_minus == pytest.approx(dminus, abs=2e-6)
+    assert r.d_stat == pytest.approx(d, abs=2e-6)
+    assert r.sqrt_n_d == pytest.approx(math.sqrt(n) * d, abs=1e-4)
+    assert r.exp_rejected_05 == (math.sqrt(n) * d > 1.358)
