@@ -156,6 +156,16 @@ EXTRA = (
     "q310_grid_density_clusters",
     "q311_kcore_census",
     "q312_bootstrap_mean_ci",
+    "q314_power_iteration_pc1",
+    "q315_misra_gries_bounds",
+    "q317_haar_wavelet_energy",
+    "q318_rendezvous_rebalance",
+    "q319_cuped_variance_reduction",
+    "q320_neyman_allocation",
+    "q321_allen_interval_census",
+    "q322_sax_motif_census",
+    "q323_heaps_vocabulary_growth",
+    "q324_ks_exponential_fit",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
