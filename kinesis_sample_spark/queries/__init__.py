@@ -52,22 +52,19 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # CORRECTNESS_r13 (50/50 green on the frozen round-12 window), the whole
 # registry settled — 193 settled / 0 never-green / 0 eligible — so the
 # round-14 window opened as pure zero-cost backfills. This round-14
-# window spends those free slots on the new batch:
-#   24 slots — never-green (mandatory): the round-14 additions —
-#              live multi-stream fan-in q290-q293 (streaming_live),
-#              sketch-merge algebra under adversarial layouts q294-q297
-#              (sketches), bipartite part↔supplier projections
-#              q298-q300 (graph_metrics), incremental component
-#              maintenance q301-q302 + percolation sweep q304
-#              (graph_metrics, operators/components), mutual-kNN q303
-#              and grid-density clustering q310 (similarity), Pareto
-#              skylines q305-q306 (frontier), Efraimidis-Spirakis
-#              weighted sampling q307 (reweighting), phrase-index
-#              consistency q308 (retrieval), z-order locality audit
-#              q309 (opstats), k-core peeling q311 (graph_metrics),
-#              Poisson-bootstrap CI q312 (inference), live dual-sink
-#              fan-out q313 (streaming_live, operators/upsert).
-#   26 slots — backfills: the least-evidenced settled/once-green
+# window spends those free slots on the new batches:
+#   35 slots — never-green (mandatory): the round-14 additions —
+#              first wave q290-q313 (live fan-in/fan-out, sketch-merge
+#              algebra, bipartite projections, incremental components,
+#              mutual-kNN, percolation, skylines, weighted sampling,
+#              phrase-index law, z-order audit, grid density, k-core,
+#              bootstrap CI); second wave q314-q324 — power-iteration
+#              PC1 (robuststats), Misra-Gries merge law (sketches),
+#              live rate-limited backlog (streaming_live), Haar energy
+#              + Allen census + SAX motifs (temporal), rendezvous
+#              rebalance (opstats), CUPED + KS-exponential (inference),
+#              Neyman allocation (reweighting), Heaps' law (textcal).
+#   15 slots — backfills: the least-evidenced settled/once-green
 #              queries (displacing a backfill costs nothing; every
 #              displaced name was a min-evidence once-green).
 #
