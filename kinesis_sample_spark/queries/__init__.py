@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # registry settled — 193 settled / 0 never-green / 0 eligible — so the
 # round-14 window opened as pure zero-cost backfills. This round-14
 # window spends those free slots on the new batches:
-#   35 slots — never-green (mandatory): the round-14 additions —
+#   38 slots — never-green (mandatory): the round-14 additions —
 #              first wave q290-q313 (live fan-in/fan-out, sketch-merge
 #              algebra, bipartite projections, incremental components,
 #              mutual-kNN, percolation, skylines, weighted sampling,
@@ -63,8 +63,11 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              live rate-limited backlog (streaming_live), Haar energy
 #              + Allen census + SAX motifs (temporal), rendezvous
 #              rebalance (opstats), CUPED + KS-exponential (inference),
-#              Neyman allocation (reweighting), Heaps' law (textcal).
-#   15 slots — backfills: the least-evidenced settled/once-green
+#              Neyman allocation (reweighting), Heaps' law (textcal);
+#              third wave q325-q327 — BFS hop histogram
+#              (graph_metrics), reservoir merge-closure law (sketches),
+#              Little's-law conservation (temporal).
+#   12 slots — backfills: the least-evidenced settled/once-green
 #              queries (displacing a backfill costs nothing; every
 #              displaced name was a min-evidence once-green).
 #
@@ -121,6 +124,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q322_sax_motif_census",
     "q323_heaps_vocabulary_growth",
     "q324_ks_exponential_fit",
+    "q325_bfs_hop_histogram",
+    "q326_reservoir_merge_law",
+    "q327_little_law_conservation",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -134,9 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q122_bloom_decontamination",
     "q123_importance_weights",
     "q124_pii_redaction",
-    "q125_pagerank_part_supplier",
-    "q126_live_stream_static_enrich",
-    "q127_canonical_selection",
 )
 
 

@@ -1084,3 +1084,135 @@ def q311_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# q325 — BFS hop-distance histogram from the hub node (round 14).
+# ---------------------------------------------------------------------------
+_BFS_SUPPORT = 2  # same band as q311: support >= 3 leaves a near-empty graph
+_BFS_HOPS = 8
+
+
+def _bfs_oracle() -> str:
+    # every unrolled CTE is MATERIALIZED (the q311 lesson): each hop
+    # references its predecessor three times (carry-forward, frontier
+    # expansion, NOT IN visited-set) — un-materialized that's 3^hops
+    # scans of the pair projection.
+    blocks = [
+        f"e2 AS MATERIALIZED (SELECT part_a, part_b FROM pairs WHERE sup >= {_BFS_SUPPORT})",
+        """edges AS MATERIALIZED (
+  SELECT part_a AS u, part_b AS v FROM e2
+  UNION ALL SELECT part_b, part_a FROM e2
+)""",
+        "deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u)",
+        "src AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1)",
+        "d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM src)",
+    ]
+    for k in range(1, _BFS_HOPS + 1):
+        blocks.append(f"""d{k} AS MATERIALIZED (
+  SELECT node, dist FROM d{k - 1}
+  UNION ALL
+  SELECT nd.node, {k} AS dist FROM (
+    SELECT DISTINCT e.v AS node
+    FROM edges e JOIN d{k - 1} f ON f.node = e.u AND f.dist = {k - 1}
+  ) nd
+  WHERE nd.node NOT IN (SELECT node FROM d{k - 1})
+)""")
+    return (
+        "WITH " + _SQL_PAIRS + ",\n" + ",\n".join(blocks) + f""",
+nodes AS (SELECT COUNT(DISTINCT u) AS n FROM edges),
+hist AS (
+  SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d{_BFS_HOPS} GROUP BY dist
+),
+grid AS (SELECT unnest(range(0, {_BFS_HOPS + 1})) AS dist)
+SELECT CAST(g.dist AS BIGINT) AS dist, COALESCE(h.n_nodes, 0) AS n_nodes,
+       (SELECT CAST(n AS BIGINT) FROM nodes)
+         - (SELECT CAST(SUM(n_nodes) AS BIGINT) FROM hist) AS n_unreached,
+       (SELECT CAST(MAX(dist) AS BIGINT) FROM d{_BFS_HOPS}) AS max_dist
+FROM grid g LEFT JOIN hist h ON h.dist = g.dist
+ORDER BY g.dist
+"""
+    )
+
+
+@query("q325_bfs_hop_histogram", oracle=_bfs_oracle())
+def q325_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop-distance histogram from the co-purchase
+    graph's hub (highest-degree node, ties to the smallest id): how
+    many parts sit 1, 2, ... {h} co-purchase hops from the most
+    connected part, how many are beyond hop {h} or disconnected
+    (n_unreached), and the observed eccentricity-at-{h}. The graph
+    shelf measures cohesion (q311 k-core), triangles (q150),
+    components (q241), and centrality (q125 PageRank) — this is the
+    missing TRAVERSAL primitive, the expanding-frontier BFS every
+    "how far is everything from X" question compiles to.
+
+    Semantics are deliberately bounded: distances are computed to
+    exactly {h} hops (the histogram + n_unreached is well-defined
+    whatever the diameter), so unlike q311 there is no convergence
+    assertion to carry — the unrolled oracle and the engine loop run
+    the SAME fixed hop count by construction. Visited-set dedup keys
+    the whole thing: a node enters at its FIRST frontier (anti-join
+    against the accumulated distance relation), which is what makes
+    BFS distances, not walk counts.
+
+    Scale: each hop is one frontier⋈edges equi-join + one distinct +
+    one anti-join against the visited set, all keyed on node — the
+    standard Pregel-free relational BFS; the frontier relation is
+    localCheckpointed lazily per hop (components.py discipline) so the
+    plan never re-expands earlier hops. Hop count bounds the rounds;
+    the support threshold bounds the edge list (q241's knob).""".format(
+        h=_BFS_HOPS
+    )
+    pairs = (
+        _edges(spark, sf_dir)
+        .filter(F.col("sup") >= _BFS_SUPPORT)
+        .select("part_a", "part_b")
+    )
+    edges = (
+        pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(1)
+        .select("node")
+    )
+    dist = src.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(1, _BFS_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            frontier = nxt
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    n_nodes = edges.select("u").distinct().count()
+    hist = dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
+    reached = dist.count()
+    mx = dist.agg(F.max("dist").alias("mx")).collect()[0]["mx"]
+    grid = spark.range(_BFS_HOPS + 1).select(F.col("id").alias("dist"))
+    return (
+        grid.join(F.broadcast(hist), "dist", "left")
+        .select(
+            "dist",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.lit(n_nodes - reached).cast("bigint").alias("n_unreached"),
+            F.lit(mx).cast("bigint").alias("max_dist"),
+        )
+        .orderBy("dist")
+    )

@@ -851,3 +851,120 @@ def q315_misra_gries_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# ---------------------------------------------------------------------------
+# q326 — bounded-reservoir MERGE-closure law (round 14).
+# ---------------------------------------------------------------------------
+_RES_R = 100  # reservoir capacity
+_RES_G = 16  # md5-assigned shard-groups
+
+
+def _res_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("'res:' || CAST(event_id AS VARCHAR)")
+    hg = md5_long_sql("'resg:' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH it AS (SELECT event_id, {h} AS h, {hg} % {_RES_G} AS g FROM events),
+grp_res AS (
+  SELECT g, event_id, h FROM (
+    SELECT g, event_id, h,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, event_id) AS rk
+    FROM it) t
+  WHERE rk <= {_RES_R}
+),
+merged AS (
+  SELECT event_id FROM (
+    SELECT event_id, ROW_NUMBER() OVER (ORDER BY h, event_id) AS rk
+    FROM grp_res) t
+  WHERE rk <= {_RES_R}
+),
+gsel AS (
+  SELECT event_id FROM (
+    SELECT event_id, ROW_NUMBER() OVER (ORDER BY h, event_id) AS rk
+    FROM it) t
+  WHERE rk <= {_RES_R}
+),
+agree AS (
+  SELECT (SELECT COUNT(*) FROM merged m JOIN gsel x ON x.event_id = m.event_id)
+           = {_RES_R} AS law
+)
+SELECT g.g, CAST(COUNT(*) AS BIGINT) AS n_reservoir,
+       CAST(SUM(CASE WHEN gl.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_global,
+       (SELECT law FROM agree) AS merge_equals_global
+FROM grp_res g LEFT JOIN gsel gl ON gl.event_id = g.event_id
+GROUP BY g.g
+ORDER BY g.g
+"""
+
+
+@query("q326_reservoir_merge_law", oracle=_res_oracle())
+def q326_reservoir_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-sample MERGE-CLOSURE law: a rank-based 'reservoir'
+    (the R={r} smallest md5 ranks — the distributed-systems stand-in for a
+    uniform R-sample, deterministic where a seeded reservoir is not) is
+    computed per md5-assigned shard-group, the {g} group reservoirs are
+    merged by re-taking the top-R of their union, and the law gated is
+    EXACT SET EQUALITY with the single-pass global reservoir. The proof
+    is structural — any globally-top-R item is top-R within its own
+    group — and this query pins that the ENGINE's implementation
+    (windows, caps, tie-breaks) actually realizes it: q297 gates that a
+    RATE sample distributes over union; this is the closure law for a
+    BOUNDED-SIZE sample, the kind a 1000-executor top-R actually ships
+    (each task sends R rows, the merge re-selects — total traffic
+    R x tasks, never the fact).
+
+    Per-group readout: reservoir size (min(R, group rows)) and how many
+    of the group's rows survive into the global top-R (they sum to R —
+    visible in the rows). Ties are impossible (60-bit md5 over distinct
+    ids) and the (h, event_id) tie-break is total anyway.
+
+    Scale: the group reservoirs are rank-windows per md5 group (group
+    count is the parallelism knob); the merge runs on G*R rows. The
+    law's set-equality join touches R rows. Nothing global ever
+    shuffles raw data except the audit's single-pass reservoir, which
+    exists to BE the reference.""".format(r=_RES_R, g=_RES_G)
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    it = ev.select(
+        "event_id",
+        md5_long(
+            F.concat(F.lit("res:"), F.col("event_id").cast("string"))
+        ).alias("h"),
+        (
+            md5_long(F.concat(F.lit("resg:"), F.col("event_id").cast("string")))
+            % _RES_G
+        ).alias("g"),
+    )
+    rk_g = F.row_number().over(W.partitionBy("g").orderBy("h", "event_id"))
+    grp_res = it.select("g", "event_id", "h", rk_g.alias("rk")).filter(
+        F.col("rk") <= _RES_R
+    )
+    rk_m = F.row_number().over(W.orderBy("h", "event_id"))
+    merged = grp_res.select("event_id", "h", rk_m.alias("rk")).filter(
+        F.col("rk") <= _RES_R
+    )
+    gsel = it.select("event_id", rk_m.alias("rk")).filter(F.col("rk") <= _RES_R)
+    agree = (
+        merged.join(gsel.select("event_id"), "event_id")
+        .groupBy()
+        .agg((F.count("*") == _RES_R).alias("law"))
+    )
+    return (
+        grp_res.join(
+            gsel.select("event_id", F.lit(1).alias("in_g")), "event_id", "left"
+        )
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n_reservoir"),
+            F.sum(F.coalesce("in_g", F.lit(0))).alias("n_in_global"),
+        )
+        .crossJoin(F.broadcast(agree))
+        .select(
+            "g", "n_reservoir", "n_in_global", F.col("law").alias("merge_equals_global")
+        )
+        .orderBy("g")
+    )

@@ -1371,3 +1371,123 @@ def q322_sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q327 — Little's-law conservation audit (round 14).
+# ---------------------------------------------------------------------------
+@query(
+    "q327_little_law_conservation",
+    oracle=f"""
+WITH iv AS (
+    SELECT o.o_orderkey,
+           CAST(datediff('day', {_EPOCH}, o.o_orderdate) AS BIGINT) AS d0,
+           CAST(datediff('day', {_EPOCH}, MAX(l.l_shipdate)) AS BIGINT) AS d1
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT d0 AS day, 1 AS delta FROM iv
+    UNION ALL
+    SELECT d1, -1 FROM iv
+),
+series AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day),
+cum AS (
+    SELECT day,
+           CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS backlog,
+           CAST(LEAD(day) OVER (ORDER BY day) - day AS BIGINT) AS span
+    FROM series
+),
+integral AS (
+    SELECT CAST(SUM(backlog * span) AS BIGINT) AS wip_days
+    FROM cum WHERE span IS NOT NULL
+),
+direct AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(d1 - d0) AS BIGINT) AS order_days,
+           CAST(MAX(d1) - MIN(d0) AS BIGINT) AS horizon_days
+    FROM iv
+)
+SELECT d.n_orders, d.horizon_days,
+       i.wip_days, d.order_days,
+       i.wip_days = d.order_days AS conservation_ok,
+       CAST(CAST(CAST(round(CAST(i.wip_days AS DOUBLE) / d.horizon_days, 6)
+                      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS avg_wip_l,
+       CAST(CAST(CAST(round(CAST(d.n_orders AS DOUBLE) / d.horizon_days, 6)
+                      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+         AS arrival_rate_lambda,
+       CAST(CAST(CAST(round(CAST(d.order_days AS DOUBLE) / d.n_orders, 6)
+                      AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS mean_wait_w
+FROM direct d, integral i
+""",
+)
+def q327_little_law_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law made a CONSERVATION GATE: the time-integral of the
+    open-order backlog over the horizon (computed by q251's event-delta
+    sweep line — +1 at order date, -1 at last ship date, piecewise-
+    constant segments weighted by their span) must equal the sum of
+    per-order durations computed DIRECTLY from the intervals — two
+    genuinely different algorithms for the same integer (the SCALING.md
+    dual-plan rule), gated as exact BIGINT equality. On top of the
+    conserved quantity sit the three Little's-law readouts: L = average
+    WIP, lambda = arrivals/day, W = mean days in system — published
+    with L = lambda * W holding by construction once conservation
+    holds (both sides equal wip_days/horizon), which is exactly the
+    point: the law is an accounting identity, and what can actually
+    break in an engine is the integral. A dropped segment, an off-by-
+    one in the half-open convention ([start, end) here), or a mis-
+    ordered cumsum flips conservation_ok.
+
+    q251 publishes the backlog CURVE; this audits the AREA under it
+    against the interval ledger and converts it to the queueing
+    readout. Everything before the three final divisions is exact
+    integer arithmetic.
+
+    Scale: the sweep line is one order-grain rollup + one date-keyed
+    aggregate + one ordered window over distinct days (q251's plan);
+    the direct side is a scalar aggregate over the same rollup. No
+    interval joins, nothing quadratic."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship"))
+        .select(
+            F.datediff("o_orderdate", epoch).cast("bigint").alias("d0"),
+            F.datediff("ship", epoch).cast("bigint").alias("d1"),
+        )
+    )
+    deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    series = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    wo = W.orderBy("day")
+    cum = series.select(
+        "day",
+        F.sum("net").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("backlog"),
+        (F.lead("day").over(wo) - F.col("day")).alias("span"),
+    )
+    integral = cum.filter(F.col("span").isNotNull()).agg(
+        F.sum(F.col("backlog") * F.col("span")).alias("wip_days")
+    )
+    direct = iv.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("d1") - F.col("d0")).alias("order_days"),
+        (F.max("d1") - F.min("d0")).alias("horizon_days"),
+    )
+    q6 = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+    return direct.crossJoin(F.broadcast(integral)).select(
+        "n_orders",
+        "horizon_days",
+        "wip_days",
+        "order_days",
+        (F.col("wip_days") == F.col("order_days")).alias("conservation_ok"),
+        q6(F.col("wip_days").cast("double") / F.col("horizon_days")).alias("avg_wip_l"),
+        q6(F.col("n_orders").cast("double") / F.col("horizon_days")).alias(
+            "arrival_rate_lambda"
+        ),
+        q6(F.col("order_days").cast("double") / F.col("n_orders")).alias("mean_wait_w"),
+    )

@@ -251,3 +251,29 @@ def test_q324_ks_distinct_value_preagg(spark):
     """The ECDF must ride the distinct-gap pre-aggregate (tie-safe q199
     recipe) — partial aggregation before the ordered window."""
     assert has_partial_aggregate(_df(spark, "q324_ks_exponential_fit"))
+
+
+def test_q325_bfs_keyed_joins_only(spark):
+    """Every hop must be keyed equi-joins (frontier expand + visited
+    anti-join) — no nested loop, no cartesian; the edge list is
+    checkpointed so hops never re-expand the pair projection."""
+    plan = _plan(spark, "q325_bfs_hop_histogram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q326_reservoir_rank_windows(spark):
+    """Group reservoirs are rank windows partitioned by the md5 group
+    (parallel), and the law join broadcasts R rows."""
+    df = _df(spark, "q326_reservoir_merge_law")
+    assert has_broadcast_join(df)
+
+
+def test_q327_little_no_interval_join(spark):
+    """The integral must ride the event-delta sweep line — one ordered
+    window over distinct days, never an intervals x days join; both
+    sides partial-aggregate."""
+    df = _df(spark, "q327_little_law_conservation")
+    plan = _plan(spark, "q327_little_law_conservation")
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)

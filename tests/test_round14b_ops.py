@@ -411,3 +411,125 @@ def test_q324_ks_third_impl(spark):
     assert r.d_stat == pytest.approx(d, abs=2e-6)
     assert r.sqrt_n_d == pytest.approx(math.sqrt(n) * d, abs=1e-4)
     assert r.exp_rejected_05 == (math.sqrt(n) * d > 1.358)
+
+
+# ---------------------------------------------------------------------------
+# q325 — BFS hop histogram
+# ---------------------------------------------------------------------------
+def test_q325_bfs_third_impl(spark):
+    """Textbook queue-based BFS in pure Python over the same support-2
+    co-purchase graph must reproduce the histogram exactly."""
+    from collections import defaultdict, deque, Counter
+
+    li = _pd("lineitem")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = op.groupby("l_orderkey").size()
+    keep = sizes[sizes <= 32].index
+    op = op[op.l_orderkey.isin(keep)]
+    pair_sup = Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_sup[(parts[i], parts[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), sup in pair_sup.items():
+        if sup >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    src = max(deg, key=lambda n: (deg[n], -n))
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 8:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    hist = Counter(dist.values())
+    rows = _run(spark, "q325_bfs_hop_histogram")
+    assert len(rows) == 9
+    for r in rows:
+        assert r.n_nodes == hist.get(r.dist, 0)
+        assert r.n_unreached == len(adj) - len(dist)
+        assert r.max_dist == max(dist.values())
+
+
+# ---------------------------------------------------------------------------
+# q326 — reservoir merge law
+# ---------------------------------------------------------------------------
+def test_q326_reservoir_third_impl(spark):
+    ev = _pd("events")
+    R, G = 100, 16
+    items = [
+        (int(e), _md5_long(f"res:{int(e)}"), _md5_long(f"resg:{int(e)}") % G)
+        for e in ev.event_id
+    ]
+    grp_res = {}
+    for g in range(G):
+        members = sorted(
+            ((h, e) for e, h, gg in items if gg == g)
+        )[:R]
+        grp_res[g] = [e for _, e in members]
+    union = sorted(
+        (h, e) for e, h, g in items if e in {x for v in grp_res.values() for x in v}
+    )
+    merged = {e for _, e in union[:R]}
+    glob = {e for _, e in sorted((h, e) for e, h, _ in items)[:R]}
+    assert merged == glob  # the law itself, third-engine
+    rows = _run(spark, "q326_reservoir_merge_law")
+    assert len(rows) == G
+    assert sum(r.n_in_global for r in rows) == R
+    for r in rows:
+        assert r.n_reservoir == len(grp_res[r.g])
+        assert r.n_in_global == sum(1 for e in grp_res[r.g] if e in glob)
+        assert r.merge_equals_global
+
+
+# ---------------------------------------------------------------------------
+# q327 — Little's-law conservation
+# ---------------------------------------------------------------------------
+def test_q327_little_third_impl(spark):
+    li = _pd("lineitem")
+    orders = _pd("orders")
+    fu = (
+        li.groupby("l_orderkey").l_shipdate.max().rename("ship").reset_index()
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    )
+    epoch = pd.Timestamp("1970-01-01")
+    d0 = (fu.o_orderdate - epoch).dt.days.values
+    d1 = (fu.ship - epoch).dt.days.values
+    n = len(fu)
+    order_days = int((d1 - d0).sum())
+    horizon = int(d1.max() - d0.min())
+    # sweep-line integral, independently
+    from collections import Counter
+
+    net = Counter()
+    for a, b in zip(d0, d1):
+        net[int(a)] += 1
+        net[int(b)] -= 1
+    days = sorted(net)
+    wip = 0
+    backlog = 0
+    for a, b in zip(days, days[1:]):
+        backlog += net[a]
+        wip += backlog * (b - a)
+    assert wip == order_days  # conservation, third-engine
+    (r,) = _run(spark, "q327_little_law_conservation")
+    assert (r.n_orders, r.horizon_days) == (n, horizon)
+    assert (r.wip_days, r.order_days) == (wip, order_days)
+    assert r.conservation_ok
+    assert r.avg_wip_l == pytest.approx(wip / horizon, abs=1e-6)
+    assert r.arrival_rate_lambda == pytest.approx(n / horizon, abs=1e-6)
+    assert r.mean_wait_w == pytest.approx(order_days / n, abs=1e-6)
+    # Little's identity on the published readouts: both factors are
+    # quantized round-6, and W ~ O(1000) days amplifies lambda's
+    # quantization by |W| — bound is W*5e-7 + lambda*5e-7
+    tol = (abs(r.mean_wait_w) + abs(r.arrival_rate_lambda)) * 5e-7 + 1e-9
+    assert r.avg_wip_l == pytest.approx(
+        r.arrival_rate_lambda * r.mean_wait_w, abs=tol
+    )

@@ -166,6 +166,9 @@ EXTRA = (
     "q322_sax_motif_census",
     "q323_heaps_vocabulary_growth",
     "q324_ks_exponential_fit",
+    "q325_bfs_hop_histogram",
+    "q326_reservoir_merge_law",
+    "q327_little_law_conservation",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
