@@ -1127,7 +1127,8 @@ hist AS (
 grid AS (SELECT unnest(range(0, {_BFS_HOPS + 1})) AS dist)
 SELECT CAST(g.dist AS BIGINT) AS dist, COALESCE(h.n_nodes, 0) AS n_nodes,
        (SELECT CAST(n AS BIGINT) FROM nodes)
-         - (SELECT CAST(SUM(n_nodes) AS BIGINT) FROM hist) AS n_unreached,
+         - COALESCE((SELECT CAST(SUM(n_nodes) AS BIGINT) FROM hist), 0)
+         AS n_unreached,
        (SELECT CAST(MAX(dist) AS BIGINT) FROM d{_BFS_HOPS}) AS max_dist
 FROM grid g LEFT JOIN hist h ON h.dist = g.dist
 ORDER BY g.dist
@@ -1197,14 +1198,14 @@ def q325_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
-            frontier = nxt
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     n_nodes = edges.select("u").distinct().count()
     hist = dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
-    reached = dist.count()
-    mx = dist.agg(F.max("dist").alias("mx")).collect()[0]["mx"]
+    reached, mx = dist.agg(
+        F.count("*").alias("n"), F.max("dist").alias("mx")
+    ).collect()[0]
     grid = spark.range(_BFS_HOPS + 1).select(F.col("id").alias("dist"))
     return (
         grid.join(F.broadcast(hist), "dist", "left")

@@ -940,14 +940,23 @@ def q326_reservoir_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     rk_g = F.row_number().over(W.partitionBy("g").orderBy("h", "event_id"))
-    grp_res = it.select("g", "event_id", "h", rk_g.alias("rk")).filter(
-        F.col("rk") <= _RES_R
+    # grp_res/gsel are each read twice downstream and both derive from
+    # the full hashed scan — checkpoint the <=G*R-row selections so the
+    # events table is hashed once per structure, not once per reader
+    grp_res = (
+        it.select("g", "event_id", "h", rk_g.alias("rk"))
+        .filter(F.col("rk") <= _RES_R)
+        .localCheckpoint(eager=True)
     )
     rk_m = F.row_number().over(W.orderBy("h", "event_id"))
     merged = grp_res.select("event_id", "h", rk_m.alias("rk")).filter(
         F.col("rk") <= _RES_R
     )
-    gsel = it.select("event_id", rk_m.alias("rk")).filter(F.col("rk") <= _RES_R)
+    gsel = (
+        it.select("event_id", rk_m.alias("rk"))
+        .filter(F.col("rk") <= _RES_R)
+        .localCheckpoint(eager=True)
+    )
     agree = (
         merged.join(gsel.select("event_id"), "event_id")
         .groupBy()

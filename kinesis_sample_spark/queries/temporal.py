@@ -315,18 +315,44 @@ def q250_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q251 — daily backlog via interval stabbing (event-delta cumsum).
-# ---------------------------------------------------------------------------
-@query(
-    "q251_daily_backlog",
-    oracle=f"""
-WITH iv AS (
+#: fulfillment interval of an order: open at o_orderdate, closed at the
+#: last line's ship date. ONE definition, shared by q251 (the backlog
+#: curve) and q327 (the conservation audit of that curve) — if the close
+#: convention ever changes, both move together instead of the audit
+#: silently measuring a different interval than the curve.
+_IV_SQL = f"""iv AS (
     SELECT o.o_orderkey,
            CAST(datediff('day', {_EPOCH}, o.o_orderdate) AS BIGINT) AS d0,
            CAST(datediff('day', {_EPOCH}, MAX(l.l_shipdate)) AS BIGINT) AS d1
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderdate
-),
+)"""
+
+
+def _fulfillment_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d0, d1) epoch-day fulfillment interval per order — the Spark
+    twin of ``_IV_SQL`` above."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d0"),
+            F.datediff(F.col("ship_end"), epoch).cast("bigint").alias("d1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 — daily backlog via interval stabbing (event-delta cumsum).
+# ---------------------------------------------------------------------------
+@query(
+    "q251_daily_backlog",
+    oracle=f"""
+WITH {_IV_SQL},
 deltas AS (
     SELECT d0 AS day, 1 AS delta FROM iv
     UNION ALL
@@ -365,18 +391,8 @@ def q251_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-order MAX(shipdate) rides the orderkey join shuffle;
     the global running sum is a single ordered window (the date axis is
     a range-partitionable sort at cluster scale)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
     epoch = F.lit("1970-01-01").cast("date")
-    iv = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("ship_end"))
-        .select(
-            F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("d0"),
-            F.datediff(F.col("ship_end"), epoch).cast("bigint").alias("d1"),
-        )
-    )
+    iv = _fulfillment_iv(spark, sf_dir)
     deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
         iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
     )
@@ -1379,13 +1395,7 @@ def q322_sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q327_little_law_conservation",
     oracle=f"""
-WITH iv AS (
-    SELECT o.o_orderkey,
-           CAST(datediff('day', {_EPOCH}, o.o_orderdate) AS BIGINT) AS d0,
-           CAST(datediff('day', {_EPOCH}, MAX(l.l_shipdate)) AS BIGINT) AS d1
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderkey, o.o_orderdate
-),
+WITH {_IV_SQL},
 deltas AS (
     SELECT d0 AS day, 1 AS delta FROM iv
     UNION ALL
@@ -1448,18 +1458,9 @@ def q327_little_law_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + one ordered window over distinct days (q251's plan);
     the direct side is a scalar aggregate over the same rollup. No
     interval joins, nothing quadratic."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    epoch = F.lit("1970-01-01").cast("date")
-    iv = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("ship"))
-        .select(
-            F.datediff("o_orderdate", epoch).cast("bigint").alias("d0"),
-            F.datediff("ship", epoch).cast("bigint").alias("d1"),
-        )
-    )
+    # both audit sides read iv (deltas twice, direct once) — checkpoint
+    # the order-grain rollup so the lineitem join runs exactly once
+    iv = _fulfillment_iv(spark, sf_dir).localCheckpoint(eager=True)
     deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionByName(
         iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
     )

@@ -474,9 +474,8 @@ def test_q326_reservoir_third_impl(spark):
             ((h, e) for e, h, gg in items if gg == g)
         )[:R]
         grp_res[g] = [e for _, e in members]
-    union = sorted(
-        (h, e) for e, h, g in items if e in {x for v in grp_res.values() for x in v}
-    )
+    sel = {x for v in grp_res.values() for x in v}
+    union = sorted((h, e) for e, h, g in items if e in sel)
     merged = {e for _, e in union[:R]}
     glob = {e for _, e in sorted((h, e) for e, h, _ in items)[:R]}
     assert merged == glob  # the law itself, third-engine
