@@ -35,15 +35,20 @@ REGISTRY = load_registry()
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 # Absolute floor — CI boxes stall for seconds at a time. 10.0 through
-# round 12; cut to 6.0 in round 13 on two supports: (a) the module
-# warmup fixture now absorbs the ~4-6 s one-time JVM cost the
-# alphabetically-first queries used to pay inside their own timers, and
-# (b) a solo sweep of the full lane after warmup measured max 4.3 s per
-# query at sf0.01 (>= 29% headroom under 6.0 for every query). The
-# LATENCY_r10/r12 sf0.1 sweeps agree within 30% on 234/283 queries, so
-# most calibrated ceilings are 2x — the floor now binds only sub-3 s
-# queries, where it catches a ~2x cliff instead of the old ~10x.
-FLOOR_S = 6.0
+# round 12; cut to 6.0 in round 13 on solo-lane measurements (max
+# 4.3 s/query after the module warmup fixture). Round 14 restored 10.0:
+# the 6.0 floor was calibrated SOLO, but the lane runs at the tail of a
+# ~20-minute full suite, where four different floor-bound queries went
+# red across four consecutive full runs with zero code change (q156
+# 6.9 s and q182 10.2 s in the v4 run, q237 6.9 s in v5 AND v6, q32
+# 8.8 s-then-8.0 s in the final run — the last one failing even the
+# in-test clean re-measure) and every one re-timed solo-green
+# immediately afterward. Measured false positives: 4; true positives
+# at this band: 0. At 10.0 the floor still catches the catastrophic
+# cliff it exists for (a sub-3 s query regressing ~4x+), and the
+# 2x/3x sweep-calibrated ceilings — not the floor — remain the real
+# regression gate for everything slower.
+FLOOR_S = 10.0
 DEFAULT_S = 30.0  # uncalibrated (new) queries
 TIGHT_FACTOR = 2.0  # two consecutive sweeps agree within AGREEMENT
 LOOSE_FACTOR = 3.0  # one data point, or cross-round variance > AGREEMENT
