@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # registry settled — 193 settled / 0 never-green / 0 eligible — so the
 # round-14 window opened as pure zero-cost backfills. This round-14
 # window spends those free slots on the new batches:
-#   38 slots — never-green (mandatory): the round-14 additions —
+#   39 slots — never-green (mandatory): the round-14 additions —
 #              first wave q290-q313 (live fan-in/fan-out, sketch-merge
 #              algebra, bipartite projections, incremental components,
 #              mutual-kNN, percolation, skylines, weighted sampling,
@@ -66,8 +66,10 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              Neyman allocation (reweighting), Heaps' law (textcal);
 #              third wave q325-q327 — BFS hop histogram
 #              (graph_metrics), reservoir merge-closure law (sketches),
-#              Little's-law conservation (temporal).
-#   12 slots — backfills: the least-evidenced settled/once-green
+#              Little's-law conservation (temporal); fourth wave q328 —
+#              live GroupState event-time timeout (streaming_live +
+#              streaming/stateful.timeout_sessions).
+#   11 slots — backfills: the least-evidenced settled/once-green
 #              queries (displacing a backfill costs nothing; every
 #              displaced name was a min-evidence once-green).
 #
@@ -127,6 +129,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q325_bfs_hop_histogram",
     "q326_reservoir_merge_law",
     "q327_little_law_conservation",
+    "q328_live_session_timeout",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -139,7 +142,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q121_label_centroids",
     "q122_bloom_decontamination",
     "q123_importance_weights",
-    "q124_pii_redaction",
 )
 
 

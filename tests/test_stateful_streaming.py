@@ -203,3 +203,53 @@ def test_retry_process_redelivery_short_circuits(spark, tmp_path):
     # healthy records simply process again on redelivery (at-least-once)
     healthy = [s for s, rs in by_seq.items() if all(r["ok"] for r in rs)]
     assert healthy and all(len(by_seq[s]) == 2 for s in healthy)
+
+
+def test_q328_timeout_sessions_third_impl(spark):
+    """q328 re-derived in pure pandas: gaps-and-islands sessions (exact
+    microsecond arithmetic) filtered by the emittability rule — a later
+    same-key event exists, OR the ms-floored deadline is <= the final
+    watermark (ms-floored max ts - 1 h). The per-user LAST islands that
+    pass the rule can only surface via state.hasTimedOut (no later event
+    ever arrives for the key), so their presence proves the timeout path
+    fired; the last islands that fail it prove the watermark gate
+    withholds still-open state."""
+    import pandas as pd
+
+    from kinesis_sample_spark.queries import load_registry
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "ts"]]
+    # normalize to explicit microseconds — read_parquet yields
+    # datetime64[us] here, while the UDF's Arrow series is datetime64[ns]
+    ev["us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    gap_us = 2 * 3600 * 1000 * 1000
+    wm_us = ((ev.us.max() // 1000) * 1000) - 3600 * 1000 * 1000
+    expected, timeout_only, withheld = [], 0, 0
+    for uid, g in ev.sort_values("us").groupby("user_id"):
+        us = g.us.to_numpy()
+        islands, start, n = [], int(us[0]), 0
+        last = start
+        for t in us:
+            t = int(t)
+            if t - last > gap_us:
+                islands.append((start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        islands.append((start, last, n))
+        for i, (st, en, cnt) in enumerate(islands):
+            trailing = i == len(islands) - 1
+            deadline = (en // 1000) * 1000 + gap_us
+            if not trailing or deadline <= wm_us:
+                expected.append((uid, st, cnt))
+                timeout_only += trailing
+            else:
+                withheld += trailing
+    assert timeout_only > 0 and withheld > 0  # both branches represented
+
+    rows = load_registry()["q328_live_session_timeout"].fn(spark, SF).collect()
+    got = sorted((r.user_id, r.session_start.timestamp() * 1e6, r.n_events) for r in rows)
+    exp = sorted((u, float(st), n) for (u, st, n) in expected)
+    assert [(u, round(t), n) for (u, t, n) in got] == [
+        (u, round(t), n) for (u, t, n) in exp
+    ]
