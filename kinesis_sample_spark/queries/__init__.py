@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # registry settled — 193 settled / 0 never-green / 0 eligible — so the
 # round-14 window opened as pure zero-cost backfills. This round-14
 # window spends those free slots on the new batches:
-#   39 slots — never-green (mandatory): the round-14 additions —
+#   40 slots — never-green (mandatory): the round-14 additions —
 #              first wave q290-q313 (live fan-in/fan-out, sketch-merge
 #              algebra, bipartite projections, incremental components,
 #              mutual-kNN, percolation, skylines, weighted sampling,
@@ -68,8 +68,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              (graph_metrics), reservoir merge-closure law (sketches),
 #              Little's-law conservation (temporal); fourth wave q328 —
 #              live GroupState event-time timeout (streaming_live +
-#              streaming/stateful.timeout_sessions).
-#   11 slots — backfills: the least-evidenced settled/once-green
+#              streaming/stateful.timeout_sessions), q329 — weighted
+#              Bellman-Ford distances (graph_metrics).
+#   10 slots — backfills: the least-evidenced settled/once-green
 #              queries (displacing a backfill costs nothing; every
 #              displaced name was a min-evidence once-green).
 #
@@ -130,6 +131,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q326_reservoir_merge_law",
     "q327_little_law_conservation",
     "q328_live_session_timeout",
+    "q329_bellman_ford_distances",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -141,7 +143,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q120_multiprobe_rerank",
     "q121_label_centroids",
     "q122_bloom_decontamination",
-    "q123_importance_weights",
 )
 
 

@@ -1217,3 +1217,144 @@ def q325_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# q329 — weighted shortest-distance histogram (Bellman-Ford, round 14).
+# ---------------------------------------------------------------------------
+_BF_ROUNDS = 8  # relaxation rounds == q325's hop bound
+
+#: integer nano-unit edge weight: round-half-up of 1e9/sup, computed as
+#: pure BIGINT floor division so both engines produce the identical
+#: integer — no float/decimal enters any distance.
+_BF_W_SQL = "(2000000000 + sup) // (2 * sup)"
+
+
+def _bf_oracle() -> str:
+    # unrolled K-round Bellman-Ford; every round references its
+    # predecessor twice (carry-forward + relaxation), so each CTE is
+    # MATERIALIZED (the q311/q325 lesson — un-materialized this is
+    # 2^rounds scans of the edge relation).
+    blocks = [
+        f"""e2 AS MATERIALIZED (
+  SELECT part_a, part_b, {_BF_W_SQL} AS w
+  FROM pairs WHERE sup >= {_BFS_SUPPORT}
+)""",
+        """edges AS MATERIALIZED (
+  SELECT part_a AS u, part_b AS v, w FROM e2
+  UNION ALL SELECT part_b, part_a, w FROM e2
+)""",
+        "deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u)",
+        "src AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1)",
+        "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM src)",
+    ]
+    for k in range(1, _BF_ROUNDS + 1):
+        blocks.append(f"""d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.v AS node, f.dist + e.w AS dist
+    FROM edges e JOIN d{k - 1} f ON f.node = e.u
+  ) rel GROUP BY node
+)""")
+    return (
+        "WITH " + _SQL_PAIRS + ",\n" + ",\n".join(blocks) + f""",
+nodes AS (SELECT COUNT(DISTINCT u) AS n FROM edges),
+hist AS (
+  SELECT dist AS dist_nano, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM d{_BF_ROUNDS} GROUP BY dist
+)
+SELECT h.dist_nano, h.n_nodes,
+       (SELECT CAST(n AS BIGINT) FROM nodes)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM d{_BF_ROUNDS}) AS n_unreached,
+       (SELECT CAST(MAX(dist) AS BIGINT) FROM d{_BF_ROUNDS}) AS max_dist_nano
+FROM hist h
+ORDER BY h.dist_nano
+"""
+    )
+
+
+@query("q329_bellman_ford_distances", oracle=_bf_oracle())
+def q329_bellman_ford_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest distances from the co-purchase hub — the
+    weighted complement to q325's hop BFS, and it genuinely differs:
+    edge weight 1/sup makes strong ties short, and on the thresholded
+    graph the weighted distance disagrees with the hop count at >99% of
+    reached nodes (199/200 at sf0.001, 1859/1860 at sf0.01) with a 4-6x
+    richer distance spectrum (18 vs 4 distinct values) — the gate
+    DESIGN_r15's qI1 note required before spending a slot.
+
+    Distances are exact integers end to end: the weight is the
+    round-half-up of 1e9/sup computed by BIGINT floor division
+    ((2e9 + sup) div (2*sup)), path sums add BIGINTs, MIN over paths
+    compares BIGINTs — no float ordering ambiguity on either engine.
+    Both engines run the SAME bounded relaxation: K=8 Bellman-Ford
+    rounds (best distance using <=8 edges), the Spark side as an
+    SPFA-style frontier loop (relax only from nodes improved last
+    round — pointwise identical to full relaxation after every round),
+    the oracle as the K-times-unrolled MATERIALIZED min-union. Early
+    exit when no node improves is sound: further rounds are no-ops.
+
+    Scale: per round one frontier⋈edges equi-join + groupBy-min +
+    left-anti improvement check, all keyed on node; frontier and dist
+    are localCheckpointed lazily (components.py discipline) so the plan
+    stays one round deep. Support threshold + MAX_BASKET bound the edge
+    list exactly as q241/q325."""
+    pairs = _edges(spark, sf_dir).filter(F.col("sup") >= _BFS_SUPPORT)
+    e2 = pairs.select(
+        "part_a", "part_b", F.expr(f"{_BF_W_SQL.replace('//', 'div')}").alias("w")
+    )
+    edges = (
+        e2.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"), "w")
+        .unionByName(
+            e2.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"), "w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .limit(1)
+        .select("node")
+    )
+    dist = src.select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(_BF_ROUNDS):
+        cand = (
+            edges.join(
+                frontier.select(F.col("node").alias("u"), F.col("dist").alias("du")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min(F.col("du") + F.col("w")).alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    n_nodes = edges.select("u").distinct().count()
+    reached, mx = dist.agg(F.count("*").alias("n"), F.max("dist").alias("mx")).collect()[0]
+    return (
+        dist.groupBy(F.col("dist").alias("dist_nano"))
+        .agg(F.count("*").alias("n_nodes"))
+        .select(
+            "dist_nano",
+            "n_nodes",
+            F.lit(n_nodes - reached).cast("bigint").alias("n_unreached"),
+            F.lit(mx).cast("bigint").alias("max_dist_nano"),
+        )
+        .orderBy("dist_nano")
+    )

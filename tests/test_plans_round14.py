@@ -277,3 +277,13 @@ def test_q327_little_no_interval_join(spark):
     plan = _plan(spark, "q327_little_law_conservation")
     assert "CartesianProduct" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_q329_bellman_ford_keyed_joins_only(spark):
+    """Every relaxation round must be keyed equi-joins (frontier expand,
+    improvement left-join, dist merge anti-join) — no nested loop, no
+    cartesian; edges are checkpointed so rounds never re-expand the
+    pair projection."""
+    plan = _plan(spark, "q329_bellman_ford_distances")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

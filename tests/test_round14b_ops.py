@@ -532,3 +532,72 @@ def test_q327_little_third_impl(spark):
     assert r.avg_wip_l == pytest.approx(
         r.arrival_rate_lambda * r.mean_wait_w, abs=tol
     )
+
+
+# ---------------------------------------------------------------------------
+# q329 — Bellman-Ford weighted distances
+# ---------------------------------------------------------------------------
+def test_q329_bellman_ford_third_impl(spark):
+    """Pure-Python 8-round Bellman-Ford over the same thresholded
+    co-purchase graph with the same BIGINT nano-weights must reproduce
+    the engine's histogram exactly — and the weighted distances must
+    genuinely differ from q325's hop counts (the reason this query
+    exists)."""
+    from collections import Counter, defaultdict
+
+    li = _pd("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = li.groupby("l_orderkey").l_partkey.transform("size")
+    li = li[sizes <= 32]
+    g = defaultdict(list)
+    sup = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] += 1
+    for (a, b), s in sup.items():
+        if s >= 2:
+            w = (2_000_000_000 + s) // (2 * s)
+            g[a].append((b, w))
+            g[b].append((a, w))
+    deg = {n: len(v) for n, v in g.items()}
+    src = sorted(g, key=lambda n: (-deg[n], n))[0]
+    dist = {src: 0}
+    for _ in range(8):
+        relaxed = {}
+        for u, d in dist.items():
+            for v, w in g[u]:
+                nd = d + w
+                if nd < relaxed.get(v, nd + 1):
+                    relaxed[v] = nd
+        changed = False
+        for v, nd in relaxed.items():
+            if nd < dist.get(v, nd + 1):
+                dist[v] = nd
+                changed = True
+        if not changed:
+            break
+    hist = Counter(dist.values())
+    n_unreached = len(g) - len(dist)
+    mx = max(dist.values())
+
+    rows = _run(spark, "q329_bellman_ford_distances")
+    got = [(r.dist_nano, r.n_nodes, r.n_unreached, r.max_dist_nano) for r in rows]
+    exp = sorted((d, n, n_unreached, mx) for d, n in hist.items())
+    assert got == exp
+
+    # the honest gate: weighted != hops for almost every node
+    hops = {src: 0}
+    frontier = [src]
+    k = 0
+    while frontier:
+        k += 1
+        nxt = []
+        for u in frontier:
+            for v, _ in g[u]:
+                if v not in hops and k <= 8:
+                    hops[v] = k
+                    nxt.append(v)
+        frontier = nxt
+    diff = sum(1 for n in dist if dist[n] != hops.get(n, -1) * 1_000_000_000)
+    assert diff > 0.9 * len(dist)
