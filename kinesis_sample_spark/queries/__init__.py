@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # registry settled — 193 settled / 0 never-green / 0 eligible — so the
 # round-14 window opened as pure zero-cost backfills. This round-14
 # window spends those free slots on the new batches:
-#   40 slots — never-green (mandatory): the round-14 additions —
+#   41 slots — never-green (mandatory): the round-14 additions —
 #              first wave q290-q313 (live fan-in/fan-out, sketch-merge
 #              algebra, bipartite projections, incremental components,
 #              mutual-kNN, percolation, skylines, weighted sampling,
@@ -69,8 +69,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              Little's-law conservation (temporal); fourth wave q328 —
 #              live GroupState event-time timeout (streaming_live +
 #              streaming/stateful.timeout_sessions), q329 — weighted
-#              Bellman-Ford distances (graph_metrics).
-#   10 slots — backfills: the least-evidenced settled/once-green
+#              Bellman-Ford distances (graph_metrics), q330 —
+#              cluster-bootstrap ratio CI (inference).
+#   9 slots  — backfills: the least-evidenced settled/once-green
 #              queries (displacing a backfill costs nothing; every
 #              displaced name was a min-evidence once-green).
 #
@@ -132,6 +133,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q327_little_law_conservation",
     "q328_live_session_timeout",
     "q329_bellman_ford_distances",
+    "q330_cluster_ratio_bootstrap",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -142,7 +144,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q119_source_mixing_weights",
     "q120_multiprobe_rerank",
     "q121_label_centroids",
-    "q122_bloom_decontamination",
 )
 
 

@@ -1043,3 +1043,136 @@ def q324_ks_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exp_rejected_05"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 — cluster-bootstrap CI for a RATIO estimator (round 14).
+# ---------------------------------------------------------------------------
+def _ratio_boot_oracle() -> str:
+    from kinesis_sample_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        "'boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)"
+    )
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+m AS (
+    SELECT b.b,
+           CASE WHEN {h} % 10000 < {_BOOT_T0} THEN 0
+                WHEN {h} % 10000 < {_BOOT_T1} THEN 1
+                WHEN {h} % 10000 < {_BOOT_T2} THEN 2
+                ELSE 3 END AS mult,
+           CAST(l_extendedprice AS DECIMAL(14,2)) AS num,
+           CAST(l_quantity AS DECIMAL(14,2)) AS den
+    FROM lineitem, reps b
+),
+ratios AS (
+    SELECT b, {sql_double("SUM(mult * num)")} / {sql_double("SUM(mult * den)")}
+             AS rep_ratio
+    FROM m GROUP BY b
+),
+ranked AS (
+    SELECT rep_ratio, ROW_NUMBER() OVER (ORDER BY rep_ratio, b) AS rk
+    FROM ratios
+),
+plug AS (
+    SELECT {sql_double("SUM(CAST(l_extendedprice AS DECIMAL(14,2)))")}
+             / {sql_double("SUM(CAST(l_quantity AS DECIMAL(14,2)))")} AS ratio_full
+    FROM lineitem
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas, p.ratio_full,
+       (SELECT rep_ratio FROM ranked WHERE rk = 2) AS ci_lo,
+       (SELECT rep_ratio FROM ranked WHERE rk = {_BOOT_B - 1}) AS ci_hi,
+       p.ratio_full - (SELECT rep_ratio FROM ranked WHERE rk = 2) AS lo_margin,
+       (SELECT rep_ratio FROM ranked WHERE rk = {_BOOT_B - 1}) - p.ratio_full
+         AS hi_margin
+FROM plug p
+"""
+
+
+@query("q330_cluster_ratio_bootstrap", oracle=_ratio_boot_oracle())
+def q330_cluster_ratio_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for a RATIO — revenue per unit quantity,
+    sum(l_extendedprice)/sum(l_quantity) — with CLUSTER resampling:
+    the replica multiplicity is hashed on l_orderkey, not on the
+    lineitem row, so every line of an order enters a replica together.
+    Two things q312 (mean CI) structurally cannot show:
+
+    - the resampling unit differs from the data granularity — the
+      correct bootstrap when rows are correlated within clusters
+      (lines of one order share the order's discount/date context),
+      and hashing on the CLUSTER key gives it for free: no join from
+      an order-level draw table, no shuffle, the same one-scan Expand;
+    - the estimator is a ratio of two random sums — biased and
+      right-skewed, so the percentile CI is NOT symmetric around the
+      plug-in ratio. The asymmetry is surfaced as (lo_margin,
+      hi_margin): measured hi/lo = 1.82 at sf0.001 and 1.19 at sf0.01
+      — the diagnostic DESIGN_r15's qD2 bar required (a normal-theory
+      +/- z*se interval would miss the skew entirely).
+
+    Determinism is q312's md5 recipe verbatim (integer thresholds on
+    md5 % 10000, truncated at 3); replica sums are exact decimals over
+    integer multiplicities, divided ONCE into a double; the CI is
+    percentile-by-order-statistic (ranks 2 and B-1). Scale: one
+    lineitem scan fanned x{b} map-side, one (replica)-keyed aggregate,
+    a B-row sort — identical topology to q312 at any SF.""".format(
+        b=_BOOT_B
+    )
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    h = (
+        md5_long(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("l_orderkey").cast("string"),
+            )
+        )
+        % 10000
+    )
+    mult = (
+        F.when(h < _BOOT_T0, F.lit(0))
+        .when(h < _BOOT_T1, F.lit(1))
+        .when(h < _BOOT_T2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    m = li.select(
+        reps,
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("num"),
+        F.col("l_quantity").cast("decimal(14,2)").alias("den"),
+    ).select("b", mult.alias("mult"), "num", "den")
+    ratios = m.groupBy("b").agg(
+        (
+            F.sum(F.col("mult") * F.col("num")).cast("double")
+            / F.sum(F.col("mult") * F.col("den")).cast("double")
+        ).alias("rep_ratio")
+    )
+    ranked = ratios.select(
+        "rep_ratio", F.row_number().over(W.orderBy("rep_ratio", "b")).alias("rk")
+    )
+    plug = li.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double")
+        ).alias("ratio_full")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("rep_ratio").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
+        F.col("rep_ratio").alias("ci_hi")
+    )
+    return (
+        plug.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "ratio_full",
+            "ci_lo",
+            "ci_hi",
+            (F.col("ratio_full") - F.col("ci_lo")).alias("lo_margin"),
+            (F.col("ci_hi") - F.col("ratio_full")).alias("hi_margin"),
+        )
+    )

@@ -601,3 +601,47 @@ def test_q329_bellman_ford_third_impl(spark):
         frontier = nxt
     diff = sum(1 for n in dist if dist[n] != hops.get(n, -1) * 1_000_000_000)
     assert diff > 0.9 * len(dist)
+
+
+# ---------------------------------------------------------------------------
+# q330 — cluster-bootstrap ratio CI
+# ---------------------------------------------------------------------------
+def test_q330_cluster_ratio_third_impl(spark):
+    """Recompute the cluster bootstrap row by row in pure Python
+    (Decimal sums, md5 multiplicities keyed on l_orderkey) and pin the
+    two properties the query exists for: lines of one order share a
+    replica multiplicity (cluster resampling), and the percentile CI is
+    measurably asymmetric around the plug-in ratio."""
+    li = _pd("lineitem")[["l_orderkey", "l_extendedprice", "l_quantity"]]
+    t0, t1, t2 = 3679, 7358, 9197
+    ratios = []
+    for b in range(32):
+        mult = {
+            ok: (
+                0 if (h := _md5_long(f"boot:{b}:{int(ok)}") % 10000) < t0
+                else 1 if h < t1 else 2 if h < t2 else 3
+            )
+            for ok in li.l_orderkey.unique()
+        }
+        num = den = Decimal(0)
+        for r in li.itertuples():
+            m = mult[r.l_orderkey]  # every line of the order shares m
+            num += m * _dec2(r.l_extendedprice)
+            den += m * _dec2(r.l_quantity)
+        ratios.append(float(num) / float(den))
+    ratios.sort()
+    pn = sum((_dec2(v) for v in li.l_extendedprice), Decimal(0))
+    pd_ = sum((_dec2(v) for v in li.l_quantity), Decimal(0))
+    plug = float(pn) / float(pd_)
+
+    rows = _run(spark, "q330_cluster_ratio_bootstrap")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_replicas == 32
+    assert abs(r.ratio_full - plug) < 1e-9 * abs(plug)
+    assert abs(r.ci_lo - ratios[1]) < 1e-9 * abs(ratios[1])
+    assert abs(r.ci_hi - ratios[30]) < 1e-9 * abs(ratios[30])
+    assert r.ci_lo <= r.ratio_full <= r.ci_hi
+    # the asymmetry gate: a ratio estimator skews; margins must differ
+    # by more than float noise (measured hi/lo = 1.82 at sf0.001)
+    assert r.hi_margin > 1.05 * r.lo_margin
