@@ -169,6 +169,10 @@ EXTRA = (
     "q325_bfs_hop_histogram",
     "q326_reservoir_merge_law",
     "q327_little_law_conservation",
+    # round-14 fourth wave
+    "q328_live_session_timeout",
+    "q329_bellman_ford_distances",
+    "q330_cluster_ratio_bootstrap",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
