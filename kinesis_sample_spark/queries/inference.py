@@ -1056,15 +1056,20 @@ def _ratio_boot_oracle() -> str:
     )
     return f"""
 WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+po AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS num,
+           SUM(CAST(l_quantity AS DECIMAL(14,2))) AS den
+    FROM lineitem GROUP BY l_orderkey
+),
 m AS (
     SELECT b.b,
            CASE WHEN {h} % 10000 < {_BOOT_T0} THEN 0
                 WHEN {h} % 10000 < {_BOOT_T1} THEN 1
                 WHEN {h} % 10000 < {_BOOT_T2} THEN 2
                 ELSE 3 END AS mult,
-           CAST(l_extendedprice AS DECIMAL(14,2)) AS num,
-           CAST(l_quantity AS DECIMAL(14,2)) AS den
-    FROM lineitem, reps b
+           num, den
+    FROM po, reps b
 ),
 ratios AS (
     SELECT b, {sql_double("SUM(mult * num)")} / {sql_double("SUM(mult * den)")}
@@ -1114,10 +1119,12 @@ def q330_cluster_ratio_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 % 10000, truncated at 3); replica sums are exact decimals over
     integer multiplicities, divided ONCE into a double; the CI is
     percentile-by-order-statistic (ranks 2 and B-1). Scale: one
-    lineitem scan fanned x{b} map-side, one (replica)-keyed aggregate,
-    a B-row sort — identical topology to q312 at any SF.""".format(
-        b=_BOOT_B
-    )
+    lineitem scan pre-aggregated per ORDER (mult is constant within a
+    cluster, so sum(mult*x) == mult*sum(x) exactly — decimal addition
+    commutes with the integer multiplicity), then the order-level
+    relation fanned x{b} map-side and one (replica)-keyed aggregate +
+    a B-row sort; the replica Expand and the md5 touch |orders| rows,
+    never |lineitem| x B.""".format(b=_BOOT_B)
     from kinesis_sample_spark.functions.hashing import md5_long
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1139,12 +1146,28 @@ def q330_cluster_ratio_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h < _BOOT_T2, F.lit(2))
         .otherwise(F.lit(3))
     )
-    m = li.select(
-        reps,
-        "l_orderkey",
-        F.col("l_extendedprice").cast("decimal(14,2)").alias("num"),
-        F.col("l_quantity").cast("decimal(14,2)").alias("den"),
-    ).select("b", mult.alias("mult"), "num", "den")
+    # pre-aggregate per CLUSTER before the replica fan-out: mult is
+    # constant within an order, so sum(mult*x) == mult*sum(x) exactly
+    # (decimal addition is exact) — the Expand and the md5 run on the
+    # order-level relation (|orders| rows), not |lineitem| x B. Measured
+    # 34 s -> ~7 s at sf0.1; at 100 TB this is the difference between
+    # hashing the fact table B times and hashing its cluster keys once
+    # per replica.
+    # the explicit repartition pins the fan-out's parallelism: AQE
+    # coalesces the small per-order shuffle (a few MB) down to ~1
+    # partition, which would serialize the x32 expand + md5 onto one
+    # core (measured 8-31 s at sf0.1; spread, 2.6-9 s)
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("num"),
+            F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("den"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    m = per_order.select(reps, "l_orderkey", "num", "den").select(
+        "b", mult.alias("mult"), "num", "den"
+    )
     ratios = m.groupBy("b").agg(
         (
             F.sum(F.col("mult") * F.col("num")).cast("double")
