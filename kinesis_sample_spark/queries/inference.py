@@ -1123,7 +1123,7 @@ def q330_cluster_ratio_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, so sum(mult*x) == mult*sum(x) exactly — decimal addition
     commutes with the integer multiplicity), then the order-level
     relation fanned x{b} map-side and one (replica)-keyed aggregate +
-    a B-row sort; the replica Expand and the md5 touch |orders| rows,
+    a B-row sort; the replica explode and the md5 touch |orders| rows,
     never |lineitem| x B.""".format(b=_BOOT_B)
     from kinesis_sample_spark.functions.hashing import md5_long
 

@@ -287,3 +287,14 @@ def test_q329_bellman_ford_keyed_joins_only(spark):
     plan = _plan(spark, "q329_bellman_ford_distances")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q330_ratio_bootstrap_partial_agg(spark):
+    """Both keyed aggregates (per-order pre-agg, per-replica sums) must
+    partial-aggregate map-side, and the replica fan-out must ride an
+    Expand — never a join against a replica table."""
+    df = _df(spark, "q330_cluster_ratio_bootstrap")
+    plan = _plan(spark, "q330_cluster_ratio_bootstrap")
+    assert has_partial_aggregate(df)
+    assert "Generate explode" in plan  # map-side fan-out, not a join
+    assert "CartesianProduct" not in plan
