@@ -1756,3 +1756,121 @@ def q328_live_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _replay_time_ordered(spark, sf_dir).withWatermark("ts", "1 hour")
     sessions = timeout_sessions(stream, _TIMEOUT_GAP_MS)
     return _run(sessions, "append").orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# q331 — the STATE STORE read back as a batch table (Spark 4 statestore
+# source): retained state must be exactly the sessions q328 withheld.
+# ---------------------------------------------------------------------------
+@query(
+    "q331_live_state_store_audit",
+    oracle=f"""
+WITH e AS (SELECT user_id, ts FROM events),
+d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+),
+g AS (
+  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS en,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sess
+),
+wm AS (
+  SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+         - INTERVAL 1 HOUR AS w
+  FROM e
+),
+closed AS (
+  SELECT count(*) AS c FROM g, wm
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = g.user_id AND e.ts > g.en)
+     OR make_timestamp((epoch_us(g.en) // 1000) * 1000)
+        + INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND <= wm.w
+)
+SELECT g.user_id, g.session_start, g.en AS last_event, g.n_events,
+       (epoch_us(g.en) // 1000) + {_TIMEOUT_GAP_MS} AS timeout_ms,
+       (SELECT CAST(c AS BIGINT) FROM closed) AS n_sessions_emitted,
+       'applyInPandasWithState' AS operator_name,
+       CAST(4 AS BIGINT) AS last_batch_id
+FROM g, wm
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = g.user_id AND e.ts > g.en)
+  AND make_timestamp((epoch_us(g.en) // 1000) * 1000)
+      + INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND > wm.w
+ORDER BY user_id
+""",
+)
+def q331_live_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state store itself, audited: run q328's timeout-session
+    pipeline against an OWNED checkpoint, then read the checkpoint back
+    with Spark 4's batch ``statestore`` data source and gate what the
+    store retains. Conservation is the law: the emitted sessions
+    (memory sink, counted into n_sessions_emitted) plus the retained
+    GroupState rows must partition the gaps-and-islands sessions — the
+    oracle enumerates exactly the trailing islands whose ms-floored
+    deadline the final watermark never passed, with the SAME
+    timeoutTimestamp arithmetic the operator used
+    (floor_ms(last_event) + gap; the reader exposes it verbatim).
+    ``state-metadata`` pins the run shape: operatorName and
+    maxBatchId = 4 — four file batches plus availableNow's final
+    no-data batch would be maxBatchId 4 with batches 0-3 carrying data,
+    i.e. the value also re-proves the no-data batch executed (A13's
+    checkpoint discipline made inspectable; the reference can only LOG
+    its lease table, Cons:70-84 — here the durable state is a queryable
+    relation).
+
+    Scale: the statestore source reads one snapshot per store partition
+    in parallel — the audit is a scan, not a replay; on a cluster the
+    same read diagnoses skewed/leaking state without touching the
+    running query. The checkpoint is per-run scratch, so the audit is
+    hermetic and idempotent."""
+    from kinesis_sample_spark.streaming.stateful import timeout_sessions
+
+    out = scratch_dir(prefix="kss_live_")
+    ck = os.path.join(out, "ck")
+    stream = _replay_time_ordered(spark, sf_dir).withWatermark("ts", "1 hour")
+    sessions = timeout_sessions(stream, _TIMEOUT_GAP_MS)
+    name = f"live_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q331 session drain did not finish within 300 s")
+    n_emitted = spark.sql(f"SELECT count(*) AS c FROM {name}").collect()[0].c
+
+    md = (
+        spark.read.format("state-metadata").load(ck)
+        .filter(F.col("operatorId") == 0)
+        .select("operatorName", "maxBatchId")
+        .collect()[0]
+    )
+    st = spark.read.format("statestore").load(ck)
+    return (
+        st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.expr("timestamp_micros(value.groupState.start_us)").alias(
+                "session_start"
+            ),
+            F.expr("timestamp_micros(value.groupState.last_us)").alias(
+                "last_event"
+            ),
+            F.col("value.groupState.n").alias("n_events"),
+            F.col("value.timeoutTimestamp").alias("timeout_ms"),
+            F.lit(n_emitted).cast("bigint").alias("n_sessions_emitted"),
+            F.lit(str(md.operatorName)).alias("operator_name"),
+            F.lit(int(md.maxBatchId)).cast("bigint").alias("last_batch_id"),
+        )
+        .orderBy("user_id")
+    )

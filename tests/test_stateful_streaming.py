@@ -253,3 +253,55 @@ def test_q328_timeout_sessions_third_impl(spark):
     assert [(u, round(t), n) for (u, t, n) in got] == [
         (u, round(t), n) for (u, t, n) in exp
     ]
+
+
+def test_q331_state_store_conservation(spark):
+    """The statestore read and the emitted sessions must PARTITION the
+    pandas-derived gaps-and-islands sessions: every island is either
+    emitted (counted in n_sessions_emitted) or retained in the store
+    with the operator's exact timeout arithmetic — and the metadata
+    columns prove the no-data batch ran (maxBatchId 4 on 4 data
+    files)."""
+    import pandas as pd
+
+    from kinesis_sample_spark.queries import load_registry
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "ts"]]
+    ev["us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    gap_us = 2 * 3600 * 1000 * 1000
+    wm_us = ((ev.us.max() // 1000) * 1000) - 3600 * 1000 * 1000
+    n_islands, expected_open = 0, []
+    for uid, g in ev.sort_values("us").groupby("user_id"):
+        us = g.us.to_numpy()
+        islands, start, n = [], int(us[0]), 0
+        last = start
+        for t in us:
+            t = int(t)
+            if t - last > gap_us:
+                islands.append((start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        islands.append((start, last, n))
+        n_islands += len(islands)
+        st, en, cnt = islands[-1]
+        if (en // 1000) * 1000 + gap_us > wm_us:
+            expected_open.append((uid, st, en, cnt, en // 1000 + 7_200_000))
+
+    rows = load_registry()["q331_live_state_store_audit"].fn(spark, SF).collect()
+    got = [
+        (
+            r.user_id,
+            (r.session_start - pd.Timestamp(0)) // pd.Timedelta(microseconds=1),
+            (r.last_event - pd.Timestamp(0)) // pd.Timedelta(microseconds=1),
+            r.n_events,
+            r.timeout_ms,
+        )
+        for r in rows
+    ]
+    assert sorted(got) == sorted(expected_open)
+    assert rows, "fixture must leave at least one open session"
+    r0 = rows[0]
+    assert r0.n_sessions_emitted + len(rows) == n_islands  # conservation
+    assert r0.operator_name == "applyInPandasWithState"
+    assert r0.last_batch_id == 4  # 4 file batches + the no-data batch
