@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # registry settled — 193 settled / 0 never-green / 0 eligible — so the
 # round-14 window opened as pure zero-cost backfills. This round-14
 # window spends those free slots on the new batches:
-#   42 slots — never-green (mandatory): the round-14 additions —
+#   43 slots — never-green (mandatory): the round-14 additions —
 #              first wave q290-q313 (live fan-in/fan-out, sketch-merge
 #              algebra, bipartite projections, incremental components,
 #              mutual-kNN, percolation, skylines, weighted sampling,
@@ -71,8 +71,10 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              streaming/stateful.timeout_sessions), q329 — weighted
 #              Bellman-Ford distances (graph_metrics), q330 —
 #              cluster-bootstrap ratio CI (inference), q331 — state
-#              store read back as a batch table (streaming_live).
-#   8 slots  — backfills: the least-evidenced settled/once-green
+#              store read back as a batch table (streaming_live),
+#              q332 — density-peak basins via native recursive CTE
+#              (graph_metrics).
+#   7 slots  — backfills: the least-evidenced settled/once-green
 #              queries (displacing a backfill costs nothing; every
 #              displaced name was a min-evidence once-green).
 #
@@ -136,6 +138,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q329_bellman_ford_distances",
     "q330_cluster_ratio_bootstrap",
     "q331_live_state_store_audit",
+    "q332_peak_basin_clusters",
     # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
@@ -144,7 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q117_gopher_quality_rules",
     "q118_train_split",
     "q119_source_mixing_weights",
-    "q120_multiprobe_rerank",
 )
 
 

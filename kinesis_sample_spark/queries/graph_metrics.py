@@ -24,6 +24,7 @@ can never explode the edge list — the property that makes the family
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table
@@ -1357,4 +1358,127 @@ def q329_bellman_ford_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(mx).cast("bigint").alias("max_dist_nano"),
         )
         .orderBy("dist_nano")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q332 — density-peak basins via NATIVE recursive CTE (round 14).
+# ---------------------------------------------------------------------------
+_BASIN_MAX_DEPTH = 63
+
+#: hill-climb parent: the neighbor with the maximal (degree, -id) key,
+#: restricted to neighbors whose key strictly exceeds the node's own —
+#: strict increase makes every climb acyclic and depth-bounded.
+_BASIN_PARENT_SQL = """
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+nb AS (
+  SELECT e.u, e.v, du.d AS du, dv.d AS dv
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+parent AS (
+  SELECT u AS node, v AS parent FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY dv DESC, v ASC) AS rk
+    FROM nb WHERE dv > du OR (dv = du AND v < u)
+  ) t WHERE rk = 1
+)"""
+
+_BASIN_WALK_SQL = """
+WITH RECURSIVE walk(node, cur, depth) AS (
+  SELECT node, node, 0 FROM {nodes}
+  UNION ALL
+  SELECT w.node, p.parent, w.depth + 1
+  FROM walk w JOIN {parent} p ON p.node = w.cur
+  WHERE w.depth < {max_depth}
+),
+term AS (
+  SELECT node, cur AS peak, depth FROM (
+    SELECT walk.*, ROW_NUMBER() OVER (PARTITION BY node ORDER BY depth DESC) AS rk
+    FROM walk
+  ) t WHERE rk = 1
+)
+SELECT peak, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM term GROUP BY peak ORDER BY peak
+"""
+
+
+def _basin_oracle() -> str:
+    walk = _BASIN_WALK_SQL.format(
+        nodes="nodes", parent="parent", max_depth=_BASIN_MAX_DEPTH
+    )
+    return (
+        "WITH " + _SQL_PAIRS + f""",
+e2 AS (SELECT part_a, part_b FROM pairs WHERE sup >= {_BFS_SUPPORT}),
+edges AS (
+  SELECT part_a AS u, part_b AS v FROM e2
+  UNION ALL SELECT part_b, part_a FROM e2
+),{_BASIN_PARENT_SQL},
+nodes AS (SELECT node FROM deg)
+SELECT * FROM ({walk}) fin
+"""
+    )
+
+
+@query("q332_peak_basin_clusters", oracle=_basin_oracle())
+def q332_peak_basin_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-peak basin clustering of the co-purchase graph, executed
+    by Spark 4.1's NATIVE recursive CTE — the first registry query whose
+    iteration runs inside Catalyst (a UnionLoop plan) instead of a
+    driver-side Python loop (components.py / q325 / q329 style). Every
+    node hill-climbs to its best neighbor by the strict key
+    (degree DESC, id ASC) until it reaches a local density peak; basins
+    (peak, member count, longest climb) are the mode-seeking clusters
+    density-peaks methods compute (Rodriguez-Laio style, on graph
+    degree instead of kernel density).
+
+    Why this recursion is explosion-free where BFS is not (Spark's
+    recursive CTEs support UNION ALL only): the parent relation is a
+    FUNCTION — at most one parent per node, chosen by ROW_NUMBER over
+    the strictly-greater (deg, -id) key — so each recursion level has
+    at most one successor row per node and the per-level row count
+    SHRINKS as chains reach peaks. Strict key increase makes climbs
+    acyclic; the depth cap ({d}, mirrored verbatim in the oracle) is a
+    safety bound both engines share, and the terminal row per node is
+    selected by max depth, so even a hypothetical truncation diverges
+    identically. The anchor is the FULL node set (from deg), not just
+    parent-relation endpoints — a local maximum nobody climbs into
+    still owns its singleton basin.
+
+    The parent relation is localCheckpointed before the recursive SQL:
+    recursion re-executes its referenced views once per level, so an
+    un-materialized parent would rerun the pair projection + degree
+    join per level (measured 21 s -> 2.1 s at sf0.1). Scale: each
+    level is one keyed equi-join against the checkpointed
+    single-parent relation; levels are bounded by the longest strictly-
+    increasing degree chain (max climb depth 7 across fixtures).""".format(
+        d=_BASIN_MAX_DEPTH
+    )
+    import uuid as _uuid
+
+    pairs = _edges(spark, sf_dir).filter(F.col("sup") >= _BFS_SUPPORT)
+    edges = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).unionByName(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    nb = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    w_rk = W.partitionBy("u").orderBy(F.col("dv").desc(), F.col("v").asc())
+    parent = (
+        nb.filter(
+            (F.col("dv") > F.col("du"))
+            | ((F.col("dv") == F.col("du")) & (F.col("v") < F.col("u")))
+        )
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(F.col("u").alias("node"), F.col("v").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select("node").localCheckpoint(eager=True)
+    tag = _uuid.uuid4().hex[:10]
+    pv, nv = f"q332_parent_{tag}", f"q332_nodes_{tag}"
+    parent.createOrReplaceTempView(pv)
+    nodes.createOrReplaceTempView(nv)
+    return spark.sql(
+        _BASIN_WALK_SQL.format(nodes=nv, parent=pv, max_depth=_BASIN_MAX_DEPTH)
     )

@@ -298,3 +298,12 @@ def test_q330_ratio_bootstrap_partial_agg(spark):
     assert has_partial_aggregate(df)
     assert "Generate explode" in plan  # map-side fan-out, not a join
     assert "CartesianProduct" not in plan
+
+
+def test_q332_native_recursion(spark):
+    """The basin walk must execute inside Catalyst as a native recursive
+    CTE (UnionLoop physical node) — not a driver loop — and never via a
+    cartesian product."""
+    plan = _plan(spark, "q332_peak_basin_clusters")
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan

@@ -645,3 +645,50 @@ def test_q330_cluster_ratio_third_impl(spark):
     # the asymmetry gate: a ratio estimator skews; margins must differ
     # by more than float noise (measured hi/lo = 1.82 at sf0.001)
     assert r.hi_margin > 1.05 * r.lo_margin
+
+
+# ---------------------------------------------------------------------------
+# q332 — density-peak basins (native recursive CTE)
+# ---------------------------------------------------------------------------
+def test_q332_peak_basins_third_impl(spark):
+    """Pure-Python hill-climb over the same thresholded graph: every
+    node follows its strictly-greater (degree, -id) neighbor to a local
+    peak; basin census must match the engine's recursive-CTE result
+    exactly, and the strict-key rule must make every climb acyclic."""
+    from collections import Counter, defaultdict
+
+    li = _pd("lineitem")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    sizes = li.groupby("l_orderkey").l_partkey.transform("size")
+    li = li[sizes <= 32]
+    sup = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                sup[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), s in sup.items():
+        if s >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+
+    def parent(u):
+        cands = [v for v in adj[u] if deg[v] > deg[u] or (deg[v] == deg[u] and v < u)]
+        return max(cands, key=lambda v: (deg[v], -v)) if cands else None
+
+    basins, depths = Counter(), {}
+    for n in adj:
+        cur, d, seen = n, 0, {n}
+        while (p := parent(cur)) is not None:
+            assert p not in seen, "climb must be acyclic"
+            seen.add(p)
+            cur, d = p, d + 1
+        basins[cur] += 1
+        depths[cur] = max(depths.get(cur, 0), d)
+
+    rows = _run(spark, "q332_peak_basin_clusters")
+    got = sorted((r.peak, r.n_members, r.max_depth) for r in rows)
+    exp = sorted((p, basins[p], depths[p]) for p in basins)
+    assert got == exp
+    assert sum(basins.values()) == len(adj)  # every node owns a basin
