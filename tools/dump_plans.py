@@ -173,6 +173,8 @@ EXTRA = (
     "q328_live_session_timeout",
     "q329_bellman_ford_distances",
     "q330_cluster_ratio_bootstrap",
+    "q331_live_state_store_audit",
+    "q332_peak_basin_clusters",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
