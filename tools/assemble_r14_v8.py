@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Assemble the round-14 v7 evidence artifacts from the sweep logs.
+"""Assemble the round-14 v8 evidence artifacts from the sweep logs.
 
-Reads the logs tools/r14_sweeps_v7.sh wrote to /tmp and rewrites
+Reads the logs tools/r14_sweeps_v8.sh wrote to /tmp and rewrites
 PARITY_SF01_r14.json, PARITY_ALT7_r14.json, LATENCY_r14.json with
-final-tree (v7, registry 324) results + provenance notes.
+final-tree (v8, registry 326) results + provenance notes.
 """
 
 from __future__ import annotations
@@ -13,9 +13,10 @@ import statistics
 import sys
 
 NOTE_TAIL = (
-    "round-14 FINAL tree (v7, after the fourth wave q328-q330: live "
+    "round-14 FINAL tree (v8, after the fifth wave q328-q332: live "
     "event-time-timeout sessions, weighted Bellman-Ford, cluster-ratio "
-    "bootstrap incl. its pre-agg rewrite, outputs proven bit-identical)"
+    "bootstrap incl. its pre-agg rewrite, statestore audit, native "
+    "recursive-CTE basins)"
 )
 
 
@@ -27,7 +28,7 @@ def load_json_from_log(path: str) -> dict:
 
 
 def main() -> None:
-    corr = load_json_from_log("/tmp/r14_corr01_v7.log")
+    corr = load_json_from_log("/tmp/r14_corr01_v8.log")
     assert corr["summary"]["all_ok"], "sf0.1 parity not green — do not assemble"
     corr["summary"]["note"] = (
         f"whole-registry ({corr['summary']['total']} queries) DuckDB "
@@ -36,7 +37,7 @@ def main() -> None:
     )
     json.dump(corr, open("/root/repo/PARITY_SF01_r14.json", "w"), indent=1)
 
-    alt = load_json_from_log("/tmp/r14_alt7_v7.log")
+    alt = load_json_from_log("/tmp/r14_alt7_v8.log")
     assert alt["summary"]["all_ok"], "alt-7 parity not green — do not assemble"
     alt["summary"]["note"] = (
         f"whole-registry ({alt['summary']['total']} queries) DuckDB "
@@ -46,7 +47,7 @@ def main() -> None:
     json.dump(alt, open("/root/repo/PARITY_ALT7_r14.json", "w"), indent=1)
 
     qs = {}
-    with open("/tmp/r14_latency_v7.jsonl") as f:
+    with open("/tmp/r14_latency_v8.jsonl") as f:
         for line in f:
             if line.strip():
                 rec = json.loads(line)
@@ -67,9 +68,8 @@ def main() -> None:
             f"{len(qs)} queries, {len(errs)} errors. Top: "
             + ", ".join(f"{n} {v:.2f} s" for n, v in top)
             + ". Live-query wall times remain trigger drains, not "
-            "compute; mid-sweep outliers re-timed solo per the r08 "
-            "protocol: q152 7.2-8.2 s steady, q61 3.2-5.1 s (JVM-state "
-            "artifacts, code untouched this round)."
+            "compute; mid-sweep outliers re-time solo per the r08 "
+            "protocol (q152: 26.9 s mid-sweep, 9.3-18.9 s solo this v8; 7-8 s v7 — JVM-state drift, code untouched this round)."
         ),
         "total": round(sum(vals), 1),
         "median": round(statistics.median(vals), 3),
