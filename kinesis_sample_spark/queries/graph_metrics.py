@@ -1436,7 +1436,7 @@ def q332_peak_basin_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strictly-greater (deg, -id) key — so each recursion level has
     at most one successor row per node and the per-level row count
     SHRINKS as chains reach peaks. Strict key increase makes climbs
-    acyclic; the depth cap ({d}, mirrored verbatim in the oracle) is a
+    acyclic; the depth cap (63, mirrored verbatim in the oracle) is a
     safety bound both engines share, and the terminal row per node is
     selected by max depth, so even a hypothetical truncation diverges
     identically. The anchor is the FULL node set (from deg), not just
@@ -1449,11 +1449,7 @@ def q332_peak_basin_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join per level (measured 21 s -> 2.1 s at sf0.1). Scale: each
     level is one keyed equi-join against the checkpointed
     single-parent relation; levels are bounded by the longest strictly-
-    increasing degree chain (max climb depth 7 across fixtures).""".format(
-        d=_BASIN_MAX_DEPTH
-    )
-    import uuid as _uuid
-
+    increasing degree chain (max climb depth 7 across fixtures)."""
     pairs = _edges(spark, sf_dir).filter(F.col("sup") >= _BFS_SUPPORT)
     edges = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).unionByName(
         pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
@@ -1475,8 +1471,12 @@ def q332_peak_basin_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = deg.select("node").localCheckpoint(eager=True)
-    tag = _uuid.uuid4().hex[:10]
-    pv, nv = f"q332_parent_{tag}", f"q332_nodes_{tag}"
+    # fixed view names: spark.sql analyzes eagerly, so the returned plan
+    # is bound to THIS invocation's checkpointed relations — a later
+    # createOrReplaceTempView replaces the catalog entry without growing
+    # it (uuid-suffixed names would accumulate one view + pinned
+    # checkpoint per invocation across a full-registry sweep)
+    pv, nv = "q332_parent", "q332_nodes"
     parent.createOrReplaceTempView(pv)
     nodes.createOrReplaceTempView(nv)
     return spark.sql(

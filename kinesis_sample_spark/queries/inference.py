@@ -682,18 +682,50 @@ _BOOT_B = 32
 _BOOT_T0, _BOOT_T1, _BOOT_T2 = 3679, 7358, 9197
 
 
-def _boot_oracle() -> str:
+def _boot_mult(key_col: str):
+    """Poisson(1) multiplicity (truncated at 3) for replica ``b`` and the
+    resample-unit key column — the md5 recipe both bootstrap queries
+    (q312 row-level, q330 cluster-level) and BOTH engines share; the key
+    column is the only degree of freedom."""
+    from kinesis_sample_spark.functions.hashing import md5_long
+
+    h = (
+        md5_long(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+            )
+        )
+        % 10000
+    )
+    return (
+        F.when(h < _BOOT_T0, F.lit(0))
+        .when(h < _BOOT_T1, F.lit(1))
+        .when(h < _BOOT_T2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+
+def _boot_mult_sql(key_expr: str) -> str:
+    """DuckDB rendering of :func:`_boot_mult` over SQL expression
+    ``key_expr``."""
     from kinesis_sample_spark.functions.hashing import md5_long_sql
 
-    h = md5_long_sql("'boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+    h = md5_long_sql(f"'boot:' || CAST(b.b AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)")
+    return f"""CASE WHEN {h} % 10000 < {_BOOT_T0} THEN 0
+                WHEN {h} % 10000 < {_BOOT_T1} THEN 1
+                WHEN {h} % 10000 < {_BOOT_T2} THEN 2
+                ELSE 3 END"""
+
+
+def _boot_oracle() -> str:
     return f"""
 WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
 m AS (
     SELECT b.b, o_orderkey,
-           CASE WHEN {h} % 10000 < {_BOOT_T0} THEN 0
-                WHEN {h} % 10000 < {_BOOT_T1} THEN 1
-                WHEN {h} % 10000 < {_BOOT_T2} THEN 2
-                ELSE 3 END AS mult,
+           {_boot_mult_sql("o_orderkey")} AS mult,
            CAST(o_totalprice AS DECIMAL(12,2)) AS price
     FROM orders, reps b
 ),
@@ -745,27 +777,9 @@ def q312_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), one (replica)-keyed aggregate of B rows, one B-row sort.
     B controls cost linearly and 32 already gives a stable
     percentile CI.""".format(b=_BOOT_B)
-    from kinesis_sample_spark.functions.hashing import md5_long
-
     orders = load_table(spark, sf_dir, "orders")
     reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
-    h = (
-        md5_long(
-            F.concat(
-                F.lit("boot:"),
-                F.col("b").cast("string"),
-                F.lit(":"),
-                F.col("o_orderkey").cast("string"),
-            )
-        )
-        % 10000
-    )
-    mult = (
-        F.when(h < _BOOT_T0, F.lit(0))
-        .when(h < _BOOT_T1, F.lit(1))
-        .when(h < _BOOT_T2, F.lit(2))
-        .otherwise(F.lit(3))
-    )
+    mult = _boot_mult("o_orderkey")
     m = orders.select(
         reps, "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
     ).select("b", mult.alias("mult"), "price")
@@ -1049,11 +1063,6 @@ def q324_ks_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q330 — cluster-bootstrap CI for a RATIO estimator (round 14).
 # ---------------------------------------------------------------------------
 def _ratio_boot_oracle() -> str:
-    from kinesis_sample_spark.functions.hashing import md5_long_sql
-
-    h = md5_long_sql(
-        "'boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)"
-    )
     return f"""
 WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
 po AS (
@@ -1064,10 +1073,7 @@ po AS (
 ),
 m AS (
     SELECT b.b,
-           CASE WHEN {h} % 10000 < {_BOOT_T0} THEN 0
-                WHEN {h} % 10000 < {_BOOT_T1} THEN 1
-                WHEN {h} % 10000 < {_BOOT_T2} THEN 2
-                ELSE 3 END AS mult,
+           {_boot_mult_sql("l_orderkey")} AS mult,
            num, den
     FROM po, reps b
 ),
@@ -1122,30 +1128,12 @@ def q330_cluster_ratio_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem scan pre-aggregated per ORDER (mult is constant within a
     cluster, so sum(mult*x) == mult*sum(x) exactly — decimal addition
     commutes with the integer multiplicity), then the order-level
-    relation fanned x{b} map-side and one (replica)-keyed aggregate +
+    relation fanned xB=32 map-side and one (replica)-keyed aggregate +
     a B-row sort; the replica explode and the md5 touch |orders| rows,
-    never |lineitem| x B.""".format(b=_BOOT_B)
-    from kinesis_sample_spark.functions.hashing import md5_long
-
+    never |lineitem| x B."""
     li = load_table(spark, sf_dir, "lineitem")
     reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
-    h = (
-        md5_long(
-            F.concat(
-                F.lit("boot:"),
-                F.col("b").cast("string"),
-                F.lit(":"),
-                F.col("l_orderkey").cast("string"),
-            )
-        )
-        % 10000
-    )
-    mult = (
-        F.when(h < _BOOT_T0, F.lit(0))
-        .when(h < _BOOT_T1, F.lit(1))
-        .when(h < _BOOT_T2, F.lit(2))
-        .otherwise(F.lit(3))
-    )
+    mult = _boot_mult("l_orderkey")
     # pre-aggregate per CLUSTER before the replica fan-out: mult is
     # constant within an order, so sum(mult*x) == mult*sum(x) exactly
     # (decimal addition is exact) — the Expand and the md5 run on the

@@ -1686,15 +1686,20 @@ def q316_live_rate_limited_backlog(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 _TIMEOUT_GAP_MS = 2 * 3600 * 1000  # 2 h, same threshold family as q131
 
-
-@query(
-    "q328_live_session_timeout",
-    oracle=f"""
-WITH e AS (SELECT user_id, ts FROM events),
+#: shared gaps-and-islands CTE chain for the q328/q331 oracle pair — the
+#: island split interpolates the SAME constant the operator uses (a
+#: hand-written "INTERVAL 2 HOUR" here once desynced the two halves of
+#: the oracle from a _TIMEOUT_GAP_MS change), and the deadline/watermark
+#: comparison is STRICT (<) because Spark evicts timed-out state only
+#: when timeoutTimestamp < eviction watermark — verified empirically: a
+#: session whose ms-floored deadline exactly equals the final watermark
+#: is NOT emitted (tests/test_stateful_streaming.py boundary note).
+_SESSION_ISLANDS_SQL = f"""
+e AS (SELECT user_id, ts FROM events),
 d AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+                   > INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND THEN 1 ELSE 0 END AS brk
   FROM e
 ),
 s AS (
@@ -1712,12 +1717,21 @@ wm AS (
   SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
          - INTERVAL 1 HOUR AS w
   FROM e
-)
+)"""
+
+#: a session's timeout deadline has passed (strict; see above)
+_SESSION_CLOSED_SQL = f"""make_timestamp((epoch_us(g.en) // 1000) * 1000)
+      + INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND < wm.w"""
+
+
+@query(
+    "q328_live_session_timeout",
+    oracle=f"""
+WITH {_SESSION_ISLANDS_SQL}
 SELECT g.user_id, g.session_start, g.n_events
 FROM g, wm
 WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = g.user_id AND e.ts > g.en)
-   OR make_timestamp((epoch_us(g.en) // 1000) * 1000)
-      + INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND <= wm.w
+   OR {_SESSION_CLOSED_SQL}
 ORDER BY user_id, session_start
 """,
 )
@@ -1740,8 +1754,10 @@ def q328_live_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is q131's gaps-and-islands SQL plus the *emittability*
     predicate: a session appears iff a later same-key event exists (gap
-    close) OR its ms-floored deadline is <= the final watermark
-    (ms-floored max event time minus the 1 h delay) — trailing sessions
+    close) OR its ms-floored deadline is STRICTLY below the final
+    watermark (ms-floored max event time minus the 1 h delay; Spark
+    evicts on timeoutTimestamp < watermark, empirically a deadline
+    exactly equal to the watermark does NOT fire) — trailing sessions
     the watermark never reaches stay in the state store (their rows would
     surface on the next incarnation via the checkpoint, A9-style). Gap
     margins: the split compares exact microseconds on both engines; the
@@ -1755,7 +1771,21 @@ def q328_live_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _replay_time_ordered(spark, sf_dir).withWatermark("ts", "1 hour")
     sessions = timeout_sessions(stream, _TIMEOUT_GAP_MS)
-    return _run(sessions, "append").orderBy("user_id", "session_start")
+    name = f"live_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a timed-out drain must RAISE, not return a silently partial table
+    # (the q313/q316/q331 discipline; the legacy _run helper ignores the
+    # awaitTermination return value)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q328 session drain did not finish within 300 s")
+    return spark.sql(f"SELECT * FROM {name}").orderBy("user_id", "session_start")
 
 
 # ---------------------------------------------------------------------------
@@ -1765,34 +1795,11 @@ def q328_live_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q331_live_state_store_audit",
     oracle=f"""
-WITH e AS (SELECT user_id, ts FROM events),
-d AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
-  FROM e
-),
-s AS (
-  SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) AS sess
-  FROM d
-),
-g AS (
-  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS en,
-         CAST(count(*) AS BIGINT) AS n_events
-  FROM s GROUP BY user_id, sess
-),
-wm AS (
-  SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
-         - INTERVAL 1 HOUR AS w
-  FROM e
-),
+WITH {_SESSION_ISLANDS_SQL},
 closed AS (
   SELECT count(*) AS c FROM g, wm
   WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = g.user_id AND e.ts > g.en)
-     OR make_timestamp((epoch_us(g.en) // 1000) * 1000)
-        + INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND <= wm.w
+     OR {_SESSION_CLOSED_SQL}
 )
 SELECT g.user_id, g.session_start, g.en AS last_event, g.n_events,
        (epoch_us(g.en) // 1000) + {_TIMEOUT_GAP_MS} AS timeout_ms,
@@ -1801,8 +1808,7 @@ SELECT g.user_id, g.session_start, g.en AS last_event, g.n_events,
        CAST(4 AS BIGINT) AS last_batch_id
 FROM g, wm
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = g.user_id AND e.ts > g.en)
-  AND make_timestamp((epoch_us(g.en) // 1000) * 1000)
-      + INTERVAL {_TIMEOUT_GAP_MS} MILLISECOND > wm.w
+  AND NOT ({_SESSION_CLOSED_SQL})
 ORDER BY user_id
 """,
 )

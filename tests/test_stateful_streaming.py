@@ -209,7 +209,10 @@ def test_q328_timeout_sessions_third_impl(spark):
     """q328 re-derived in pure pandas: gaps-and-islands sessions (exact
     microsecond arithmetic) filtered by the emittability rule — a later
     same-key event exists, OR the ms-floored deadline is <= the final
-    watermark (ms-floored max ts - 1 h). The per-user LAST islands that
+    watermark (ms-floored max ts - 1 h; STRICT < — Spark evicts only
+    when timeoutTimestamp < eviction watermark, verified by a synthetic
+    deadline == watermark fixture that did NOT fire). The per-user LAST
+    islands that
     pass the rule can only surface via state.hasTimedOut (no later event
     ever arrives for the key), so their presence proves the timeout path
     fired; the last islands that fail it prove the watermark gate
@@ -240,7 +243,7 @@ def test_q328_timeout_sessions_third_impl(spark):
         for i, (st, en, cnt) in enumerate(islands):
             trailing = i == len(islands) - 1
             deadline = (en // 1000) * 1000 + gap_us
-            if not trailing or deadline <= wm_us:
+            if not trailing or deadline < wm_us:
                 expected.append((uid, st, cnt))
                 timeout_only += trailing
             else:
@@ -285,7 +288,7 @@ def test_q331_state_store_conservation(spark):
         islands.append((start, last, n))
         n_islands += len(islands)
         st, en, cnt = islands[-1]
-        if (en // 1000) * 1000 + gap_us > wm_us:
+        if (en // 1000) * 1000 + gap_us >= wm_us:
             expected_open.append((uid, st, en, cnt, en // 1000 + 7_200_000))
 
     rows = load_registry()["q331_live_state_store_audit"].fn(spark, SF).collect()
