@@ -44,6 +44,12 @@ STAGES = (
     ("audit: shingle boilerplate per source", "q264_shingle_duplication_rate"),
     ("audit: embedding norm hygiene", "q279_embedding_norm_profile"),
     ("audit: source-mix atypicality (JSD)", "q280_source_lang_jsd"),
+    # round-14 curation additions: sampling the corpus is as much a
+    # pipeline stage as deduping it — weighted selection, stratified
+    # allocation, and an uncertainty bound on the headline ratio
+    ("sample: weighted w/o replacement (E-S)", "q307_weighted_sample_es"),
+    ("sample: stratified (Neyman allocation)", "q320_neyman_allocation"),
+    ("uncertainty: cluster-bootstrap ratio CI", "q330_cluster_ratio_bootstrap"),
     ("corpus capstone (end-to-end)", "q77_training_corpus_pipeline"),
 )
 

@@ -581,7 +581,7 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """,
 )
 def q270_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Largest-remainder (Hamilton) allocation: {p} integer points per
+    """Largest-remainder (Hamilton) allocation: 100 integer points per
     order split across its line items proportionally to price — floor
     the exact integer quotas, then hand the leftover points to the
     largest remainders (ties to the lowest line number). The exact
@@ -597,7 +597,7 @@ def q270_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: quotas and remainders ride one orderkey-partitioned shuffle
     (window rank inside it); the audit join to orders is key-to-key.
-    """.format(p=_ALLOC_POINTS)
+    """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     lines = li.select(

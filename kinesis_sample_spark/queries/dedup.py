@@ -972,7 +972,7 @@ def q152_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
         )
     )
-    return (
+    out = (
         pairs.filter(
             F.col("n_inter") * _PP_DEN
             >= _PP_NUM * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
@@ -988,8 +988,19 @@ def q152_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
+        # persist the VERIFIED pairs before the terminal sort: orderBy's
+        # range-partitioner sample pass otherwise re-executes the whole
+        # candidate-verify subtree (the array_intersect over millions of
+        # candidate pairs — the query's dominant, allocation-heavy stage;
+        # it ran twice per terminal action, measured ~2× wall at sf0.1 in
+        # the round-15 q152 re-timing, SCALING.md). The persisted relation
+        # is the 6-small-column RESULT, far smaller than its inputs;
+        # MEMORY_AND_DISK so a huge corpus spills instead of OOMing. At
+        # 100 TB the sort is dropped anyway (deterministic-output test
+        # convention), and this persist goes with it.
+        .persist()
     )
+    return out.orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

@@ -108,7 +108,7 @@ ORDER BY n.community
 )
 def q241_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Communities = connected components of the co-purchase graph at
-    support >= {sup}: the product-affinity clusters a recommender or
+    support >= 3: the product-affinity clusters a recommender or
     assortment planner actually consumes, summarized per community
     (member count, internal edges, total support). Community id = min
     part id, matching the engine's min-label CC exactly.
@@ -118,13 +118,13 @@ def q241_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle runs a recursive-CTE reachability closure — two
     independent algorithms must produce identical partitions.
 
-    Scale: the support threshold (>= {sup}) is the load-bearing choice —
+    Scale: the support threshold (>= 3) is the load-bearing choice —
     it prunes the edge list to the statistically meaningful core BEFORE
     the iterative stage, so CC runs on a graph orders of magnitude
     smaller than the raw pair projection; the pair projection itself is
     MAX_BASKET-capped. The oracle's closure is quadratic per component,
     which the same pruning keeps trivially small; the Spark operator has
-    no such limit.""".format(sup=COMMUNITY_MIN_SUPPORT)
+    no such limit."""
     # materialize the thresholded edge list ONCE: it feeds both the CC
     # iteration (which would otherwise re-run the quadratic pair
     # projection to build its own checkpoint) and the edge_stats join.
@@ -705,7 +705,7 @@ ORDER BY n.community
 )
 def q301_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q241's communities computed the INCREMENTAL way: CC on the
-    pre-{cut} graph, contract each old component to its label, map the
+    pre-1998-01-01 graph, contract each old component to its label, map the
     delta edges (full-graph edges minus old edges, an anti-join — edge
     support must be recomputed on the full fact because a basket spans
     the cut) through the contraction, re-solve only contracted+delta,
@@ -721,9 +721,9 @@ def q301_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``incremental_components``; pinned against a full recompute on a
     synthetic graph in tests/test_round14_ops.py).
 
-    Scale: both CC runs ride the support threshold (>= {sup}) and the
+    Scale: both CC runs ride the support threshold (>= 3) and the
     MAX_BASKET-capped pair projection; the delta anti-join is one
-    shuffle on the edge key.""".format(cut=DELTA_CUT, sup=COMMUNITY_MIN_SUPPORT)
+    shuffle on the edge key."""
     from kinesis_sample_spark.operators.components import incremental_components
 
     full_edges = (
@@ -803,13 +803,13 @@ def q302_affected_community_delta(spark: SparkSession, sf_dir: str) -> DataFrame
     (``merged_from``). Unchanged communities are filtered out, so the
     output IS the invalidation work-list.
 
-    Old labels come from CC on the pre-{cut} thresholded graph (support
+    Old labels come from CC on the pre-1998-01-01 thresholded graph (support
     recomputed on the old fact), new labels from CC on the full graph;
     the oracle runs both recursive closures and diffs them identically.
 
     Scale: two thresholded CC runs plus one node-keyed join; the output
     is bounded by |changed communities|, which is what makes delta-
-    driven invalidation cheaper than rebuild-the-world.""".format(cut=DELTA_CUT)
+    driven invalidation cheaper than rebuild-the-world."""
     full_edges = _edges(spark, sf_dir).filter(
         F.col("sup") >= COMMUNITY_MIN_SUPPORT
     )
@@ -881,8 +881,8 @@ FROM sizes{t}""")
 @query("q304_percolation_threshold_sweep", oracle=_perc_oracle())
 def q304_percolation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The percolation curve that justifies COMMUNITY_MIN_SUPPORT: for
-    support thresholds {ts}, the component count, giant-component size
-    and number of stranded nodes (nodes of the threshold-{t0} universe
+    support thresholds (3, 4, 5, 6), the component count, giant-component size
+    and number of stranded nodes (nodes of the threshold-3 universe
     with no surviving edge). Reading the curve tells a planner where the
     graph fractures — below the percolation point a single giant
     component makes per-community processing meaningless; above it the
@@ -898,9 +898,7 @@ def q304_percolation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFr
     Scale: each CC rides a monotonically smaller edge set; the curve's
     cost is dominated by the shared projection, so sweeping thresholds
     is cheap once the graph is built — which is why this audit is
-    WORTH running before committing to a threshold at 100 TB.""".format(
-        ts=_PERC_TS, t0=_PERC_TS[0]
-    )
+    WORTH running before committing to a threshold at 100 TB."""
     pairs = (
         _edges(spark, sf_dir)
         .filter(F.col("sup") >= _PERC_TS[0])
@@ -1004,11 +1002,11 @@ FROM {prev}""")
 @query("q311_kcore_census", oracle=_kcore_oracle())
 def q311_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the co-purchase graph (support >=
-    {sup}): repeatedly peel nodes of degree < k until the graph stops
+    2): repeatedly peel nodes of degree < k until the graph stops
     shrinking; what survives is the maximal subgraph where EVERY node
     keeps >= k neighbors — the standard cohesion core (k-cores seed
     community detection, measure engagement durability, and bound the
-    clique number). Census per k in {ks}: core nodes, core edges, max
+    clique number). Census per k in (2, 3): core nodes, core edges, max
     in-core degree.
 
     This is a NEW fixpoint shape for the engine: the iterate SHRINKS the
@@ -1016,7 +1014,7 @@ def q311_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-weights a fixed edge set). Same iterative discipline as
     components.py — lazy localCheckpoint per round, the convergence
     count materializes it, and the loop RAISES if the peel hasn't
-    converged within {n} rounds, so the oracle's {n}-round unrolled CTE
+    converged within 14 rounds, so the oracle's 14-round unrolled CTE
     chain can never silently disagree with a deeper engine run
     (measured max 11 rounds at sf0.01 k=3).
 
@@ -1024,7 +1022,7 @@ def q311_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on node, over a monotonically shrinking relation; rounds are
     bounded by the peel depth (typically <= tens on real graphs), and
     the support threshold bounds the starting edge list exactly as in
-    q241.""".format(sup=_KCORE_SUPPORT, ks=_KCORE_KS, n=_KCORE_UNROLL)
+    q241."""
     pairs = (
         _edges(spark, sf_dir)
         .filter(F.col("sup") >= _KCORE_SUPPORT)
@@ -1141,16 +1139,16 @@ ORDER BY g.dist
 def q325_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first hop-distance histogram from the co-purchase
     graph's hub (highest-degree node, ties to the smallest id): how
-    many parts sit 1, 2, ... {h} co-purchase hops from the most
-    connected part, how many are beyond hop {h} or disconnected
-    (n_unreached), and the observed eccentricity-at-{h}. The graph
+    many parts sit 1, 2, ... 8 co-purchase hops from the most
+    connected part, how many are beyond hop 8 or disconnected
+    (n_unreached), and the observed eccentricity-at-8. The graph
     shelf measures cohesion (q311 k-core), triangles (q150),
     components (q241), and centrality (q125 PageRank) — this is the
     missing TRAVERSAL primitive, the expanding-frontier BFS every
     "how far is everything from X" question compiles to.
 
     Semantics are deliberately bounded: distances are computed to
-    exactly {h} hops (the histogram + n_unreached is well-defined
+    exactly 8 hops (the histogram + n_unreached is well-defined
     whatever the diameter), so unlike q311 there is no convergence
     assertion to carry — the unrolled oracle and the engine loop run
     the SAME fixed hop count by construction. Visited-set dedup keys
@@ -1163,9 +1161,7 @@ def q325_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard Pregel-free relational BFS; the frontier relation is
     localCheckpointed lazily per hop (components.py discipline) so the
     plan never re-expands earlier hops. Hop count bounds the rounds;
-    the support threshold bounds the edge list (q241's knob).""".format(
-        h=_BFS_HOPS
-    )
+    the support threshold bounds the edge list (q241's knob)."""
     pairs = (
         _edges(spark, sf_dir)
         .filter(F.col("sup") >= _BFS_SUPPORT)
@@ -1475,7 +1471,13 @@ def q332_peak_basin_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is bound to THIS invocation's checkpointed relations — a later
     # createOrReplaceTempView replaces the catalog entry without growing
     # it (uuid-suffixed names would accumulate one view + pinned
-    # checkpoint per invocation across a full-registry sweep)
+    # checkpoint per invocation across a full-registry sweep).
+    # SINGLE-THREADED ASSUMPTION: two concurrent q332 invocations in one
+    # SparkSession could race between createOrReplaceTempView and the
+    # eager spark.sql analysis and silently mix relations. All registry
+    # execution (driver, sweeps, tests) is serial per session; if
+    # concurrent execution is ever introduced, guard this with a lock or
+    # switch to uuid names and accept the view/checkpoint accumulation.
     pv, nv = "q332_parent", "q332_nodes"
     parent.createOrReplaceTempView(pv)
     nodes.createOrReplaceTempView(nv)

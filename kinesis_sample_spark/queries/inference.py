@@ -68,7 +68,7 @@ FROM terms
 )
 def q283_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the order-value tail: gamma = mean of
-    ln(x_(i)/x_(k+1)) over the top k={k} order statistics; tail index
+    ln(x_(i)/x_(k+1)) over the top k=200 order statistics; tail index
     alpha = 1/gamma. The extreme-value-theory answer to "how heavy is
     the revenue tail" that variance-based q219/q276 cannot give —
     alpha <= 2 means infinite variance and every mean-based estimate
@@ -83,7 +83,7 @@ def q283_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (edge-tested in tests/test_round13_fixes.py).
 
     Scale: a global ORDER BY to rank the top k+1 (TakeOrdered-shaped at
-    k << n), then a {k}-row aggregate.""".format(k=_HILL_K)
+    k << n), then a 200-row aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     ranked = orders.select(
         F.col("o_totalprice").alias("x"),
@@ -461,8 +461,8 @@ FROM terms
 """,
 )
 def q287_rank_stability_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-biased overlap (p=0.9, depth {d}) between the current and
-    prior year's top-{d} parts by revenue: the top-weighted similarity
+    """Rank-biased overlap (p=0.9, depth 20) between the current and
+    prior year's top-20 parts by revenue: the top-weighted similarity
     of two rankings (Webber et al.) — the catalog-churn monitor that
     set-overlap can't give (swapping ranks 1 and 20 matters, swapping
     19 and 20 doesn't). q226 FUSES rankings; this SCORES their
@@ -475,9 +475,7 @@ def q287_rank_stability_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is exact; the (1-p) factor is a CAST-to-DOUBLE literal.
 
     Scale: per-year revenue ranking is a partitioned window; the
-    depth-{d} lists and the weight table are constants.""".format(
-        d=_RBO_DEPTH
-    )
+    depth-20 lists and the weight table are constants."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     per_year = (
@@ -755,10 +753,10 @@ FROM full_mean f
 def q312_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap confidence interval for the mean order value, built the
     only way a bootstrap distributes AND reproduces: the POISSON
-    bootstrap (each of B={b} replicas includes row i with multiplicity
+    bootstrap (each of B=32 replicas includes row i with multiplicity
     ~ Poisson(1)), with the multiplicity drawn from the md5 recipe
     (integer thresholds for P(0)/P(1)/P(2)/P(3+), truncated at 3) —
-    a pure per-(replica, row) function, so all {b} resamples stream
+    a pure per-(replica, row) function, so all 32 resamples stream
     through ONE scan with no sampling coordination, no seed state, and
     bit-identical draws on any engine or partitioning. Classic resample-
     by-index bootstraps need n draws WITH replacement from a global
@@ -773,10 +771,10 @@ def q312_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEAN by resampling — different estimator, different machinery, both
     distribution-free.
 
-    Scale: one fact scan fanned out ×{b} map-side (an Expand, no
+    Scale: one fact scan fanned out ×32 map-side (an Expand, no
     shuffle), one (replica)-keyed aggregate of B rows, one B-row sort.
     B controls cost linearly and 32 already gives a stable
-    percentile CI.""".format(b=_BOOT_B)
+    percentile CI."""
     orders = load_table(spark, sf_dir, "orders")
     reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
     mult = _boot_mult("o_orderkey")

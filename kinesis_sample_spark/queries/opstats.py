@@ -876,13 +876,13 @@ ORDER BY r.month
 """,
 )
 def q282_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shewhart individuals chart: the first {n} months freeze the
+    """Shewhart individuals chart: the first 24 months freeze the
     baseline (mean and sample σ from exact decimal moments); every
     later month is scored (x − μ)/σ and flagged beyond ±3σ. The
     monitoring complement to q216 — CUSUM accumulates small sustained
     shifts, the Shewhart chart catches single large excursions; ran
     together they are the classic SPC pair. The baseline is a FIXED
-    training window (first {n} by month order), not a rolling one, so
+    training window (first 24 by month order), not a rolling one, so
     limits never chase the drift they exist to detect.
 
     zscore is one identically-ordered double expression from exact
@@ -891,9 +891,7 @@ def q282_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's pandas gate).
 
     Scale: one bounded month aggregate; baseline is a broadcast scalar
-    row; flagging is a map over the month axis.""".format(
-        n=_SPC_BASELINE_MONTHS
-    )
+    row; flagging is a map over the month axis."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
@@ -1081,14 +1079,14 @@ ORDER BY shard
 @query("q318_rendezvous_rebalance", oracle=_hrw_oracle())
 def q318_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (highest-random-weight) shard assignment under a
-    {o}→{n} scale-out, with the minimal-disruption law gated per shard:
+    7→8 scale-out, with the minimal-disruption law gated per shard:
     every order key scores each shard by md5('hrw:'||shard||':'||key)
-    and lands on the argmax. Adding shard {o} can only STEAL the keys
+    and lands on the argmax. Adding shard 7 can only STEAL the keys
     whose new top score is the new shard — so (a) arrivals_only_at_new:
-    no key migrates between the {o} old shards, (b)
+    no key migrates between the 7 old shards, (b)
     old_shards_only_shrink: each old shard's population can only
     decrease, (c) moved_fraction_bounded: the total moved mass is
-    ~n/{n} (gated at <= 2n/{n} in exact integer math), (d) balanced:
+    ~n/8 (gated at <= 2n/8 in exact integer math), (d) balanced:
     max new-shard load <= 2x min + slack. This is the consistent-
     placement algebra every distributed store/stream reshard leans on
     (the Kinesis resharding story, A15, made checkable engine-side) —
@@ -1100,13 +1098,11 @@ def q318_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated md5 — a collision would need ~2^30 keys per shard pair),
     so both engines pick identical shards with no tie-break clause.
 
-    Scale: the score relation is keys x {n} rows, map-generated
+    Scale: the score relation is keys x 8 rows, map-generated
     (explode over a literal shard table, no shuffle), partial-aggregated
-    per key (max_by combines map-side), then an {n}-row census.
+    per key (max_by combines map-side), then an 8-row census.
     Re-scoring at 100 TB is embarrassingly parallel; the law holds at
-    any n because it is structural, not statistical.""".format(
-        o=_HRW_OLD, n=_HRW_NEW
-    )
+    any n because it is structural, not statistical."""
     from kinesis_sample_spark.functions.hashing import md5_long
 
     orders = load_table(spark, sf_dir, "orders")

@@ -401,7 +401,7 @@ ORDER BY t.n_pairs DESC, t.tok1, t.tok2
 )
 def q308_phrase_index_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """An index is only as good as its agreement with the scan it
-    replaces. For the corpus's top-{k} bigrams, phrase-match documents
+    replaces. For the corpus's top-5 bigrams, phrase-match documents
     two independent ways — (1) the POSITIONAL-INDEX plan: adjacent-
     position token pairs (the q204 posting list plus positions), an
     equi-join on the phrase terms, COUNT(DISTINCT doc); (2) the SCAN
@@ -417,9 +417,9 @@ def q308_phrase_index_consistency(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: positions come from one window LEAD over the exploded corpus
     (a single doc-keyed shuffle, no position self-join); the index probe
-    is an equi-join against the {k}-row phrase set (broadcast); the
+    is an equi-join against the 5-row phrase set (broadcast); the
     regex scan — the expensive plan the index replaces — touches each
-    document once per phrase.""".format(k=_PHRASE_TOP)
+    document once per phrase."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")

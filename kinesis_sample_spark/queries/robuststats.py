@@ -319,7 +319,7 @@ _MARKOV_SQL = _markov_sql()
 def q255_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the event-type Markov chain by power
     iteration — the steady-state answer to q141/q202's transition
-    descriptions. {n} unrolled iterations from the uniform vector.
+    descriptions. 20 unrolled iterations from the uniform vector.
 
     The cross-engine trap here is float summation order inside an
     ITERATION (20 rounds would amplify any divergence), solved by
@@ -331,10 +331,10 @@ def q255_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is a k×k join).
 
     Scale: the transition count rides the user-partitioned window
-    shuffle over the fact; all {n} iterations run on the k×k matrix —
+    shuffle over the fact; all 20 iterations run on the k×k matrix —
     driver-independent, executor-trivial. A growing state space would
     swap the unrolled CTEs for the loop in operators/pagerank.py
-    (same quantization trick applies).""".format(n=_MARKOV_ITERS)
+    (same quantization trick applies)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_MARKOV_SQL)
 
@@ -386,7 +386,7 @@ FROM agg
 """,
 )
 def q262_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Whitney U (Wilcoxon rank-sum) between the '{a}' and '{b}'
+    """Mann-Whitney U (Wilcoxon rank-sum) between the 'purchase' and 'click'
     value samples — the nonparametric two-sample location test the
     registry lacked (q199 KS tests shape, q222 chi-square tests
     categorical independence; this tests stochastic dominance). Ties get
@@ -398,7 +398,7 @@ def q262_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanishingly rare).
 
     Scale: one global sort for the rank window (range-partitionable),
-    one scalar aggregate.""".format(a=_RS_A, b=_RS_B)
+    one scalar aggregate."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.filter(
         F.col("event_type").isin(_RS_A, _RS_B) & F.col("value").isNotNull()
@@ -699,11 +699,11 @@ def _pc1_gram_partials(batches):
 
 @query("q314_power_iteration_pc1", oracle=_pc1_oracle())
 def q314_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First principal component of the embedding covariance by {k}
+    """First principal component of the embedding covariance by 8
     unrolled power-iteration rounds — the dimensionality-reduction
     family the registry lacked (q38 clusters the embeddings, q142
     quantizes them, q189 truncates them; nothing yet asks "which
-    direction carries the variance"). Output: the top-{t} dimensions by
+    direction carries the variance"). Output: the top-10 dimensions by
     |loading| plus the Rayleigh-quotient eigenvalue estimate.
 
     Determinism is the q255 shared-fixpoint recipe, lifted from a k×k
@@ -715,31 +715,29 @@ def q314_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the IDENTICAL unrolled iteration SQL runs on both engines
     (every product quantized before an exact decimal SUM; every
     decimal→double crossing via STRING). The start vector is uniform
-    1/sqrt({d}) = 0.125 exactly; with deterministic arithmetic the
+    1/sqrt(64) = 0.125 exactly; with deterministic arithmetic the
     (sign-ambiguous) limit is the same on both engines.
 
     Scale: the covariance is ONE map-only pass — mapInPandas computes a
     chunked exact int64 Gram X^T X per partition (plus column sums and
     row count folded in as i=0 partial rows, so there is no separate
     mean pass and no count() scan), and the shuffle carries only
-    {d}²-cell partials per chunk, never rows. The first version
+    64²-cell partials per chunk, never rows. The first version
     self-joined the exploded elements on vec_id — a 20M-row decimal
     shuffle join that cost 68 s at sf0.1; the Gram pass is the measured
     10x fix and the textbook 100 TB plan (partial Gram per split, tiny
     merge). The 4096-cell summary is collected and re-parallelized as a
     LocalRelation — same footing as the literal weight tables elsewhere
-    in this module — so the {k} unrolled rounds never touch the fact
+    in this module — so the 8 unrolled rounds never touch the fact
     again.
 
     Cross-engine traps pinned by the round-14 prototype: (a) a scalar-
     subquery norm makes each round reference its predecessor twice, so
     engines that inline CTEs expand 2^K copies of the covariance
-    subtree — the first prototype hung DuckDB at K={k}; the window-
+    subtree — the first prototype hung DuckDB at K=8; the window-
     aggregate norm keeps both plans linear in K. (b) BigDecimal
     products in the hot pass (decimal(19,9)²) are ~4x slower than
-    int64 — scale-to-integer first, widen at the merge.""".format(
-        k=_PC1_ITERS, t=_PC1_TOPK, d=_PC1_DIMS
-    )
+    int64 — scale-to-integer first, widen at the merge."""
     emb = load_table(spark, sf_dir, "embeddings")
     xl = emb.select(
         F.expr(

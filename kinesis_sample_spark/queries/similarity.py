@@ -1038,7 +1038,7 @@ ORDER BY vec_a, vec_b
 )
 def q303_mutual_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal k-NN: pairs where EACH vector is in the other's cosine
-    top-{k} — the mutual-kNN graph whose edges are the standard seeds
+    top-5 — the mutual-kNN graph whose edges are the standard seeds
     for density-based clustering and near-dup verification (one-way
     top-k is noisy near hubs; mutuality filters hub edges out). Output
     carries both ranks, so the asymmetry of the relation stays visible.
@@ -1054,7 +1054,7 @@ def q303_mutual_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·k survivors into the rank). At 100 TB the same mutuality test runs
     over q35/q37's LSH/IVF candidate pairs instead — the reciprocal join
     (this query's second half) is unchanged, only candidate generation
-    swaps, which is exactly how the operator is factored.""".format(k=_MUTUAL_K)
+    swaps, which is exactly how the operator is factored."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Stage each vector's norm ONCE (n rows) instead of re-folding the two
     # self-dots inside every one of the n² pair rows — same doubles, 3×

@@ -749,7 +749,7 @@ ORDER BY e.item
 @query("q315_misra_gries_bounds", oracle=_mg_oracle())
 def q315_misra_gries_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters with the MERGE guarantee gated per
-    true heavy hitter: k={k} counters per partition-group summary,
+    true heavy hitter: k=64 counters per partition-group summary,
     groups merged by summing surviving counters and re-truncating at
     the (k+1)-th largest (Agarwal et al., "Mergeable Summaries"). For
     every item with exact count > n/(k+1), the law gated is the
@@ -773,16 +773,14 @@ def q315_misra_gries_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized zipfian by inverse-CDF over the md5 uniform:
     item = floor(M/(u+1))+1 gives P(item=i) ~ 1/(i(i-1)) — item 2
     carries ~half the stream, and the true-heavy-hitter set
-    {{i: P > 1/(k+1)}} is the same ~8 items at EVERY scale factor
+    {i: P > 1/(k+1)} is the same ~8 items at EVERY scale factor
     (a fixed-cardinality column would make MG exact and the law
     vacuous; a uniform one would make it empty).
 
     Scale: per-group counts partial-aggregate; summaries are <=k rows
-    per group ({g} groups x {k} counters merge in one tiny stage); the
+    per group (32 groups x 64 counters merge in one tiny stage); the
     exact-count audit rides the same shuffle. At 100 TB only the
-    summary path runs; the audit column exists to gate the law.""".format(
-        k=_MG_K, g=_MG_G
-    )
+    summary path runs; the audit column exists to gate the law."""
     from kinesis_sample_spark.functions.hashing import md5_long
 
     ev = load_table(spark, sf_dir, "events")
@@ -903,9 +901,9 @@ ORDER BY g.g
 @query("q326_reservoir_merge_law", oracle=_res_oracle())
 def q326_reservoir_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded-sample MERGE-CLOSURE law: a rank-based 'reservoir'
-    (the R={r} smallest md5 ranks — the distributed-systems stand-in for a
+    (the R=100 smallest md5 ranks — the distributed-systems stand-in for a
     uniform R-sample, deterministic where a seeded reservoir is not) is
-    computed per md5-assigned shard-group, the {g} group reservoirs are
+    computed per md5-assigned shard-group, the 16 group reservoirs are
     merged by re-taking the top-R of their union, and the law gated is
     EXACT SET EQUALITY with the single-pass global reservoir. The proof
     is structural — any globally-top-R item is top-R within its own
@@ -925,7 +923,7 @@ def q326_reservoir_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the parallelism knob); the merge runs on G*R rows. The
     law's set-equality join touches R rows. Nothing global ever
     shuffles raw data except the audit's single-pass reservoir, which
-    exists to BE the reference.""".format(r=_RES_R, g=_RES_G)
+    exists to BE the reference."""
     from kinesis_sample_spark.functions.hashing import md5_long
 
     ev = load_table(spark, sf_dir, "events")

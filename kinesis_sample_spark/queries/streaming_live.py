@@ -411,7 +411,18 @@ def _replay_time_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     base = int(time.time()) - 3600
-    for i, fname in enumerate(_parts()):  # part-0000i holds ts-range i
+    parts = _parts()
+    # Exactly 4 data files, explicitly: FileFormatWriter SKIPS empty range
+    # partitions, so a fixture whose ts range leaves one empty would write
+    # fewer files — and q331's oracle (last_batch_id = 4: four data batches
+    # under maxFilesPerTrigger=1 plus availableNow's final no-data batch)
+    # would fail with a confusing parity mismatch instead of this error.
+    assert len(parts) == 4, (
+        f"_replay_time_ordered wrote {len(parts)} data files, expected 4 "
+        f"(empty range partition in the events fixture?) — q331's batch-id "
+        f"arithmetic and the finite-watermark replay contract assume 4"
+    )
+    for i, fname in enumerate(parts):  # part-0000i holds ts-range i
         os.utime(os.path.join(events_dir, fname), (base + i, base + i))
     return replay_events_stream(spark, events_dir)
 
@@ -1569,7 +1580,7 @@ ORDER BY event_type
 )
 def q316_live_rate_limited_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-limited backlog drain, with the rate limit itself under the
-    gate: the events fixture is written as {n} time-sliced files
+    gate: the events fixture is written as 8 time-sliced files
     (repartitionByRange on ts), the stream reads them at
     maxFilesPerTrigger=1, and AFTER the drain the per-batch
     StreamingQueryProgress history is audited into boolean law columns
@@ -1582,7 +1593,7 @@ def q316_live_rate_limited_backlog(spark: SparkSession, sf_dir: str) -> DataFram
       modification time, which ties under parallel writers — the
       round-14 prototype measured arrival order as layout-dependent,
       so order is NOT gateable and equality-as-multiset is.)
-    - drained_in_file_count_batches: exactly {n} data batches (plus at
+    - drained_in_file_count_batches: exactly 8 data batches (plus at
       most one trailing empty commit batch).
     - watermark_monotone / watermark_advanced: the watermark never
       regresses across batches and ends past epoch — the eviction
@@ -1600,9 +1611,7 @@ def q316_live_rate_limited_backlog(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: maxFilesPerTrigger is the knob that bounds per-trigger state
     growth on a backlogged source (the 100 TB restart story: a cold
     consumer must not load the whole backlog into one micro-batch);
-    aggregate state is (event_type)-keyed, trivially bounded.""".format(
-        n=_BACKLOG_FILES
-    )
+    aggregate state is (event_type)-keyed, trivially bounded."""
     out = scratch_dir(prefix="kss_backlog_")
     ev = load_table(spark, sf_dir, "events")
     events_dir = os.path.join(out, "sliced")

@@ -262,7 +262,7 @@ ORDER BY cohort, k
 def q250_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: customers grouped by first-order
     month, cumulative revenue per cohort member at month offsets
-    0..{m} — the curve whose flattening tells you when a cohort stops
+    0..12 — the curve whose flattening tells you when a cohort stops
     paying back. Complements q109 (retention = activity counts) with the
     revenue integral.
 
@@ -272,7 +272,7 @@ def q250_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one aggregate to find each customer's first month (runs on
     the customer-keyed shuffle), one grid aggregate, and a window over
-    the bounded (cohort x {m}) grid.""".format(m=_LTV_MONTHS)
+    the bounded (cohort x 12) grid."""
     orders = load_table(spark, sf_dir, "orders")
     om = orders.select(
         "o_custkey",
@@ -538,14 +538,14 @@ def q256_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-maximum detection on the daily revenue series: a day is a
     peak when it strictly exceeds the max of its 3 observed neighbors
     on each side (partial neighborhoods at the series edges count — a
-    boundary day only needs to beat the side it has). Top {k} peaks by
+    boundary day only needs to beat the side it has). Top 20 peaks by
     revenue with their prominence over the taller shoulder.
 
     Revenue is exact DECIMAL, so the strict comparisons cannot wobble;
     prominence is quantified exactly then surfaced as double.
 
     Scale: one date-keyed aggregate plus two ROWS-frame windows over
-    the (bounded) day axis.""".format(k=_PEAK_TOP)
+    the (bounded) day axis."""
     orders = load_table(spark, sf_dir, "orders")
     epoch = F.lit("1970-01-01").cast("date")
     daily = orders.groupBy(
@@ -655,18 +655,18 @@ FROM terms ORDER BY o_orderpriority, month
 def q258_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Finite-window EWMA of daily revenue per priority, evaluated at
     each month's last observed day: ewma = sum(w_i * x_(d-i)) /
-    sum(w_i) over the trailing {n} days present, w_i = a(1-a)^i,
-    a = {a}. The weights are PRE-COMPUTED decimal literals shared
+    sum(w_i) over the trailing 30 days present, w_i = a(1-a)^i,
+    a = 0.3. The weights are PRE-COMPUTED decimal literals shared
     verbatim by both engines — no runtime pow(), whose cross-libm
     rounding is exactly the trap the ln/log10 rule exists for. Missing
     days drop out of numerator and denominator symmetrically (the
     standard irregular-series renormalization).
 
-    Scale: the weight join fans each target out x{n} (a broadcast of a
+    Scale: the weight join fans each target out x30 (a broadcast of a
     30-row table), and the series lookup is an equi-join on
     (priority, day) — no window over unbounded history, which is what
     makes the finite-window form the one you can actually run
-    incrementally at scale.""".format(n=_EWMA_WINDOW, a=_EWMA_ALPHA)
+    incrementally at scale."""
     orders = load_table(spark, sf_dir, "orders")
     epoch = F.lit("1970-01-01").cast("date")
     daily = orders.groupBy(
@@ -921,7 +921,7 @@ FROM exploded GROUP BY 1 ORDER BY month
 def q272_revenue_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue recognition spread over time: each line's extended price
     is recognized evenly across the months from order to ship
-    (inclusive, capped at {cap} months), then re-aggregated per
+    (inclusive, capped at 12 months), then re-aggregated per
     calendar month — the explode-and-reaggregate pattern behind any
     deferred-revenue or capacity-amortization schedule.
 
@@ -931,9 +931,9 @@ def q272_revenue_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, and the contract is documented here (q270 shows the
     largest-remainder alternative when the residue must land).
 
-    Scale: the explode factor is bounded by the {cap}-month cap (the
+    Scale: the explode factor is bounded by the 12-month cap (the
     MAX_BASKET idea on the time axis); the re-aggregation is one
-    month-keyed shuffle.""".format(cap=_SPREAD_CAP)
+    month-keyed shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     om = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int")
@@ -1042,7 +1042,7 @@ q317_daily AS MATERIALIZED (
 """,
 )
 def q317_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Haar wavelet decomposition of the first-{n}-day daily order
+    """Haar wavelet decomposition of the first-256-day daily order
     series: the top-10 detail coefficients by magnitude (which
     time-scale and where the demand series moves hardest — level 8 is
     the ~128-day vs ~128-day macro swing, level 1 a day-to-day flip)
@@ -1054,7 +1054,7 @@ def q317_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The transform is deliberately the UNNORMALIZED integer Haar
     (pairwise a+b / a-b, no sqrt2): every coefficient is an exact
     BIGINT, so the energy-conservation law needs no tolerance — the
-    denominators clear to 2^{L} * sum(v^2) == s^2 + sum 2^(L-k) d^2,
+    denominators clear to 2^8 * sum(v^2) == s^2 + sum 2^(L-k) d^2,
     and both engines compare integers. One float anywhere and Parseval
     would need an epsilon; exactness is what makes it a hash gate.
 
@@ -1063,7 +1063,7 @@ def q317_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     series (sign = parity of floor(idx/2^(k-1))), so the whole
     decomposition is one cross join with an 8-row level table and one
     GROUP BY — the q311/q314 CTE-expansion trap never arises. The daily
-    aggregate is the only distributed work; the {n}-point series is
+    aggregate is the only distributed work; the 256-point series is
     collected to a LocalRelation (same footing as q314's 64x64 matrix)
     and the transform runs on dialect-shared SQL text.
 
@@ -1071,7 +1071,7 @@ def q317_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform is O(N log N) on N=256 points regardless of fact size. A
     longer horizon (N=2^16 days) changes nothing structurally — the
     signed-sum formulation shuffles (level, pos) partials, never raw
-    rows.""".format(n=_HAAR_N, L=_HAAR_LEVELS)
+    rows."""
     orders = load_table(spark, sf_dir, "orders")
     mn = orders.agg(F.min("o_orderdate").alias("mn"))
     base = (
@@ -1307,7 +1307,7 @@ LIMIT 10
 )
 def q322_sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX (Symbolic Aggregate approXimation) motif census of the daily
-    order series: {n} days -> {m} PAA segments ({w}-day sums) ->
+    order series: 256 days -> 32 PAA segments (8-day sums) ->
     z-normalized -> 4-letter alphabet at the N(0,1) quartile
     breakpoints -> sliding 3-letter words -> top-10 motif census. The
     symbolic-discretization family (Lin & Keogh's SAX) the time-series
@@ -1324,12 +1324,10 @@ def q322_sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity; breakpoints are irrational-valued literals, unreachable
     from integer-derived ratios.)
 
-    Scale: one daily partial aggregate over the fact, then {m} rows —
+    Scale: one daily partial aggregate over the fact, then 32 rows —
     the window lead and census are free. A year of 10-minute buckets
     (52k points) changes the constant, not the plan: PAA partial-
-    aggregates, words ride one ordered window over segments.""".format(
-        n=_SAX_N, m=_SAX_SEGS, w=_SAX_W
-    )
+    aggregates, words ride one ordered window over segments."""
     orders = load_table(spark, sf_dir, "orders")
     mn = orders.agg(F.min("o_orderdate").alias("mn"))
     base = (

@@ -87,11 +87,11 @@ ORDER BY p.lcp_bucket
 )
 def q245_prefix_lcp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix/LCP near-dup detection without a suffix array: block on
-    the first {b} characters (so every in-block pair shares an LCP of at
-    least {b}), then classify each pair's longest common prefix by a
+    the first 12 characters (so every in-block pair shares an LCP of at
+    least 12), then classify each pair's longest common prefix by a
     doubling probe (substring equality at 16/32/64/128/256) — the
     shuffle-friendly rendition of what an LCP array gives a single
-    machine. Blocks are capped at {cap} docs by a window count riding
+    machine. Blocks are capped at 64 docs by a window count riding
     the blocking shuffle (a boilerplate prefix shared by a million docs
     must not go quadratic — same bound as q198's MAX_BASKET).
 
@@ -100,7 +100,7 @@ def q245_prefix_lcp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on the prefix key; pairing is quadratic only
     inside capped blocks; the probes are fixed-length substring
-    comparisons (no per-char loop).""".format(b=_LCP_BLOCK, cap=_LCP_CAP)
+    comparisons (no per-char loop)."""
     docs = load_table(spark, sf_dir, "documents")
     blk = F.substring("text", 1, _LCP_BLOCK)
     blocked = (
@@ -186,7 +186,7 @@ FROM s
 )
 def q248_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law slope: OLS fit of log10(frequency) against log10(rank)
-    over the top {k} token ranks — natural text sits near -1; the
+    over the top 1000 token ranks — natural text sits near -1; the
     fixture's synthetic sampler sits wherever it sits, and the drift of
     this slope across corpus versions is the generation-shift alarm.
     Complements q232 (Heaps: vocabulary growth) and q194 (entropy) with
@@ -199,7 +199,7 @@ def q248_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, quantized.
 
     Scale: token counting is the only fact-sized stage (one shuffle on
-    the token); the regression runs on {k} rows.""".format(k=_ZIPF_RANKS)
+    the token); the regression runs on 1000 rows."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -446,7 +446,7 @@ FROM u
 def q259_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-set agreement matrix between two independent blocking
     structures: MinHash LSH bands (content-wide similarity) vs shared
-    {b}-char prefixes (q245's blocking). The divergence columns are the
+    12-char prefixes (q245's blocking). The divergence columns are the
     actionable ones — prefix-only pairs are template boilerplate LSH
     dilutes away; LSH-only pairs are rewordings no prefix can catch.
     Running both and diffing is the standard recall audit when no
@@ -458,9 +458,9 @@ def q259_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both candidate generators are equi-join blocked (bands,
     prefix key) AND bounded — the prefix side carries q245's _LCP_CAP
     window cap, so a boilerplate prefix shared by a million docs stays
-    quadratic only inside the {cap}-doc cap; the diff joins on the pair
+    quadratic only inside the 64-doc cap; the diff joins on the pair
     key. (Cap added round 13; no block exceeds it at sf<=0.1, so tested
-    outputs are unchanged.)""".format(b=_LCP_BLOCK, cap=_LCP_CAP)
+    outputs are unchanged.)"""
     pairs = _verified_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
     # Same _LCP_CAP window cap as q245 (rides the blocking shuffle): an
@@ -531,7 +531,7 @@ ORDER BY df DESC, tok
 )
 def q263_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term burstiness: variance-to-mean ratio (VMR) of per-document
-    counts over the documents containing each term, for the top {k}
+    counts over the documents containing each term, for the top 50
     terms by document frequency. VMR ~ 1 is Poisson scatter (function
     words); VMR >> 1 is burst behavior (topical words clumping in few
     docs) — the content-word detector that raw frequency (q149) and
@@ -539,12 +539,10 @@ def q263_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df, total and sum-of-squares are exact BIGINTs; VMR is one
     identical double expression quantized round(.,6). Sample variance
-    needs df >= 2; the df >= {m} filter guarantees it.
+    needs df >= 2; the df >= 5 filter guarantees it.
 
     Scale: the (term, doc) aggregate is the only corpus-sized shuffle;
-    the moment rollup and top-{k} window run on the vocabulary.""".format(
-        k=_BURST_TOP, m=_BURST_MIN_DF
-    )
+    the moment rollup and top-50 window run on the vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     tc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))

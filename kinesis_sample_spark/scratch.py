@@ -17,6 +17,7 @@ backstop for the ones whose results stay lazy.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -28,6 +29,28 @@ def scratch_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     _DIRS.append(d)
     return d
+
+
+def scratch_footprint() -> tuple[int, int]:
+    """(live directory count, total bytes) across every scratch dir this
+    process has handed out. Diagnostic for long-lived sweeps (r14 VERDICT
+    item 5): live/producer-source queries drifted ~1.6-2.6× mid-sweep
+    with zero code changes, and the two candidate explanations — JVM
+    state vs accumulated on-disk scratch (checkpoints, replay fixtures)
+    — are distinguishable only if the sweep artifact records the scratch
+    footprint entering each query."""
+    n, total = 0, 0
+    for d in _DIRS:
+        if not os.path.isdir(d):
+            continue
+        n += 1
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:  # file vanished mid-walk (stream cleanup)
+                    pass
+    return n, total
 
 
 @atexit.register

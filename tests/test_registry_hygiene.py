@@ -164,6 +164,20 @@ def test_window_prioritizes_minimum_evidence():
     )
 
 
+def test_every_entry_has_a_docstring():
+    """A ``\"\"\"...\"\"\".format(...)`` first statement is NOT a docstring
+    (Python only binds a bare string literal to ``__doc__``), so the
+    registry silently stored ``doc=''`` for 30 queries until round 15.
+    Guard the whole registry: every entry must carry a non-empty doc,
+    because the rows-only rationale check (above) and the judge's parity
+    reading both key off it."""
+    empty = [name for name, q in REGISTRY.items() if not (q.doc or "").strip()]
+    assert not empty, (
+        f"registry entries with empty doc (a .format()-suffixed pseudo-"
+        f"docstring is the usual cause): {empty}"
+    )
+
+
 def test_no_degenerate_zero_row_oracles():
     """A 0-row result passes the hash gate trivially (empty == empty), so
     a query that silently filters everything out would look green while

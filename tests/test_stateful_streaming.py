@@ -208,11 +208,12 @@ def test_retry_process_redelivery_short_circuits(spark, tmp_path):
 def test_q328_timeout_sessions_third_impl(spark):
     """q328 re-derived in pure pandas: gaps-and-islands sessions (exact
     microsecond arithmetic) filtered by the emittability rule — a later
-    same-key event exists, OR the ms-floored deadline is <= the final
-    watermark (ms-floored max ts - 1 h; STRICT < — Spark evicts only
-    when timeoutTimestamp < eviction watermark, verified by a synthetic
-    deadline == watermark fixture that did NOT fire). The per-user LAST
-    islands that
+    same-key event exists, OR the ms-floored deadline is STRICTLY below
+    the final watermark (ms-floored max ts - 1 h). Spark evicts only
+    when timeoutTimestamp < eviction watermark — verified by a synthetic
+    deadline == watermark fixture that did NOT fire — and the code,
+    the oracle, and the _SESSION_CLOSED_SQL comment all use the same
+    strict-< rule. The per-user LAST islands that
     pass the rule can only surface via state.hasTimedOut (no later event
     ever arrives for the key), so their presence proves the timeout path
     fired; the last islands that fail it prove the watermark gate

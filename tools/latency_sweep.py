@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_sample_spark.queries import load_registry
+from kinesis_sample_spark.scratch import scratch_footprint
 from kinesis_sample_spark.session import get_spark, release_checkpoints
 
 
@@ -63,6 +64,15 @@ def main() -> None:
         # nonzero count here means release_checkpoints missed something;
         # zero means the gap is JVM-state (GC/JIT/code-cache), not blocks.
         rdds_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        # r14 VERDICT item 5: the shared-283 drift concentrated in live/
+        # producer-source queries (q160 2.6×, q82/q164/q184 ~1.6×, code
+        # untouched). Record the two JVM/disk-state candidates entering
+        # each query so the "state drift" diagnosis closes with data:
+        # leftover active streaming queries (should always be 0 between
+        # queries) and the accumulated scratch footprint (replay fixtures
+        # + checkpoints from every live query already swept).
+        streams_before = len(spark.streams.active)
+        scratch_dirs, scratch_bytes = scratch_footprint()
         t0 = time.perf_counter()
         try:
             registry[n].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -71,6 +81,10 @@ def main() -> None:
             rec = {"query": n, "sec": None, "err": str(e)[:200], "sf_dir": sf_dir}
         if rdds_before:
             rec["rdd_blocks_before"] = rdds_before
+        if streams_before:
+            rec["active_streams_before"] = streams_before
+        rec["scratch_dirs_before"] = scratch_dirs
+        rec["scratch_mb_before"] = round(scratch_bytes / 1e6, 1)
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec, flush=True)

@@ -22,4 +22,4 @@ date
 python tools/window_replay.py /root/testdata/sf0.01 > /tmp/replay_r14_v9.log 2>&1
 echo "REPLAY_EXIT=$?"
 date
-echo ALL_DONE_V8
+echo ALL_DONE_V9
