@@ -96,6 +96,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-green (mandatory)
+    "q333_observed_metrics_audit",
+    "q334_int8_quantization_audit",
+    # -- settlement-eligible (one more green settles)
     "q290_live_union_two_streams",
     "q291_live_union_dedup_across_streams",
     "q292_live_union_heterogeneous_schema",
@@ -139,14 +142,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q330_cluster_ratio_bootstrap",
     "q331_live_state_store_audit",
     "q332_peak_basin_clusters",
-    # -- minimum-evidence backfill (oldest evidence first)
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
     "q110_funnel_conversion",
     "q111_sequence_packing",
     "q117_gopher_quality_rules",
-    "q118_train_split",
-    "q119_source_mixing_weights",
 )
 
 

@@ -1179,3 +1179,107 @@ def q318_rendezvous_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q333 — batch Observation / CollectMetrics audit (round 15).
+# ---------------------------------------------------------------------------
+_OBS_CUT = "DATE '1998-09-02'"  # q01's cut, the engine's canonical filter
+
+
+@query(
+    "q333_observed_metrics_audit",
+    oracle=f"""
+WITH f AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice, l_shipdate
+  FROM lineitem WHERE l_shipdate <= {_OBS_CUT}
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS obs_rows,
+         {sql_double('sum(l_quantity)')} AS obs_sum_qty,
+         {sql_double('min(l_extendedprice)')} AS obs_min_price,
+         {sql_double('max(l_extendedprice)')} AS obs_max_price,
+         CAST(max(l_shipdate) AS TIMESTAMP) AS obs_last_ship
+  FROM f
+),
+g AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS grp_rows,
+         {sql_double('sum(l_quantity)')} AS grp_qty
+  FROM f GROUP BY l_returnflag
+)
+SELECT g.l_returnflag, g.grp_rows, g.grp_qty,
+       m.obs_rows, m.obs_sum_qty, m.obs_min_price, m.obs_max_price,
+       m.obs_last_ship
+FROM g, m
+ORDER BY l_returnflag
+""",
+)
+def q333_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``Observation`` / CollectMetrics — the observability channel
+    the registry had never exercised outside streaming (q186 gates the
+    *listener* channel; ``streaming/observe.py`` the per-micro-batch
+    ``observe``). A ``df.observe(...)`` plants a CollectMetrics node
+    mid-plan; its aggregates ride the SAME task pass as the query (an
+    AggregatingAccumulator, not a second job), and the driver reads them
+    from ``Observation.get`` after the first action. The A17 story at
+    scale: row-count/checksum audits on a 100 TB pipeline must be free —
+    observed metrics cost zero extra scans, unlike a separate COUNT(*)
+    pass over the fact table.
+
+    The gate makes the channel itself the thing under test: the observed
+    scalar metrics (row count, quantity sum, price min/max, last ship
+    date — collected from the accumulator channel) are attached to the
+    per-returnflag aggregate via a broadcast single-row join, and the
+    oracle recomputes BOTH relations in SQL from the same filtered scan.
+    If CollectMetrics ever saw a different row set than the aggregation
+    consuming the same relation (dropped partition, double-counted retry,
+    filter pushed past the metrics point), the observed columns diverge
+    from the oracle's scalar subquery and the hash gate fails.
+
+    Determinism: count/min/max/date are exact; the decimal sums cross the
+    engine boundary through the VARCHAR round-trip (sql_double) on the
+    oracle side and a correctly-rounded Python ``float(Decimal)`` on the
+    observed side — both correctly-rounded doubles of the same exact
+    decimal. The eager localCheckpoint is the one action that populates
+    the observation; the returned plan reads the checkpointed grouped
+    relation, so no re-execution can re-fire (and double-count) the
+    accumulator."""
+    from pyspark.sql import Observation
+
+    cut = _OBS_CUT.split("'")[1]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(cut).cast("date")
+    )
+    obs = Observation("q333_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("obs_rows"),
+        F.sum("l_quantity").alias("obs_sum_qty"),
+        F.min("l_extendedprice").alias("obs_min_price"),
+        F.max("l_extendedprice").alias("obs_max_price"),
+        F.max("l_shipdate").alias("obs_last_ship"),
+    )
+    grouped = (
+        observed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("grp_rows"),
+            F.sum("l_quantity").cast("double").alias("grp_qty"),
+        )
+        # eager: runs the plan once, firing CollectMetrics exactly once
+        .localCheckpoint(eager=True)
+    )
+    m = obs.get  # blocks on the action above; dict of observed values
+    metrics = spark.createDataFrame(
+        [
+            (
+                int(m["obs_rows"]),
+                float(m["obs_sum_qty"]),
+                float(m["obs_min_price"]),
+                float(m["obs_max_price"]),
+                m["obs_last_ship"],
+            )
+        ],
+        "obs_rows bigint, obs_sum_qty double, obs_min_price double, "
+        "obs_max_price double, obs_last_ship timestamp",
+    )
+    return grouped.crossJoin(F.broadcast(metrics)).orderBy("l_returnflag")

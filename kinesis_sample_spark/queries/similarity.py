@@ -1254,3 +1254,131 @@ def q310_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# q334 — int8 scalar quantization audit via mapInArrow (round 15).
+# ---------------------------------------------------------------------------
+_QSCALE = 1_000_000  # float -> int64 micro-units (round-half-up, both engines)
+
+
+def _quant_batches(it):
+    """Arrow-native int8 symmetric quantization: per-vector amax scale,
+    integer round-half-up, exact integer reconstruction-error numerator.
+    Vectorized numpy over each Arrow RecordBatch — no pandas conversion
+    anywhere on the path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = batch.column("embedding")
+        lengths = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        if len(ids) == 0 or (lengths <= 0).any():
+            # fixture contract: non-empty vectors; fail loudly, not NaN
+            raise ValueError("q334: empty embedding vector in batch")
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = np.floor(flat * _QSCALE + 0.5).astype(np.int64)
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        absxi = np.abs(xi)
+        amax = np.maximum.reduceat(absxi, starts)
+        keep = amax > 0  # all-zero vectors can't be amax-scaled
+        amax_rep = np.repeat(amax, lengths)
+        # all-zero vectors are dropped below (keep mask); clamp their
+        # denominator to 1 so the vectorized divide never sees a zero
+        den = np.maximum(amax_rep, 1)
+        # q = round_half_up(127*xi/amax), sign split so // stays on
+        # non-negative operands (floor == trunc on both engines)
+        q = np.sign(xi) * ((254 * absxi + den) // (2 * den))
+        err = np.abs(127 * xi - q * amax_rep)
+        out = pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids[keep], pa.int64()),
+                pa.array(lengths[keep], pa.int64()),
+                pa.array(amax[keep], pa.int64()),
+                pa.array(np.add.reduceat(err, starts)[keep], pa.int64()),
+                pa.array(np.maximum.reduceat(np.abs(q), starts)[keep], pa.int64()),
+            ],
+            names=["vec_id", "n_dims", "amax_u", "sum_err_num", "max_abs_q"],
+        )
+        yield out
+
+
+@query(
+    "q334_int8_quantization_audit",
+    oracle=f"""
+WITH i AS (
+  SELECT vec_id,
+         CAST(floor(CAST(x AS DOUBLE) * {_QSCALE} + 0.5) AS BIGINT) AS xi
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+),
+a AS (
+  SELECT vec_id, max(abs(xi)) AS amax_u, CAST(count(*) AS BIGINT) AS n_dims
+  FROM i GROUP BY vec_id
+),
+q AS (
+  SELECT i.vec_id, a.amax_u, a.n_dims, xi,
+         CAST(sign(xi) AS BIGINT)
+           * ((254 * abs(xi) + a.amax_u) // (2 * a.amax_u)) AS qv
+  FROM i JOIN a USING (vec_id)
+  WHERE a.amax_u > 0
+)
+SELECT vec_id,
+       any_value(n_dims) AS n_dims,
+       any_value(amax_u) AS amax_u,
+       CAST(sum(abs(127 * xi - qv * amax_u)) AS BIGINT) AS sum_err_num,
+       max(abs(qv)) AS max_abs_q
+FROM q GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def q334_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric (amax) quantization of the embedding column — the
+    vector-compression step a 100 TB ANN index actually ships (4× smaller
+    vectors, SIMD int8 dot products) — audited exactly: per vector, the
+    micro-unit amax scale, the integer reconstruction-error numerator
+    sum|127*x - q*amax| (the cross-multiplied form of sum|x - q*amax/127|,
+    so no division ever happens), and max|q| (== 127 whenever amax > 0:
+    the argmax element must hit the top code exactly — a clamping or
+    off-by-one in the rounding shows up here first).
+
+    vs q142 (stated up front): q142 audits the ASYMMETRIC min/max affine
+    code entirely JVM-side (transform/aggregate HOFs, double arithmetic)
+    — its point is the higher-order-function plan. q334 exists for the
+    opposite corner: the SYMMETRIC amax code ANN engines use for int8
+    dot products, integer-exact end-to-end, through an engine surface
+    the registry had never exercised. Same pipeline stage, different
+    code family, different arithmetic contract, different surface.
+
+    ENGINE SURFACE (new in round 15): ``mapInArrow`` — the Arrow-native
+    map UDF, previously unexercised (the registry's Python surfaces are
+    pandas UDFs / applyInPandas / UDTF). The batch iterator yields
+    ``pyarrow.RecordBatch`` directly: no pandas materialization, numpy
+    ``reduceat`` over the flattened list offsets does all per-vector
+    folds, and the output batch is built column-at-a-time. For wide
+    binary/array columns (embeddings, image tensors) this is the fast
+    Python path — pandas would copy every list into a Python object.
+
+    Determinism: float32 -> float64 widening is exact on both engines;
+    x*1e6+0.5 / floor is one identically-ordered double expression; all
+    arithmetic after that is int64 (round-half-up via the sign-split
+    (254|x|+amax) div (2*amax), non-negative operands so floor == trunc
+    on both engines — the q329 integer-rounding recipe). Error bound
+    test: per element |127*xi - q*amax| <= amax/2 + amax/2 ... <= amax
+    (rounding error <= half a code step), pinned in
+    tests/test_round15_ops.py.
+
+    Scale: one narrow map over the vectors (no shuffle until the
+    deterministic-output sort, which a production run drops); per-batch
+    memory is O(batch * dim) int64. Cites reference behavior A12
+    (decode/projection) as the nearest family: a typed columnar decode
+    stage."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInArrow(
+        _quant_batches,
+        "vec_id bigint, n_dims bigint, amax_u bigint, "
+        "sum_err_num bigint, max_abs_q bigint",
+    )
+    return out.orderBy("vec_id")

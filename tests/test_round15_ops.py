@@ -1,0 +1,156 @@
+"""Round-15 additions: q333 (batch Observation / CollectMetrics) and
+q334 (mapInArrow int8 quantization) — third implementations and
+edge inputs independent of the shared Spark/DuckDB formulation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# q333 — the observed metrics must equal a pandas recomputation, and the
+# plan must actually carry a CollectMetrics node (the surface under test).
+# ---------------------------------------------------------------------------
+def test_q333_observed_equals_pandas_recompute(spark):
+    from kinesis_sample_spark.queries import load_registry
+
+    df = load_registry()["q333_observed_metrics_audit"].fn(spark, SF)
+    rows = df.collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    f = li[li["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+    assert len(rows) == f["l_returnflag"].nunique()
+    for r in rows:
+        grp = f[f["l_returnflag"] == r.l_returnflag]
+        assert r.grp_rows == len(grp)
+        assert r.grp_qty == float(grp["l_quantity"].sum())
+        # the observed (accumulator-channel) columns are scan-global
+        assert r.obs_rows == len(f)
+        assert r.obs_sum_qty == float(f["l_quantity"].sum())
+        assert r.obs_min_price == float(f["l_extendedprice"].min())
+        assert r.obs_max_price == float(f["l_extendedprice"].max())
+        assert pd.Timestamp(r.obs_last_ship) == f["l_shipdate"].max()
+
+
+def test_q333_plan_contains_collect_metrics(spark):
+    """The point of q333 is the CollectMetrics node — if a refactor
+    swaps the observation for a separate aggregate job, the query
+    silently stops testing the accumulator channel. Pin the node in the
+    OBSERVED relation's plan (the returned df reads a checkpoint, so the
+    node is asserted on the pre-action pipeline instead)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from kinesis_sample_spark.catalog import load_table
+
+    obs = Observation("plan_probe")
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    observed = li.observe(obs, F.count(F.lit(1)).alias("n"))
+    plan = observed._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in plan
+
+
+# ---------------------------------------------------------------------------
+# q334 — third implementation (row-at-a-time python ints, no numpy) and
+# edge inputs (sliced batches, amax==0 vectors, single-element vectors).
+# ---------------------------------------------------------------------------
+def _quant_ref(vec):
+    """Scalar reference: exact python-int quantization of one vector."""
+    xi = [int(np.floor(float(np.float64(x)) * 1_000_000 + 0.5)) for x in vec]
+    amax = max(abs(v) for v in xi)
+    if amax == 0:
+        return None
+    q = [
+        (1 if v > 0 else -1 if v < 0 else 0) * ((254 * abs(v) + amax) // (2 * amax))
+        for v in xi
+    ]
+    err = sum(abs(127 * v - qq * amax) for v, qq in zip(xi, q))
+    return len(xi), amax, err, max(abs(qq) for qq in q)
+
+
+def test_q334_matches_scalar_reference(spark):
+    from kinesis_sample_spark.queries import load_registry
+
+    rows = (
+        load_registry()["q334_int8_quantization_audit"].fn(spark, SF).collect()
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").set_index("vec_id")
+    assert len(rows) > 0
+    for r in rows:
+        ref = _quant_ref(emb.loc[r.vec_id, "embedding"])
+        assert ref is not None
+        n_dims, amax, err, maxq = ref
+        assert (r.n_dims, r.amax_u, r.sum_err_num, r.max_abs_q) == (
+            n_dims,
+            amax,
+            err,
+            maxq,
+        )
+
+
+def test_q334_properties(spark):
+    """Two laws every correct amax quantizer satisfies: the argmax
+    element hits code 127 exactly (max_abs_q == 127), and round-half-up
+    keeps every element's error within half a code step
+    (sum_err_num <= n_dims * ceil(amax/2))."""
+    from kinesis_sample_spark.queries import load_registry
+
+    rows = (
+        load_registry()["q334_int8_quantization_audit"].fn(spark, SF).collect()
+    )
+    for r in rows:
+        assert r.max_abs_q == 127
+        assert r.sum_err_num <= r.n_dims * ((r.amax_u + 1) // 2)
+
+
+def test_q334_plan_is_one_narrow_map(spark):
+    """The scale claim in the docstring, guarded: the quantization is a
+    MapInArrow node with NO shuffle of its own — the single exchange in
+    the plan is the terminal deterministic-output sort (which a
+    production run drops). A second exchange or a pandas eval node here
+    means the Arrow path regressed."""
+    from kinesis_sample_spark.plans.inspect import exchange_count, formatted_plan
+    from kinesis_sample_spark.queries import load_registry
+
+    df = load_registry()["q334_int8_quantization_audit"].fn(spark, SF)
+    assert exchange_count(df) == 1
+    plan = formatted_plan(df)
+    assert "MapInArrow" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q334_batch_fn_edges():
+    """Drive _quant_batches directly with inputs the fixture can't
+    produce: a SLICED RecordBatch (nonzero list offsets — the flatten()
+    path must respect the slice), an all-zero vector (dropped, not
+    divided by zero), and a single-element vector (q == +-127, zero
+    error)."""
+    from kinesis_sample_spark.queries.similarity import _quant_batches
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([10, 11, 12, 13], pa.int64()),
+            pa.array(
+                [[1.0, -2.0], [0.0, 0.0], [0.5], [-0.25, 0.75, 1.25]],
+                pa.list_(pa.float32()),
+            ),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    sliced = batch.slice(1, 3)  # drops vec 10; offsets now nonzero
+    (out,) = list(_quant_batches(iter([sliced])))
+    got = {r["vec_id"]: r for r in out.to_pylist()}
+    assert set(got) == {12, 13}  # 11 is all-zero -> dropped
+    assert got[12]["max_abs_q"] == 127 and got[12]["sum_err_num"] == 0
+    ref = _quant_ref([-0.25, 0.75, 1.25])
+    assert (
+        got[13]["n_dims"],
+        got[13]["amax_u"],
+        got[13]["sum_err_num"],
+        got[13]["max_abs_q"],
+    ) == ref

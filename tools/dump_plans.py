@@ -175,6 +175,10 @@ EXTRA = (
     "q330_cluster_ratio_bootstrap",
     "q331_live_state_store_audit",
     "q332_peak_basin_clusters",
+    # round-15 additions: CollectMetrics audit (checkpoint scan +
+    # broadcast single-row join) and the Arrow-native quantization map
+    "q333_observed_metrics_audit",
+    "q334_int8_quantization_audit",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
