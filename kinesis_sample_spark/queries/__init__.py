@@ -48,11 +48,20 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # Driver correctness window.
 #
 # The external driver hash-checks only the FIRST 50 registry entries per
-# round, so iteration order IS the verification budget. After
-# CORRECTNESS_r13 (50/50 green on the frozen round-12 window), the whole
-# registry settled — 193 settled / 0 never-green / 0 eligible — so the
-# round-14 window opened as pure zero-cost backfills. This round-14
-# window spends those free slots on the new batches:
+# round, so iteration order IS the verification budget.
+#
+# ROUND-15 WINDOW (consolidation): CORRECTNESS_r14 went 50/50 green, so
+# all 50 round-14 slots became settlement-eligible (one more green
+# settles them). The settlement tool kept 48 of them and placed the two
+# round-15 additions first:
+#   2 slots  — never-green (mandatory): q333_observed_metrics_audit
+#              (batch Observation/CollectMetrics, opstats) and
+#              q334_int8_quantization_audit (mapInArrow, similarity).
+#   48 slots — settlement-eligible round-14 queries + 5 of the 7
+#              backfills (q118/q119 displaced — they stay once-green
+#              and settle on their next windowed green).
+#
+# Round-14 window history (43 new + 7 backfills), kept for provenance:
 #   43 slots — never-green (mandatory): the round-14 additions —
 #              first wave q290-q313 (live fan-in/fan-out, sketch-merge
 #              algebra, bipartite projections, incremental components,
