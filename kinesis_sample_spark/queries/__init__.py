@@ -54,12 +54,13 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # all 50 round-14 slots became settlement-eligible (one more green
 # settles them). The settlement tool kept 48 of them and placed the two
 # round-15 additions first:
-#   2 slots  — never-green (mandatory): q333_observed_metrics_audit
-#              (batch Observation/CollectMetrics, opstats) and
-#              q334_int8_quantization_audit (mapInArrow, similarity).
-#   48 slots — settlement-eligible round-14 queries + 5 of the 7
-#              backfills (q118/q119 displaced — they stay once-green
-#              and settle on their next windowed green).
+#   3 slots  — never-green (mandatory): q333_observed_metrics_audit
+#              (batch Observation/CollectMetrics, opstats),
+#              q334_int8_quantization_audit (mapInArrow, similarity),
+#              q335_label_medoids (applyInArrow, similarity).
+#   47 slots — settlement-eligible round-14 queries + 4 of the 7
+#              backfills (q117/q118/q119 displaced — they stay
+#              once-green and settle on their next windowed green).
 #
 # Round-14 window history (43 new + 7 backfills), kept for provenance:
 #   43 slots — never-green (mandatory): the round-14 additions —
@@ -107,6 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-green (mandatory)
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
+    "q335_label_medoids",
     # -- settlement-eligible (one more green settles)
     "q290_live_union_two_streams",
     "q291_live_union_dedup_across_streams",
@@ -155,7 +157,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q109_retention_cohorts",
     "q110_funnel_conversion",
     "q111_sequence_packing",
-    "q117_gopher_quality_rules",
 )
 
 

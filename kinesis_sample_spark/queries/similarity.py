@@ -1382,3 +1382,123 @@ def q334_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_err_num bigint, max_abs_q bigint",
     )
     return out.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q335 — per-label medoid selection via applyInArrow (round 15).
+# ---------------------------------------------------------------------------
+def _medoid_group(table):
+    """One label's members as a pyarrow.Table -> its exact medoid row.
+
+    Integer-exact Gram identity instead of the O(n^2 d) pairwise matrix:
+    cost_i = sum_j ||xi-xj||^2 = n*||xi||^2 + S - 2*(xi . total), with
+    S = sum_j ||xj||^2 and total = sum_j xj — O(n*d) per group, and the
+    same three aggregates a DISTRIBUTED medoid pass would compute when a
+    label no longer fits one task. Everything int64 with headroom
+    asserts; ties on cost break to the smallest vec_id."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = table.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = table.column("embedding")
+    lengths = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+    if len(set(lengths.tolist())) != 1:
+        raise ValueError("q335: ragged embedding dims within a label")
+    d = int(lengths[0])
+    # table.column() yields a ChunkedArray; combine before the ListArray
+    # flatten (ChunkedArray.flatten() means struct-flatten, not list)
+    emb_arr = emb.combine_chunks()
+    flat = emb_arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    xi = np.floor(flat * _QSCALE + 0.5).astype(np.int64).reshape(len(ids), d)
+    n = len(ids)
+    norms = (xi * xi).sum(axis=1)  # per-element <= 1e14, d=64 -> ~6e15
+    s_all = int(norms.sum())
+    total = xi.sum(axis=0)
+    # int64 headroom: every term below must stay under 2^62
+    assert n * int(norms.max()) < 2**62 and s_all < 2**62, "q335 overflow"
+    dots = xi @ total  # numpy int64 matmul is exact (no float BLAS path)
+    costs = n * norms + s_all - 2 * dots
+    best = np.lexsort((ids, costs))[0]
+    label = table.column("label")[0].as_py()
+    return pa.Table.from_arrays(
+        [
+            pa.array([int(label)], pa.int32()),
+            pa.array([n], pa.int64()),
+            pa.array([int(ids[best])], pa.int64()),
+            pa.array([int(costs[best])], pa.int64()),
+        ],
+        names=["label", "n_members", "medoid_id", "medoid_cost"],
+    )
+
+
+#: exact integer dot for the oracle (sql_dot casts to DOUBLE, which loses
+#: exactness above 2^53 — these dots reach ~1e18; list_sum on BIGINT
+#: accumulates in HUGEINT, so the whole pipeline is overflow-safe)
+_SQL_INT_DOT = (
+    "list_sum(list_transform(list_zip(a.xi, b.xi), x -> x[1] * x[2]))"
+)
+
+
+@query(
+    "q335_label_medoids",
+    oracle=f"""
+WITH i AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_QSCALE} + 0.5) AS BIGINT)) AS xi
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, xi,
+         list_sum(list_transform(xi, v -> v * v)) AS nrm
+  FROM i
+),
+cost AS (
+  SELECT a.label, a.vec_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(a.nrm + b.nrm - 2 * {_SQL_INT_DOT}) AS BIGINT) AS cost
+  FROM n a JOIN n b USING (label)
+  GROUP BY a.label, a.vec_id
+),
+r AS (
+  SELECT label, vec_id, n_members, cost,
+         row_number() OVER (PARTITION BY label ORDER BY cost, vec_id) AS rk
+  FROM cost
+)
+SELECT label, n_members, vec_id AS medoid_id, cost AS medoid_cost
+FROM r WHERE rk = 1 ORDER BY label
+""",
+)
+def q335_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label MEDOID — the actual member minimizing the summed squared
+    distance to its label-mates (k-medoids' representative-selection
+    step; unlike q121's centroids, a medoid is an existing vector, robust
+    to outliers, and directly usable as an exemplar for retrieval or
+    curriculum seeding). Exact: vectors land in int64 micro-units (the
+    q334 scale), the cost is the integer Gram identity
+    n*||xi||^2 + S - 2*(xi . total) (self term 0, mirrored by the
+    oracle's self-inclusive pairwise sum), argmin ties break to the
+    smallest vec_id on both engines. The oracle's pairwise dot uses a
+    BIGINT list_zip fold because list_dot_product casts to DOUBLE and
+    these dots exceed 2^53.
+
+    ENGINE SURFACE (new in round 15): ``applyInArrow`` — the GROUPED
+    Arrow UDF (q334 covers the map-side mapInArrow; every other grouped
+    Python surface here is pandas-based). Each label arrives as one
+    pyarrow.Table; numpy does the O(n*d) fold without a pandas
+    conversion.
+
+    Scale: one shuffle on label, O(n*d) per group via the Gram identity
+    (NOT the O(n^2*d) pairwise matrix), 4-column one-row-per-label
+    output. A label too large for one task decomposes into the same
+    three aggregates (norms, their sum, the component total) as
+    distributed groupBy reductions followed by a map-side argmin — the
+    identity is the distributed plan; the in-group form exists to
+    exercise the grouped-Arrow surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = emb.groupBy("label").applyInArrow(
+        _medoid_group,
+        "label int, n_members bigint, medoid_id bigint, medoid_cost bigint",
+    )
+    return out.orderBy("label")

@@ -124,6 +124,70 @@ def test_q334_plan_is_one_narrow_map(spark):
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_q335_matches_bruteforce_pairwise(spark):
+    """Third implementation: the O(n^2) pairwise cost with unbounded
+    Python ints (no Gram identity, no int64 — so an overflow or identity
+    slip in the query shows up as a mismatch here, not just vs DuckDB)."""
+    from kinesis_sample_spark.queries import load_registry
+
+    rows = load_registry()["q335_label_medoids"].fn(spark, SF).collect()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assert len(rows) == emb["label"].nunique()
+    for r in rows:
+        grp = emb[emb["label"] == r.label]
+        xis = {
+            int(vid): [int(np.floor(float(np.float64(x)) * 1_000_000 + 0.5)) for x in v]
+            for vid, v in zip(grp["vec_id"], grp["embedding"])
+        }
+        costs = {
+            i: sum(
+                sum((a - b) ** 2 for a, b in zip(xi, xj))
+                for xj in xis.values()
+            )
+            for i, xi in xis.items()
+        }
+        best = min(costs, key=lambda i: (costs[i], i))
+        assert (r.n_members, r.medoid_id, r.medoid_cost) == (
+            len(xis),
+            best,
+            costs[best],
+        )
+
+
+def test_q335_group_fn_edges():
+    """Direct edges for _medoid_group: exact tie on cost breaks to the
+    smaller vec_id; a ragged group raises instead of mis-reshaping."""
+    from kinesis_sample_spark.queries.similarity import _medoid_group
+
+    # two identical vectors + one outlier: ids 5 and 3 tie on cost ->
+    # medoid must be 3 (smaller id), not first-row order
+    t = pa.table(
+        {
+            "vec_id": pa.array([5, 3, 9], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [1.0, 0.0], [100.0, 0.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([7, 7, 7], pa.int32()),
+        }
+    )
+    out = _medoid_group(t).to_pylist()[0]
+    assert out["label"] == 7 and out["n_members"] == 3
+    assert out["medoid_id"] == 3
+    # cost of id 3: 0 (vs 5) + (99e6)^2 (vs 9)
+    assert out["medoid_cost"] == (99 * 10**6) ** 2
+    ragged = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[1.0], [1.0, 2.0]], pa.list_(pa.float32())),
+            "label": pa.array([1, 1], pa.int32()),
+        }
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged"):
+        _medoid_group(ragged)
+
+
 def test_q334_batch_fn_edges():
     """Drive _quant_batches directly with inputs the fixture can't
     produce: a SLICED RecordBatch (nonzero list offsets — the flatten()

@@ -179,6 +179,7 @@ EXTRA = (
     # broadcast single-row join) and the Arrow-native quantization map
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
+    "q335_label_medoids",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
