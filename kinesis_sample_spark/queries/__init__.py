@@ -52,8 +52,8 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #
 # ROUND-15 WINDOW (consolidation): CORRECTNESS_r14 went 50/50 green, so
 # all 50 round-14 slots became settlement-eligible (one more green
-# settles them). The settlement tool kept 48 of them and placed the two
-# round-15 additions first:
+# settles them). The settlement tool kept 47 of them and placed the
+# three round-15 additions first:
 #   3 slots  — never-green (mandatory): q333_observed_metrics_audit
 #              (batch Observation/CollectMetrics, opstats),
 #              q334_int8_quantization_audit (mapInArrow, similarity),

@@ -1412,11 +1412,18 @@ def _medoid_group(table):
     flat = emb_arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     xi = np.floor(flat * _QSCALE + 0.5).astype(np.int64).reshape(len(ids), d)
     n = len(ids)
-    norms = (xi * xi).sum(axis=1)  # per-element <= 1e14, d=64 -> ~6e15
+    # int64 headroom, checked in PYTHON ints BEFORE any int64 arithmetic
+    # can wrap: with m = max|xi|+1, every intermediate below (norms,
+    # S, dots, and the cost n*norm + S - 2*dots) is bounded by
+    # 4*n*d*m^2 (Cauchy-Schwarz bounds |dots| by n*d*m^2). A group too
+    # hot for int64 raises loudly — mirroring the oracle, whose HUGEINT
+    # sum errors on its final BIGINT cast rather than wrapping.
+    m = int(np.floor(np.abs(flat).max() * _QSCALE + 0.5)) + 1
+    if 4 * n * d * m * m >= 2**63:
+        raise ValueError("q335: int64 headroom exceeded for this group")
+    norms = (xi * xi).sum(axis=1)
     s_all = int(norms.sum())
     total = xi.sum(axis=0)
-    # int64 headroom: every term below must stay under 2^62
-    assert n * int(norms.max()) < 2**62 and s_all < 2**62, "q335 overflow"
     dots = xi @ total  # numpy int64 matmul is exact (no float BLAS path)
     costs = n * norms + s_all - 2 * dots
     best = np.lexsort((ids, costs))[0]

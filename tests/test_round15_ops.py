@@ -186,6 +186,17 @@ def test_q335_group_fn_edges():
 
     with pytest.raises(ValueError, match="ragged"):
         _medoid_group(ragged)
+    # headroom guard fires BEFORE any int64 arithmetic can wrap: a single
+    # 1-dim vector at 3000.0 gives m ~ 3e9, 4*n*d*m^2 ~ 3.6e19 > 2^63
+    hot = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([[3000.0]], pa.list_(pa.float32())),
+            "label": pa.array([1], pa.int32()),
+        }
+    )
+    with pytest.raises(ValueError, match="headroom"):
+        _medoid_group(hot)
 
 
 def test_q334_batch_fn_edges():

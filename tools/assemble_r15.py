@@ -3,7 +3,7 @@
 
 Reads the logs tools/r15_sweeps.sh wrote to /tmp and writes
 PARITY_SF01_r15.json, PARITY_ALT7_r15.json, LATENCY_r15.json with
-final-tree (registry 328) results + provenance notes.
+final-tree (registry 329) results + provenance notes.
 """
 
 from __future__ import annotations
@@ -12,9 +12,9 @@ import json
 import statistics
 
 NOTE_TAIL = (
-    "round-15 FINAL tree (registry 328: consolidation round — docstring "
+    "round-15 FINAL tree (registry 329: consolidation round — docstring "
     "sweep, q152 persist-before-terminal-sort, plus q333 CollectMetrics "
-    "audit and q334 mapInArrow int8 quantization)"
+    "audit, q334 mapInArrow int8 quantization, q335 applyInArrow medoids)"
 )
 
 
@@ -65,6 +65,9 @@ def main() -> None:
                     if k in rec
                 }
     errs = [n for n, v in qs.items() if not isinstance(v, (int, float))]
+    # check errors FIRST: an all-error sweep would otherwise die on
+    # median([]) before this diagnostic ever fires
+    assert not errs, f"latency sweep errors: {errs}"
     vals = [v for v in qs.values() if isinstance(v, (int, float))]
     top = sorted(
         ((n, v) for n, v in qs.items() if isinstance(v, (int, float))),
@@ -95,7 +98,6 @@ def main() -> None:
         "queries": {n: v for n, v in qs.items()},
         "state_before": extras,
     }
-    assert not errs, f"latency sweep errors: {errs}"
     json.dump(art, open("/root/repo/LATENCY_r15.json", "w"), indent=1)
     print(
         f"assembled: parity {corr['summary']['oracle_passed']}/"
