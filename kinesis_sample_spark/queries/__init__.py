@@ -52,14 +52,15 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #
 # ROUND-15 WINDOW (consolidation): CORRECTNESS_r14 went 50/50 green, so
 # all 50 round-14 slots became settlement-eligible (one more green
-# settles them). The settlement tool kept 47 of them and placed the
-# three round-15 additions first:
-#   3 slots  — never-green (mandatory): q333_observed_metrics_audit
+# settles them). The settlement tool kept 46 of them and placed the
+# four round-15 additions first:
+#   4 slots  — never-green (mandatory): q333_observed_metrics_audit
 #              (batch Observation/CollectMetrics, opstats),
 #              q334_int8_quantization_audit (mapInArrow, similarity),
-#              q335_label_medoids (applyInArrow, similarity).
-#   47 slots — settlement-eligible round-14 queries + 4 of the 7
-#              backfills (q117/q118/q119 displaced — they stay
+#              q335_label_medoids (applyInArrow, similarity),
+#              q336_wasserstein_drift (cogrouped applyInArrow, cogroup).
+#   46 slots — settlement-eligible round-14 queries + 3 of the 7
+#              backfills (q111/q117/q118/q119 displaced — they stay
 #              once-green and settle on their next windowed green).
 #
 # Round-14 window history (43 new + 7 backfills), kept for provenance:
@@ -109,6 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
     "q335_label_medoids",
+    "q336_wasserstein_drift",
     # -- settlement-eligible (one more green settles)
     "q290_live_union_two_streams",
     "q291_live_union_dedup_across_streams",
@@ -156,7 +158,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q108_partition_fingerprints",
     "q109_retention_cohorts",
     "q110_funnel_conversion",
-    "q111_sequence_packing",
 )
 
 

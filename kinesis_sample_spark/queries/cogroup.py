@@ -94,3 +94,147 @@ def q157_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise pushes a second full two-sided Arrow exchange through the
     # cogrouped pandas UDF
     return out.persist().orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# q336 — per-customer exact Wasserstein-1 drift via cogrouped applyInArrow
+# (round 15).
+# ---------------------------------------------------------------------------
+_W1_SPLIT = "TIMESTAMP '1995-06-17 00:00:00'"  # ~median of the order span
+
+
+def _w1_cogroup(left, right):
+    """One customer's early-period and late-period order values as two
+    pyarrow.Tables -> the exact integer-scaled Wasserstein-1 distance.
+
+    W1 between two empirical distributions is the area between their
+    CDFs: sum over merged distinct values x_i of
+    |F_a(x_i) - F_b(x_i)| * (x_{i+1} - x_i). Scaling by n_a*n_b turns
+    every term into integers (cum_a*n_b - cum_b*n_a), so the statistic
+    is exact on both engines; the true W1 is w1_num / (n_a*n_b) cents.
+    Keys present on only one side carry no defined distance -> empty
+    output (the oracle's inner join on both count relations mirrors it)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def cents(t):
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return np.sort(np.floor(v * 100.0 + 0.5).astype(np.int64))
+
+    a, b = cents(left), cents(right)
+    out_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("w1_num", pa.int64()),
+        ]
+    )
+    if len(a) == 0 or len(b) == 0:
+        return pa.Table.from_arrays([pa.array([], t) for t in
+                                     [pa.int64()] * 4], schema=out_schema)
+    key_col = left if left.num_rows else right
+    k = key_col.column("o_custkey")[0].as_py()
+    xs = np.union1d(a, b)  # sorted distinct merged values
+    ca = np.searchsorted(a, xs, side="right")  # #a <= x, right-continuous
+    cb = np.searchsorted(b, xs, side="right")
+    dx = np.diff(xs)
+    w1 = int(np.abs(ca[:-1] * len(b) - cb[:-1] * len(a)) @ dx)
+    return pa.Table.from_arrays(
+        [
+            pa.array([int(k)], pa.int64()),
+            pa.array([len(a)], pa.int64()),
+            pa.array([len(b)], pa.int64()),
+            pa.array([w1], pa.int64()),
+        ],
+        schema=out_schema,
+    )
+
+
+@query(
+    "q336_wasserstein_drift",
+    oracle=f"""
+WITH a AS (
+  SELECT o_custkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < {_W1_SPLIT}
+),
+b AS (
+  SELECT o_custkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= {_W1_SPLIT}
+),
+na AS (SELECT k, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY k),
+nb AS (SELECT k, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY k),
+m AS (
+  SELECT k, v,
+         CAST(count(*) FILTER (WHERE side = 'a') AS BIGINT) AS da,
+         CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS db
+  FROM (SELECT k, v, 'a' AS side FROM a
+        UNION ALL SELECT k, v, 'b' FROM b)
+  GROUP BY k, v
+),
+c AS (
+  SELECT k, v,
+         sum(da) OVER (PARTITION BY k ORDER BY v) AS ca,
+         sum(db) OVER (PARTITION BY k ORDER BY v) AS cb,
+         lead(v) OVER (PARTITION BY k ORDER BY v) AS nx
+  FROM m
+)
+SELECT c.k AS custkey, na.n_a, nb.n_b,
+       CAST(sum(CASE WHEN nx IS NULL THEN 0
+                     ELSE abs(ca * nb.n_b - cb * na.n_a) * (nx - v) END)
+            AS BIGINT) AS w1_num
+FROM c JOIN na ON na.k = c.k JOIN nb ON nb.k = c.k
+GROUP BY c.k, na.n_a, nb.n_b
+ORDER BY custkey
+""",
+)
+def q336_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer EXACT Wasserstein-1 (earth-mover) distance between the
+    early-period and late-period order-value distributions — the per-key
+    sibling the drift shelf lacked (q199 is one GLOBAL two-sample KS;
+    q240/q286 are categorical/quantile mixes). W1 is the curation-grade
+    drift statistic: unlike KS's sup-norm it weighs HOW FAR mass moved,
+    which is what decides whether a source's distribution shift matters
+    for mixing weights. Integer-exact: values in cents, the CDF-area sum
+    scaled by n_a*n_b so every term is |cum_a*n_b - cum_b*n_a| * dx in
+    BIGINT; true W1 = w1_num/(n_a*n_b) cents, left rational on purpose.
+
+    ENGINE SURFACE (new in round 15): cogrouped ``applyInArrow`` — the
+    two-sided grouped Arrow exchange (q334 maps, q335 groups one input;
+    this is the Arrow cogroup, previously exercised only through pandas
+    in q157). Each key's rows from BOTH relations arrive as two
+    pyarrow.Tables in one task; numpy's union1d/searchsorted do the
+    merged-ECDF fold. Keys with either side empty are dropped on both
+    engines (no defined distance).
+
+    Scale: a cogroup is two co-partitioned shuffles on the key (the
+    topology of a shuffle join); per-task state is one customer's orders.
+    At 100 TB the same fold runs per SOURCE rather than per customer —
+    thousands of groups of millions of rows — and the integer CDF-area
+    form keeps it a single sort + linear pass per group."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    from pyspark.sql import functions as F
+
+    split = F.to_timestamp(F.lit("1995-06-17 00:00:00"))
+    early = orders.filter(F.col("o_orderdate") < split)
+    late = orders.filter(F.col("o_orderdate") >= split)
+    out = (
+        early.groupBy("o_custkey")
+        .cogroup(late.groupBy("o_custkey"))
+        .applyInArrow(
+            _w1_cogroup,
+            "custkey bigint, n_a bigint, n_b bigint, w1_num bigint",
+        )
+        # SPARK HAZARD (round-15 catch): column pruning pushes THROUGH
+        # FlatMapCoGroupsInArrow — a consumer that reads none of the
+        # output columns (df.count()) prunes the child relations down to
+        # the grouping key, and the UDF dies on the missing
+        # o_totalprice field (the pandas cogroup node, q157, is not
+        # pruned this way). The persist materializes the full output
+        # schema once, so every consumption shape works; 4 BIGINTs per
+        # surviving key, trivially cacheable at any scale.
+        .persist()
+    )
+    return out.orderBy("custkey")

@@ -199,6 +199,75 @@ def test_q335_group_fn_edges():
         _medoid_group(hot)
 
 
+def _w1_table(ids, prices):
+    return pa.table(
+        {
+            "o_custkey": pa.array(ids, pa.int64()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array([None] * len(ids), pa.timestamp("us")),
+        }
+    )
+
+
+def test_q336_matches_fraction_quantile_integral():
+    """Independent third implementation of W1: integrate
+    |F_a^{-1}(u) - F_b^{-1}(u)| du over exact Fractions by walking the
+    merged quantile breakpoints i/n_a, j/n_b — a different formulation
+    (inverse-CDF transport) than the query's CDF-area sum, so a slip in
+    either form can't hide in the other."""
+    from fractions import Fraction
+
+    from kinesis_sample_spark.queries.cogroup import _w1_cogroup
+
+    a = [101.004, 35.50, 35.50, 980.01, 4.99]
+    b = [70.00, 35.50, 1200.00]
+    out = _w1_cogroup(_w1_table([7] * 5, a), _w1_table([7] * 3, b)).to_pylist()[0]
+    sa = sorted(int(np.floor(x * 100 + 0.5)) for x in a)
+    sb = sorted(int(np.floor(x * 100 + 0.5)) for x in b)
+    na, nb = len(sa), len(sb)
+    cuts = sorted({Fraction(i, na) for i in range(na + 1)}
+                  | {Fraction(j, nb) for j in range(nb + 1)})
+    w1 = Fraction(0)
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        mid = (lo + hi) / 2
+        qa = sa[min(int(mid * na), na - 1)]
+        qb = sb[min(int(mid * nb), nb - 1)]
+        w1 += abs(qa - qb) * (hi - lo)
+    assert out["w1_num"] == w1 * na * nb  # exact rational equality
+    assert (out["custkey"], out["n_a"], out["n_b"]) == (7, na, nb)
+
+
+def test_q336_equal_size_law_and_empty_side():
+    """Equal sample sizes collapse W1 to the sorted elementwise mean:
+    w1_num == n * sum|a_(i) - b_(i)|. And a key missing one side has no
+    defined distance -> empty output."""
+    from kinesis_sample_spark.queries.cogroup import _w1_cogroup
+
+    a, b = [10.00, 50.00, 20.00], [30.00, 15.00, 60.00]
+    out = _w1_cogroup(_w1_table([1] * 3, a), _w1_table([1] * 3, b)).to_pylist()[0]
+    sa = sorted(int(x * 100) for x in a)
+    sb = sorted(int(x * 100) for x in b)
+    want = 3 * sum(abs(x - y) for x, y in zip(sa, sb))
+    assert out["w1_num"] == want
+    assert _w1_cogroup(_w1_table([1], [5.0]), _w1_table([], [])).num_rows == 0
+    # identical distributions -> zero distance
+    same = _w1_cogroup(_w1_table([2] * 2, a[:2]), _w1_table([2] * 2, a[:2]))
+    assert same.to_pylist()[0]["w1_num"] == 0
+
+
+def test_q336_survives_count_consumption(spark):
+    """Regression: Catalyst pushes column pruning THROUGH
+    FlatMapCoGroupsInArrow, so a consumer reading none of the output
+    columns (df.count()) starved the UDF of o_totalprice and crashed —
+    the oracle compare (which collects every column) could never see it.
+    The persist barrier in the query must keep every consumption shape
+    alive."""
+    from kinesis_sample_spark.queries import load_registry
+
+    df = load_registry()["q336_wasserstein_drift"].fn(spark, SF)
+    assert df.count() == len(df.collect()) > 0
+
+
 def test_q334_batch_fn_edges():
     """Drive _quant_batches directly with inputs the fixture can't
     produce: a SLICED RecordBatch (nonzero list offsets — the flatten()

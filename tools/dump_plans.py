@@ -180,6 +180,7 @@ EXTRA = (
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
     "q335_label_medoids",
+    "q336_wasserstein_drift",
 )
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
 
