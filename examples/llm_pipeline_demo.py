@@ -32,6 +32,7 @@ STAGES = (
     ("quality: bigram-LM cross-entropy", "q195_bigram_cross_entropy"),
     ("novelty: cross-doc 3-gram df=1 share", "q193_ngram_novelty"),
     ("drift gate: two-sample KS", "q199_ks_drift"),
+    ("drift: per-key exact Wasserstein-1", "q336_wasserstein_drift"),
     ("chunking (content-defined)", "q148_content_defined_chunks"),
     ("sequence packing (2048-token context)", "q111_sequence_packing"),
     ("lexical retrieval (BM25 top-10)", "q154_bm25_topk"),

@@ -3,7 +3,7 @@
 
 Reads the logs tools/r15_sweeps.sh wrote to /tmp and writes
 PARITY_SF01_r15.json, PARITY_ALT7_r15.json, LATENCY_r15.json with
-final-tree (registry 329) results + provenance notes.
+final-tree (registry 330) results + provenance notes.
 """
 
 from __future__ import annotations
@@ -12,9 +12,10 @@ import json
 import statistics
 
 NOTE_TAIL = (
-    "round-15 FINAL tree (registry 329: consolidation round — docstring "
-    "sweep, q152 persist-before-terminal-sort, plus q333 CollectMetrics "
-    "audit, q334 mapInArrow int8 quantization, q335 applyInArrow medoids)"
+    "round-15 FINAL tree (registry 330: consolidation round — docstring "
+    "sweep, q152 persist-before-terminal-sort, plus the four new-surface "
+    "queries q333 CollectMetrics audit, q334 mapInArrow int8 quantization, "
+    "q335 applyInArrow medoids, q336 cogrouped-Arrow Wasserstein drift)"
 )
 
 
