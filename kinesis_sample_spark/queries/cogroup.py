@@ -100,7 +100,9 @@ def q157_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q336 — per-customer exact Wasserstein-1 drift via cogrouped applyInArrow
 # (round 15).
 # ---------------------------------------------------------------------------
-_W1_SPLIT = "TIMESTAMP '1995-06-17 00:00:00'"  # ~median of the order span
+#: one constant drives BOTH engines (oracle interpolation + Spark filter)
+_W1_SPLIT_TS = "1995-06-17 00:00:00"  # ~median of the order span
+_W1_SPLIT = f"TIMESTAMP '{_W1_SPLIT_TS}'"
 
 
 def _w1_cogroup(left, right):
@@ -133,9 +135,14 @@ def _w1_cogroup(left, right):
     if len(a) == 0 or len(b) == 0:
         return pa.Table.from_arrays([pa.array([], t) for t in
                                      [pa.int64()] * 4], schema=out_schema)
-    key_col = left if left.num_rows else right
-    k = key_col.column("o_custkey")[0].as_py()
+    k = left.column("o_custkey")[0].as_py()  # left is non-empty here
     xs = np.union1d(a, b)  # sorted distinct merged values
+    # int64 headroom, in PYTHON ints before the int64 fold can wrap:
+    # every term |ca*n_b - cb*n_a|*dx is <= n_a*n_b*dx, so the whole sum
+    # is <= n_a*n_b*(max-min). A group too hot for int64 raises loudly —
+    # mirroring the oracle, whose HUGEINT sum errors on its BIGINT cast.
+    if int(len(a)) * int(len(b)) * int(xs[-1] - xs[0]) >= 2**63:
+        raise ValueError("q336: int64 headroom exceeded for this key")
     ca = np.searchsorted(a, xs, side="right")  # #a <= x, right-continuous
     cb = np.searchsorted(b, xs, side="right")
     dx = np.diff(xs)
@@ -217,7 +224,7 @@ def q336_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import functions as F
 
-    split = F.to_timestamp(F.lit("1995-06-17 00:00:00"))
+    split = F.to_timestamp(F.lit(_W1_SPLIT_TS))
     early = orders.filter(F.col("o_orderdate") < split)
     late = orders.filter(F.col("o_orderdate") >= split)
     out = (

@@ -250,6 +250,12 @@ def test_q336_equal_size_law_and_empty_side():
     want = 3 * sum(abs(x - y) for x, y in zip(sa, sb))
     assert out["w1_num"] == want
     assert _w1_cogroup(_w1_table([1], [5.0]), _w1_table([], [])).num_rows == 0
+    # headroom guard fires before the int64 fold can wrap: the sum is
+    # bounded by n_a*n_b*(max-min), checked in Python ints
+    import pytest
+
+    with pytest.raises(ValueError, match="headroom"):
+        _w1_cogroup(_w1_table([1, 1], [0.0, 4e16]), _w1_table([1, 1], [0.0, 4e16]))
     # identical distributions -> zero distance
     same = _w1_cogroup(_w1_table([2] * 2, a[:2]), _w1_table([2] * 2, a[:2]))
     assert same.to_pylist()[0]["w1_num"] == 0
