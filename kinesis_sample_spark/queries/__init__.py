@@ -50,18 +50,20 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # The external driver hash-checks only the FIRST 50 registry entries per
 # round, so iteration order IS the verification budget.
 #
-# ROUND-15 WINDOW (consolidation): CORRECTNESS_r14 went 50/50 green, so
-# all 50 round-14 slots became settlement-eligible (one more green
-# settles them). The settlement tool kept 46 of them and placed the
-# four round-15 additions first:
-#   4 slots  — never-green (mandatory): q333_observed_metrics_audit
-#              (batch Observation/CollectMetrics, opstats),
-#              q334_int8_quantization_audit (mapInArrow, similarity),
-#              q335_label_medoids (applyInArrow, similarity),
-#              q336_wasserstein_drift (cogrouped applyInArrow, cogroup).
-#   46 slots — settlement-eligible round-14 queries + 3 of the 7
-#              backfills (q111/q117/q118/q119 displaced — they stay
-#              once-green and settle on their next windowed green).
+# ROUND-16 WINDOW (re-verification): CORRECTNESS_r15 went 50/50 green,
+# settling the entire round-14 wave (193 -> 239 settled). The tool's
+# rotation:
+#   4 slots  — settlement-eligible (one more green settles): the
+#              round-15 additions q333-q336 (CollectMetrics, mapInArrow,
+#              applyInArrow, cogrouped applyInArrow).
+#   46 slots — minimum-evidence backfill: the least-evidenced settled
+#              band (q120-q160 plus q40/q50/q58/q59/q99), oldest
+#              evidence first. Free slots doing settlement re-verification
+#              are the verification budget working (VERDICT r15 §next).
+#
+# ROUND-15 WINDOW, kept for provenance: 4 never-green round-15
+# additions (q333-q336) + 46 settlement-eligible round-14 carries;
+# went 50/50 green (CORRECTNESS_r15.json).
 #
 # Round-14 window history (43 new + 7 backfills), kept for provenance:
 #   43 slots — never-green (mandatory): the round-14 additions —
@@ -106,58 +108,58 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-green (mandatory)
+    # -- settlement-eligible (one more green settles)
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
     "q335_label_medoids",
     "q336_wasserstein_drift",
-    # -- settlement-eligible (one more green settles)
-    "q290_live_union_two_streams",
-    "q291_live_union_dedup_across_streams",
-    "q292_live_union_heterogeneous_schema",
-    "q293_live_priority_merge_latest",
-    "q294_hll_merge_invariance",
-    "q295_countmin_merge_skew",
-    "q296_histogram_merge_commutativity",
-    "q297_sample_union_stability",
-    "q298_supplier_projection",
-    "q299_part_projection_density",
-    "q300_bipartite_degree_balance",
-    "q301_incremental_components",
-    "q302_affected_community_delta",
-    "q303_mutual_topk_pairs",
-    "q304_percolation_threshold_sweep",
-    "q305_pareto_skyline_parts",
-    "q306_supplier_skyline_3d",
-    "q307_weighted_sample_es",
-    "q308_phrase_index_consistency",
-    "q309_zorder_locality_audit",
-    "q310_grid_density_clusters",
-    "q311_kcore_census",
-    "q312_bootstrap_mean_ci",
-    "q313_live_dual_sink_consistency",
-    "q314_power_iteration_pc1",
-    "q315_misra_gries_bounds",
-    "q316_live_rate_limited_backlog",
-    "q317_haar_wavelet_energy",
-    "q318_rendezvous_rebalance",
-    "q319_cuped_variance_reduction",
-    "q320_neyman_allocation",
-    "q321_allen_interval_census",
-    "q322_sax_motif_census",
-    "q323_heaps_vocabulary_growth",
-    "q324_ks_exponential_fit",
-    "q325_bfs_hop_histogram",
-    "q326_reservoir_merge_law",
-    "q327_little_law_conservation",
-    "q328_live_session_timeout",
-    "q329_bellman_ford_distances",
-    "q330_cluster_ratio_bootstrap",
-    "q331_live_state_store_audit",
-    "q332_peak_basin_clusters",
-    "q108_partition_fingerprints",
-    "q109_retention_cohorts",
-    "q110_funnel_conversion",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q120_multiprobe_rerank",
+    "q121_label_centroids",
+    "q122_bloom_decontamination",
+    "q123_importance_weights",
+    "q124_pii_redaction",
+    "q125_pagerank_part_supplier",
+    "q126_live_stream_static_enrich",
+    "q127_canonical_selection",
+    "q128_winsorized_stats",
+    "q129_hard_negative_mining",
+    "q130_source_overlap_matrix",
+    "q131_live_session_windows",
+    "q132_countmin_heavy_hitters",
+    "q133_frame_sampling",
+    "q137_curriculum_bins",
+    "q138_dedup_rate_per_source",
+    "q139_scd2_intervals",
+    "q140_workspace_manifest",
+    "q141_transition_mining",
+    "q142_int8_quantization",
+    "q143_snapshot_diff",
+    "q144_bpe_pair_counts",
+    "q145_covariance_moments",
+    "q146_interval_overlap_join",
+    "q147_join_key_skew_audit",
+    "q148_content_defined_chunks",
+    "q149_top_terms_per_source",
+    "q150_triangle_count",
+    "q151_udtf_user_sessions",
+    "q152_prefix_filter_simjoin",
+    "q153_live_left_outer_join",
+    "q40_token_stats",
+    "q50_media_features",
+    "q58_array_ops",
+    "q59_string_extras",
+    "q99_ols_regression",
+    "q134_json_roundtrip_agg",
+    "q135_csv_roundtrip_agg",
+    "q136_orc_roundtrip_agg",
+    "q154_bm25_topk",
+    "q155_window_frame_gallery",
+    "q156_hof_gallery",
+    "q157_cogroup_reconcile",
+    "q158_semantic_dedup",
+    "q159_histogram_quantiles",
+    "q160_producer_source_scan",
 )
 
 
