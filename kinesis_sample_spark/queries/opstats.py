@@ -1236,14 +1236,19 @@ def q333_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushed past the metrics point), the observed columns diverge
     from the oracle's scalar subquery and the hash gate fails.
 
-    Determinism: count/min/max/date are exact; the decimal sums cross the
-    engine boundary through the VARCHAR round-trip (sql_double) on the
-    oracle side and a correctly-rounded Python ``float(Decimal)`` on the
-    observed side — both correctly-rounded doubles of the same exact
-    decimal. The eager localCheckpoint is the one action that populates
-    the observation; the returned plan reads the checkpointed grouped
-    relation, so no re-execution can re-fire (and double-count) the
-    accumulator."""
+    Determinism: count/min/max/date are order-insensitive, hence exact.
+    ``l_quantity`` is DoubleType in the fixtures (FIXTURES.md), so both
+    sums are plain double sums whose partial-aggregation order Spark does
+    NOT fix — they are deterministic here only because every fixture
+    quantity is INTEGRAL (integer-valued doubles sum exactly below 2^53,
+    in any order, on both engines). That invariant is pinned in-band: a
+    sixth observed metric counts fractional quantities on the SAME
+    CollectMetrics pass (zero extra scans) and the query raises if it is
+    ever nonzero, so a fractional fixture fails loudly here instead of
+    flaking the hash gate. The eager localCheckpoint is the one action
+    that populates the observation; the returned plan reads the
+    checkpointed grouped relation, so no re-execution can re-fire (and
+    double-count) the accumulator."""
     from pyspark.sql import Observation
 
     cut = _OBS_CUT.split("'")[1]
@@ -1258,6 +1263,11 @@ def q333_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("obs_min_price"),
         F.max("l_extendedprice").alias("obs_max_price"),
         F.max("l_shipdate").alias("obs_last_ship"),
+        # invariant guard (not an output column): double sums above are
+        # order-deterministic ONLY while every quantity is integral
+        F.sum(
+            F.when(F.col("l_quantity") != F.floor("l_quantity"), 1).otherwise(0)
+        ).alias("obs_fractional_qty"),
     )
     grouped = (
         observed.groupBy("l_returnflag")
@@ -1269,6 +1279,12 @@ def q333_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     m = obs.get  # blocks on the action above; dict of observed values
+    if int(m["obs_fractional_qty"] or 0) != 0:
+        raise RuntimeError(
+            f"q333: {m['obs_fractional_qty']} fractional l_quantity values — "
+            "the integral-doubles-sum-exactly invariant this query's "
+            "determinism rests on no longer holds in the fixture"
+        )
     metrics = spark.createDataFrame(
         [
             (

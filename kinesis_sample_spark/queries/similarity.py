@@ -1276,7 +1276,11 @@ def _quant_batches(it):
         emb = batch.column("embedding")
         lengths = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
         lengths = lengths.astype(np.int64)
-        if len(ids) == 0 or (lengths <= 0).any():
+        if len(ids) == 0:
+            # zero-row RecordBatch: a legitimate (if rare) Arrow stream
+            # shape, not a fixture violation — emit nothing and move on
+            continue
+        if (lengths <= 0).any():
             # fixture contract: non-empty vectors; fail loudly, not NaN
             raise ValueError("q334: empty embedding vector in batch")
         flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)

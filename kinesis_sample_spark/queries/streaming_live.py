@@ -417,11 +417,12 @@ def _replay_time_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fewer files — and q331's oracle (last_batch_id = 4: four data batches
     # under maxFilesPerTrigger=1 plus availableNow's final no-data batch)
     # would fail with a confusing parity mismatch instead of this error.
-    assert len(parts) == 4, (
-        f"_replay_time_ordered wrote {len(parts)} data files, expected 4 "
-        f"(empty range partition in the events fixture?) — q331's batch-id "
-        f"arithmetic and the finite-watermark replay contract assume 4"
-    )
+    if len(parts) != 4:  # not assert: must survive `python -O`
+        raise RuntimeError(
+            f"_replay_time_ordered wrote {len(parts)} data files, expected 4 "
+            f"(empty range partition in the events fixture?) — q331's batch-id "
+            f"arithmetic and the finite-watermark replay contract assume 4"
+        )
     for i, fname in enumerate(parts):  # part-0000i holds ts-range i
         os.utime(os.path.join(events_dir, fname), (base + i, base + i))
     return replay_events_stream(spark, events_dir)

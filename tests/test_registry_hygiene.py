@@ -200,3 +200,150 @@ def test_no_degenerate_zero_row_oracles():
         if q.oracle is not None and not con.execute(q.oracle).fetchall()
     ]
     assert not zero, f"degenerate 0-row oracles: {zero}"
+
+
+def test_docstring_literals_match_module_constants():
+    """The round-15 docstring sweep (e8408e6) inlined ``.format(...)``
+    values as literals — which Python binds to ``__doc__``, unlike a
+    format-suffixed string, but which can silently drift if the module
+    constant later changes (round-15 ADVICE). This pin table rebuilds
+    each inlined phrase FROM the live constant at test time: change the
+    constant without updating the docstring and the pin fails, naming
+    the query and the stale phrase."""
+    from kinesis_sample_spark.queries import (
+        bizaudit,
+        graph_metrics,
+        inference,
+        opstats,
+        retrieval,
+        robuststats,
+        similarity,
+        sketches,
+        streaming_live,
+        temporal,
+        textcal,
+    )
+
+    reg = load_registry()
+    pins = {
+        "q270_largest_remainder_alloc": [
+            f"allocation: {bizaudit._ALLOC_POINTS} integer points",
+        ],
+        "q241_copurchase_communities": [
+            f"support >= {graph_metrics.COMMUNITY_MIN_SUPPORT}:",
+            f"support threshold (>= {graph_metrics.COMMUNITY_MIN_SUPPORT})",
+        ],
+        "q301_incremental_components": [
+            f"pre-{graph_metrics.DELTA_CUT} graph",
+            f"support threshold (>= {graph_metrics.COMMUNITY_MIN_SUPPORT})",
+        ],
+        "q302_affected_community_delta": [
+            f"pre-{graph_metrics.DELTA_CUT} thresholded graph",
+        ],
+        "q304_percolation_threshold_sweep": [
+            f"support thresholds {graph_metrics._PERC_TS}",
+        ],
+        "q311_kcore_census": [
+            f"Census per k in {graph_metrics._KCORE_KS}",
+            f"converged within {graph_metrics._KCORE_UNROLL} rounds",
+        ],
+        "q325_bfs_hop_histogram": [
+            f"1, 2, ... {graph_metrics._BFS_HOPS} co-purchase hops",
+            f"eccentricity-at-{graph_metrics._BFS_HOPS}",
+        ],
+        "q283_hill_tail_index": [
+            f"top k={inference._HILL_K} order statistics",
+            f"then a {inference._HILL_K}-row aggregate",
+        ],
+        "q287_rank_stability_rbo": [
+            f"depth {inference._RBO_DEPTH})",
+            f"top-{inference._RBO_DEPTH} parts",
+        ],
+        "q312_bootstrap_mean_ci": [
+            f"B={inference._BOOT_B} replicas",
+            f"all {inference._BOOT_B} resamples",
+        ],
+        "q282_control_chart": [
+            f"first {opstats._SPC_BASELINE_MONTHS} months freeze",
+        ],
+        "q318_rendezvous_rebalance": [
+            f"{opstats._HRW_OLD}→{opstats._HRW_NEW} scale-out",
+        ],
+        "q308_phrase_index_consistency": [
+            f"top-{retrieval._PHRASE_TOP} bigrams",
+        ],
+        "q255_markov_stationary": [
+            f"{robuststats._MARKOV_ITERS} unrolled iterations",
+        ],
+        "q262_rank_sum_test": [
+            f"'{robuststats._RS_A}' and '{robuststats._RS_B}'",
+        ],
+        "q314_power_iteration_pc1": [
+            f"hung DuckDB at K={robuststats._PC1_ITERS}",
+            f"top-{robuststats._PC1_TOPK} dimensions",
+        ],
+        "q303_mutual_topk_pairs": [
+            f"top-{similarity._MUTUAL_K} —",
+        ],
+        "q315_misra_gries_bounds": [
+            f"k={sketches._MG_K} counters per partition-group",
+            f"({sketches._MG_G} groups x {sketches._MG_K} counters",
+        ],
+        "q326_reservoir_merge_law": [
+            f"R={sketches._RES_R} smallest md5 ranks",
+            f"the {sketches._RES_G} group reservoirs",
+        ],
+        "q316_live_rate_limited_backlog": [
+            f"{streaming_live._BACKLOG_FILES} time-sliced files",
+            f"exactly {streaming_live._BACKLOG_FILES} data batches",
+        ],
+        "q250_cohort_ltv": [
+            f"0..{temporal._LTV_MONTHS} —",
+            f"(cohort x {temporal._LTV_MONTHS}) grid",
+        ],
+        "q256_peak_days": [
+            f"Top {temporal._PEAK_TOP} peaks",
+        ],
+        "q258_ewma_smoothing": [
+            f"trailing {temporal._EWMA_WINDOW} days",
+            f"a = {temporal._EWMA_ALPHA}.",
+        ],
+        "q272_revenue_spread": [
+            f"capped at {temporal._SPREAD_CAP} months",
+            f"{temporal._SPREAD_CAP}-month cap",
+        ],
+        "q317_haar_wavelet_energy": [
+            f"first-{temporal._HAAR_N}-day",
+        ],
+        "q322_sax_motif_census": [
+            f"{temporal._SAX_N} days -> {temporal._SAX_SEGS} PAA segments "
+            f"({temporal._SAX_W}-day sums)",
+        ],
+        "q245_prefix_lcp_neardup": [
+            f"first {textcal._LCP_BLOCK} characters",
+            f"capped at {textcal._LCP_CAP} docs",
+        ],
+        "q248_zipf_slope": [
+            f"top {textcal._ZIPF_RANKS} token ranks",
+            f"runs on {textcal._ZIPF_RANKS} rows",
+        ],
+        "q259_dedup_agreement": [
+            f"{textcal._LCP_BLOCK}-char prefixes",
+            f"{textcal._LCP_CAP}-doc cap",
+        ],
+        "q263_term_burstiness": [
+            f"df >= {textcal._BURST_MIN_DF} filter",
+            f"for the top {textcal._BURST_TOP}",
+            f"top-{textcal._BURST_TOP} window",
+        ],
+    }
+    stale = []
+    for name, phrases in pins.items():
+        doc = reg[name].doc
+        for p in phrases:
+            if p not in doc:
+                stale.append((name, p))
+    assert not stale, (
+        "docstring literal drifted from its module constant "
+        f"(update the docstring to match): {stale}"
+    )
