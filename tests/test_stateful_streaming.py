@@ -309,3 +309,33 @@ def test_q331_state_store_conservation(spark):
     assert r0.n_sessions_emitted + len(rows) == n_islands  # conservation
     assert r0.operator_name == "applyInPandasWithState"
     assert r0.last_batch_id == 4  # 4 file batches + the no-data batch
+
+
+def test_twsip_capability_probe():
+    """Environment probe for the DESIGN_r16 dead candidate: the
+    transformWithStateInPandas state protocol needs google.protobuf,
+    absent from this container, so q171 runs its semantics through the
+    applyInPandasWithState fallback. This test keeps that judgement
+    LIVE instead of frozen: if the environment ever gains protobuf it
+    fails loudly with marching orders (promote q171 to the native path,
+    build the event-time timer query the r14 verdict asked for), and
+    while protobuf stays absent it asserts the fallback machinery still
+    constructs cleanly — the processor factory must keep working on
+    every Spark upgrade even though the native branch can't run here."""
+    from kinesis_sample_spark.queries.streaming_live import (
+        _make_running_stats_processor,
+        _twsip_available,
+    )
+
+    if _twsip_available():
+        raise AssertionError(
+            "google.protobuf is now importable: transformWithStateInPandas "
+            "(timers, ListState/MapState — DESIGN_r16's rejected candidate) "
+            "is LIVE in this environment. Promote q171 to the native path "
+            "and add the registerTimer/handleExpiredTimer query."
+        )
+    proc = _make_running_stats_processor()
+    # the factory returns a real StatefulProcessor instance whose native
+    # implementation stays deploy-ready (init/handleInputRows/close)
+    for attr in ("init", "handleInputRows", "close"):
+        assert callable(getattr(proc, attr))
