@@ -50,16 +50,23 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # The external driver hash-checks only the FIRST 50 registry entries per
 # round, so iteration order IS the verification budget.
 #
-# ROUND-16 WINDOW (re-verification): CORRECTNESS_r15 went 50/50 green,
-# settling the entire round-14 wave (193 -> 239 settled). The tool's
-# rotation:
+# ROUND-16 WINDOW: CORRECTNESS_r15 went 50/50 green, settling the
+# entire round-14 wave (193 -> 239 settled). This round's rotation:
+#   8 slots  — never-green (mandatory): the round-16 SQL-programmability
+#              and Arrow-transport wave — q337 SQL scalar UDF (inlined),
+#              q338 SQL table function (month spine), q339 session
+#              variables (literal pushdown), q340 parameter binding
+#              (named/positional/EXECUTE IMMEDIATE), q341 SQL scripting
+#              (bisection quantile), q342 Arrow-optimized scalar UDF,
+#              q343 Arrow-optimized UDTF, q344 collated grouping.
 #   4 slots  — settlement-eligible (one more green settles): the
 #              round-15 additions q333-q336 (CollectMetrics, mapInArrow,
 #              applyInArrow, cogrouped applyInArrow).
-#   46 slots — minimum-evidence backfill: the least-evidenced settled
-#              band (q120-q160 plus q40/q50/q58/q59/q99), oldest
-#              evidence first. Free slots doing settlement re-verification
-#              are the verification budget working (VERDICT r15 §next).
+#   38 slots — minimum-evidence backfill: the least-evidenced settled
+#              band (q120-q153 plus q40/q50/q58/q59/q99/q134/q135),
+#              oldest evidence first. Free slots doing settlement
+#              re-verification are the verification budget working
+#              (VERDICT r15 §next).
 #
 # ROUND-15 WINDOW, kept for provenance: 4 never-green round-15
 # additions (q333-q336) + 46 settlement-eligible round-14 carries;
@@ -108,6 +115,15 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
+    # -- never-green (mandatory)
+    "q337_sql_udf_pricing_bands",
+    "q338_sql_tvf_month_spine",
+    "q339_session_variable_threshold",
+    "q340_parameterized_binding",
+    "q341_scripting_bisection_quantile",
+    "q342_arrow_udf_digit_census",
+    "q343_arrow_udtf_bit_census",
+    "q344_collated_grouping",
     # -- settlement-eligible (one more green settles)
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
@@ -152,14 +168,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q99_ols_regression",
     "q134_json_roundtrip_agg",
     "q135_csv_roundtrip_agg",
-    "q136_orc_roundtrip_agg",
-    "q154_bm25_topk",
-    "q155_window_frame_gallery",
-    "q156_hof_gallery",
-    "q157_cogroup_reconcile",
-    "q158_semantic_dedup",
-    "q159_histogram_quantiles",
-    "q160_producer_source_scan",
 )
 
 
@@ -204,6 +212,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.opstats",
     "kinesis_sample_spark.queries.inference",
     "kinesis_sample_spark.queries.frontier",
+    "kinesis_sample_spark.queries.sqlprog",
 )
 
 

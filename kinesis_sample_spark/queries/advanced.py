@@ -579,3 +579,123 @@ def q151_udtf_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY j.user_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q342 — Arrow-optimized scalar Python UDF (useArrow=True).
+# ---------------------------------------------------------------------------
+@query(
+    "q342_arrow_udf_digit_census",
+    oracle="""
+WITH d AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         (SELECT CAST(sum((o_orderkey // CAST(power(10, i) AS BIGINT)) % 10)
+                 AS BIGINT)
+          FROM generate_series(0, 9) t(i)) AS dsum
+  FROM orders
+)
+SELECT dsum AS digit_sum,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM d
+GROUP BY dsum
+ORDER BY digit_sum
+""",
+)
+def q342_arrow_udf_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``udf(..., useArrow=True)``,
+    Spark 4) — the LAST Python-interop surface the registry hadn't
+    exercised: row-semantics UDF, Arrow-batched transport (vs q65's
+    pandas_udf with Series semantics, q334's mapInArrow with iterator
+    semantics, and the pickled row-at-a-time path this flag replaces).
+    The plan carries an ArrowEvalPython node (asserted in
+    tests/test_round16_ops.py — if the flag ever silently degrades to
+    BatchEvalPython, the guard catches the 10-100x serialization
+    regression). Digit-sum of the order key is deliberately pure-integer
+    so the Python hop is value-exact; the oracle recomputes it with
+    arithmetic digit extraction (no string round-trip on either side).
+
+    Scale, stated honestly: even Arrow-batched, a Python scalar UDF
+    pays a serialize-compute-deserialize hop per batch that q337's
+    inlined SQL UDF does not — this query exists to prove the transport
+    surface, and its docstring exists to tell you to prefer q337's
+    mechanism when the logic is SQL-expressible."""
+    from pyspark.sql.functions import col, udf
+
+    @udf("bigint", useArrow=True)
+    def digit_sum(k: int) -> int:
+        s = 0
+        while k > 0:
+            s += k % 10
+            k //= 10
+        return s
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            digit_sum(col("o_orderkey")).alias("digit_sum"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("digit_sum")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").cast("bigint").alias("cents"),
+        )
+        .orderBy("digit_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q343 — Arrow-optimized Python UDTF (bit-plane expansion).
+# ---------------------------------------------------------------------------
+@query(
+    "q343_arrow_udtf_bit_census",
+    oracle="""
+SELECT i AS bit,
+       count(*) AS n_set
+FROM orders, generate_series(0, 31) t(i)
+WHERE (CAST(round(o_totalprice * 100) AS BIGINT) >> i) & 1 = 1
+GROUP BY i
+ORDER BY bit
+""",
+)
+def q343_arrow_udtf_bit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDTF (``@udtf(useArrow=True)``, Spark 4):
+    the table-function sibling of q342 — q116/q151 exercise the UDTF
+    API through the default pickle transport; this pins the Arrow batch
+    path for generators. Each order's integer cents expands to one row
+    per SET BIT (a bit-plane decomposition — the per-plane population
+    counts a bitmap index or bit-sliced aggregate maintains), then a
+    plain aggregate collapses the expansion; the oracle spells the same
+    expansion as a range join on generate_series. Pure-integer
+    throughout, so the Python generator is value-exact.
+
+    Scale: the UDTF is a narrow map (no shuffle to expand — expansion
+    happens inside the task), and the census aggregate partial-combines
+    map-side onto <= 32 groups; the expansion factor (popcount <= 26
+    here) is the operator's cost model, same as any explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bit int", useArrow=True)
+    class SetBits:
+        def eval(self, cents: int):
+            b = 0
+            while cents:
+                if cents & 1:
+                    yield (b,)
+                cents >>= 1
+                b += 1
+
+    load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    ).createOrReplaceTempView("q343_cents")
+    spark.udtf.register("q343_set_bits", SetBits)
+    return spark.sql(
+        """
+        SELECT b.bit, count(*) AS n_set
+        FROM q343_cents c, LATERAL q343_set_bits(c.cents) b
+        GROUP BY b.bit
+        ORDER BY b.bit
+        """
+    )

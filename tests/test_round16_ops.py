@@ -1,0 +1,235 @@
+"""Round-16 additions (q337-q344): SQL programmability surfaces and the
+Arrow-optimized Python UDF/UDTF transports — plan guards pinning the
+compilation path each query exists to exercise, plus third
+implementations independent of the shared Spark/DuckDB formulations."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kinesis_sample_spark.plans import formatted_plan
+from kinesis_sample_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return load_registry()[name].fn(spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# q337 — the SQL UDF must be INLINED: no Python eval node, body visible
+# in the plan, aggregation still partial+final codegen.
+# ---------------------------------------------------------------------------
+def test_q337_sql_udf_is_inlined_not_python(spark):
+    df = _run(spark, "q337_sql_udf_pricing_bands")
+    plan = formatted_plan(df)
+    assert "Python" not in plan, "SQL UDF fell off the inline path"
+    assert "round(" in plan, "UDF body not visible in the plan (not inlined?)"
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q337_matches_pandas_recompute(spark):
+    rows = {
+        (r.band, r.o_orderpriority): (r.n_orders, r.cents)
+        for r in _run(spark, "q337_sql_udf_pricing_bands").collect()
+    }
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    band = pd.cut(
+        cents,
+        [-1, 9_999_999, 29_999_999, 10**18],
+        labels=["small", "mid", "large"],
+    ).astype(str)
+    grp = (
+        pd.DataFrame(
+            {"band": band, "pri": o["o_orderpriority"], "cents": cents}
+        )
+        .groupby(["band", "pri"], observed=True)
+        .agg(n=("cents", "size"), c=("cents", "sum"))
+    )
+    assert len(rows) == len(grp)
+    for (b, p), g in grp.iterrows():
+        assert rows[(b, p)] == (g["n"], g["c"])
+
+
+# ---------------------------------------------------------------------------
+# q338 — the ragged-year spine: four months exist ONLY via the TVF.
+# ---------------------------------------------------------------------------
+def test_q338_spine_fills_empty_months(spark):
+    rows = _run(spark, "q338_sql_tvf_month_spine").collect()
+    assert len(rows) == 12, "TVF spine must emit all 12 months"
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o[(o["o_orderdate"] >= "2001-01-01") & (o["o_orderdate"] < "2002-01-01")]
+    by_month = o.groupby(o["o_orderdate"].dt.to_period("M")).size()
+    empty = [r for r in rows if r.n_orders == 0]
+    assert len(empty) == 12 - len(by_month)
+    assert len(empty) > 0, (
+        "fixture drift: 2001 has no empty months — the LEFT JOIN gap-fill "
+        "is no longer exercised; move the spine year"
+    )
+    for r in empty:
+        assert r.cents == 0
+
+
+# ---------------------------------------------------------------------------
+# q339 — the session-variable literal must reach the parquet scan.
+# ---------------------------------------------------------------------------
+def test_q339_threshold_is_pushed_to_scan(spark):
+    from kinesis_sample_spark.plans import pushed_filters
+
+    df = _run(spark, "q339_session_variable_threshold")
+    pushed = pushed_filters(df)
+    assert any(p.startswith("GreaterThan(o_totalprice") for p in pushed), (
+        f"session-variable threshold not pushed to the scan: {pushed} — "
+        "the two-phase literal-binding pattern lost its point"
+    )
+
+
+def test_q339_cut_is_the_mean_of_cents(spark):
+    rows = _run(spark, "q339_session_variable_threshold").collect()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    import math
+
+    cut_cents = math.floor(cents.sum() / len(cents))
+    cut = cut_cents / 100.0
+    assert all(r.cut_dollars == cut for r in rows)
+    above = o[o["o_totalprice"] > cut]
+    assert sum(r.n_above for r in rows) == len(above)
+
+
+# ---------------------------------------------------------------------------
+# q340 — the three binding paths agree (exercised in-query); a broken
+# binding must raise, not silently return the named-path result.
+# ---------------------------------------------------------------------------
+def test_q340_binding_divergence_raises(spark, monkeypatch):
+    import kinesis_sample_spark.queries.sqlprog as mod
+
+    orig = spark.sql
+    calls = {"n": 0}
+
+    def tampered(text, *a, **kw):
+        calls["n"] += 1
+        if isinstance(text, str) and text.lstrip().startswith("SELECT") and "?" in text:
+            # corrupt the positional-binding text: a real coercion bug
+            # would change values; simulate by scaling the bound cut 20%
+            text = text.replace("o_totalprice > ?", "o_totalprice > ? * 1.2")
+        return orig(text, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", tampered)
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="binding diverged"):
+            mod.q340_parameterized_binding(spark, SF)
+    finally:
+        monkeypatch.undo()
+    assert calls["n"] > 0
+
+
+def test_q340_matches_pandas_recompute(spark):
+    rows = {
+        r.o_orderstatus: (r.n, r.cents)
+        for r in _run(spark, "q340_parameterized_binding").collect()
+    }
+    import kinesis_sample_spark.queries.sqlprog as mod
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    f = o[(o["o_totalprice"] > mod._Q340_CUT) & (o["o_orderdate"] >= mod._Q340_SINCE)]
+    cents = (f["o_totalprice"] * 100).round().astype("int64")
+    grp = pd.DataFrame({"s": f["o_orderstatus"], "c": cents}).groupby("s")["c"]
+    assert rows == {s: (int(g.size), int(g.sum())) for s, g in grp}
+
+
+# ---------------------------------------------------------------------------
+# q341 — the scripting bisection lands on the exact order statistic.
+# ---------------------------------------------------------------------------
+def test_q341_bisection_equals_sorted_order_statistic(spark):
+    import math
+
+    row = _run(spark, "q341_scripting_bisection_quantile").collect()[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = sorted((o["o_totalprice"] * 100).round().astype("int64"))
+    target = math.ceil(0.9 * len(cents))
+    assert row.n_rows == len(cents)
+    assert row.target_rank == target
+    # minimal T with count(<= T) >= target == the target-th smallest
+    assert row.p90_cents == cents[target - 1]
+    # and it IS minimal: one less fails the rank condition
+    assert sum(1 for c in cents if c <= row.p90_cents - 1) < target
+
+
+# ---------------------------------------------------------------------------
+# q342/q343 — the Arrow transport is the thing under test: the plan must
+# carry the Arrow eval node, not the pickled fallback.
+# ---------------------------------------------------------------------------
+def test_q342_plan_uses_arrow_eval(spark):
+    plan = formatted_plan(_run(spark, "q342_arrow_udf_digit_census"))
+    assert "ArrowEvalPython" in plan, (
+        "useArrow=True degraded to the pickled row path — 10-100x "
+        "serialization regression"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_q342_matches_python_recompute(spark):
+    rows = {
+        r.digit_sum: (r.n_orders, r.cents)
+        for r in _run(spark, "q342_arrow_udf_digit_census").collect()
+    }
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    expect: dict[int, list[int]] = {}
+    for k, p in zip(o["o_orderkey"], o["o_totalprice"]):
+        ds = sum(int(d) for d in str(int(k))) if k > 0 else 0
+        e = expect.setdefault(ds, [0, 0])
+        e[0] += 1
+        e[1] += int(round(p * 100))
+    assert rows == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_q343_plan_uses_arrow_udtf(spark):
+    plan = formatted_plan(_run(spark, "q343_arrow_udtf_bit_census"))
+    assert "ArrowEvalPythonUDTF" in plan, (
+        "useArrow=True UDTF degraded to the pickled generator path"
+    )
+
+
+def test_q343_matches_popcount_recompute(spark):
+    rows = {r.bit: r.n_set for r in _run(spark, "q343_arrow_udtf_bit_census").collect()}
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    expect: dict[int, int] = {}
+    for p in o["o_totalprice"]:
+        c = int(round(p * 100))
+        b = 0
+        while c:
+            if c & 1:
+                expect[b] = expect.get(b, 0) + 1
+            c >>= 1
+            b += 1
+    assert rows == expect
+
+
+# ---------------------------------------------------------------------------
+# q344 — collated grouping: sort-based aggregate pinned; case variants
+# genuinely merge (the fixture must keep exercising the collation).
+# ---------------------------------------------------------------------------
+def test_q344_plan_is_sort_aggregate(spark):
+    plan = formatted_plan(_run(spark, "q344_collated_grouping"))
+    assert "SortAggregate" in plan, "collated group-by strategy changed"
+    assert "HashAggregate" not in plan
+
+
+def test_q344_merges_case_variants(spark):
+    rows = _run(spark, "q344_collated_grouping").collect()
+    assert all(r.key == r.key.lower() for r in rows)
+    # the mod-3 casing means every key present in >= 3 parts shows
+    # multiple binary-distinct spellings collapsing into one group
+    assert any(r.case_variants >= 2 for r in rows), (
+        "no case variants merged — collation not exercised by fixture"
+    )
+    o = pd.read_parquet(f"{SF}/part.parquet")
+    types = o["p_type"].str.lower()
+    expect = types.groupby(types).size()
+    assert {r.key: r.n for r in rows} == expect.to_dict()
