@@ -76,6 +76,41 @@ def main(run_seconds: float = 5.0) -> None:
     for p in listener.progress[-3:]:
         print(f"  batch {p.batch_id}: {p.num_input_rows} rows -> {p.sink_description[:60]}")
     print(f"observed metric totals across batches: {metrics_listener.totals()}")
+
+    # --- A9/A13 made visible: a STATEFUL stage (windowed counts) whose
+    # checkpointed state we read back AFTER shutdown with Spark 4's batch
+    # state-metadata / statestore sources — the same audit q331 gates.
+    # The checkpoint IS the durable consumer position + state; this is
+    # what a resume (A9) would pick up.
+    agg = (
+        decode_envelope(rate_producer(spark, rows_per_second=200))
+        .withWatermark("event_ts", "2 seconds")
+        .groupBy(F.window("event_ts", "1 second"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ck_agg = f"{work}/ckpt_agg"
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("agg_live")
+        .outputMode("update")
+        .option("checkpointLocation", ck_agg)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    time.sleep(run_seconds)
+    stop_query(q2, timeout_s=20.0)
+    md = (
+        spark.read.format("state-metadata").load(ck_agg)
+        .select("operatorName", "maxBatchId")
+        .collect()[0]
+    )
+    state = spark.read.format("statestore").load(ck_agg)
+    n_keys = state.count()
+    print(
+        f"state store after shutdown: operator={md.operatorName} "
+        f"last_batch={md.maxBatchId} window_keys_held={n_keys} "
+        f"(read back cold from {ck_agg})"
+    )
     spark.streams.removeListener(listener)
     spark.streams.removeListener(metrics_listener)
 
