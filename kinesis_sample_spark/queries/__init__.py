@@ -52,19 +52,22 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #
 # ROUND-16 WINDOW: CORRECTNESS_r15 went 50/50 green, settling the
 # entire round-14 wave (193 -> 239 settled). This round's rotation:
-#   8 slots  — never-green (mandatory): the round-16 SQL-programmability
+#   10 slots — never-green (mandatory): the round-16 SQL-programmability
 #              and Arrow-transport wave — q337 SQL scalar UDF (inlined),
 #              q338 SQL table function (month spine), q339 session
 #              variables (literal pushdown), q340 parameter binding
 #              (named/positional/EXECUTE IMMEDIATE), q341 SQL scripting
 #              (bisection quantile), q342 Arrow-optimized scalar UDF,
-#              q343 Arrow-optimized UDTF, q344 collated grouping.
+#              q343 Arrow-optimized UDTF, q344 collated grouping — plus
+#              the physical-layout promotions q345 (bucketed co-located
+#              join, shuffle-freedom raised in-query) and q346 (salted
+#              skew join vs the unsalted oracle).
 #   4 slots  — settlement-eligible (one more green settles): the
 #              round-15 additions q333-q336 (CollectMetrics, mapInArrow,
 #              applyInArrow, cogrouped applyInArrow).
-#   38 slots — minimum-evidence backfill: the least-evidenced settled
-#              band (q120-q153 plus q40/q50/q58/q59/q99/q134/q135),
-#              oldest evidence first. Free slots doing settlement
+#   36 slots — minimum-evidence backfill: the least-evidenced settled
+#              band (q120-q153 plus q40/q50/q58/q59/q99), oldest
+#              evidence first. Free slots doing settlement
 #              re-verification are the verification budget working
 #              (VERDICT r15 §next).
 #
@@ -124,6 +127,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q342_arrow_udf_digit_census",
     "q343_arrow_udtf_bit_census",
     "q344_collated_grouping",
+    "q345_bucketed_join_audit",
+    "q346_salted_skew_join",
     # -- settlement-eligible (one more green settles)
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
@@ -166,8 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q58_array_ops",
     "q59_string_extras",
     "q99_ols_regression",
-    "q134_json_roundtrip_agg",
-    "q135_csv_roundtrip_agg",
 )
 
 
@@ -213,6 +216,7 @@ _MODULES = (
     "kinesis_sample_spark.queries.inference",
     "kinesis_sample_spark.queries.frontier",
     "kinesis_sample_spark.queries.sqlprog",
+    "kinesis_sample_spark.queries.physical",
 )
 
 

@@ -233,3 +233,103 @@ def test_q344_merges_case_variants(spark):
     types = o["p_type"].str.lower()
     expect = types.groupby(types).size()
     assert {r.key: r.n for r in rows} == expect.to_dict()
+
+
+# ---------------------------------------------------------------------------
+# q345/q346 — the physical-layout promotions: the plan property is the
+# point, so pin it from the outside too (the in-query guard covers q345;
+# these catch a guard that rots).
+# ---------------------------------------------------------------------------
+def test_q345_join_subtree_is_shuffle_free(spark):
+    from kinesis_sample_spark.plans import exchange_count
+    from kinesis_sample_spark.sources.bucketed import write_bucketed
+
+    orders = (
+        pd.read_parquet(f"{SF}/orders.parquet")
+        .rename(columns={"o_orderkey": "orderkey"})
+    )
+    # independent of the query path: same machinery, tiny frames
+    df_o = spark.createDataFrame(orders[["orderkey", "o_orderpriority"]])
+    df_l = spark.createDataFrame(
+        pd.read_parquet(f"{SF}/lineitem.parquet")
+        .rename(columns={"l_orderkey": "orderkey"})[["orderkey", "l_extendedprice"]]
+    )
+    write_bucketed(df_o, "t345_o", "orderkey", 4)
+    write_bucketed(df_l, "t345_l", "orderkey", 4)
+    try:
+        j = spark.table("t345_o").hint("merge").join(spark.table("t345_l"), "orderkey")
+        plan = formatted_plan(j)
+        assert exchange_count(j) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t345_o")
+        spark.sql("DROP TABLE IF EXISTS t345_l")
+
+
+def test_q345_raises_on_bucket_mismatch(spark):
+    """The in-query exchange guard must FIRE when co-location is broken —
+    mismatched bucket counts force a shuffle, which is exactly the
+    regression the guard exists to catch."""
+    import pytest
+
+    from kinesis_sample_spark.plans import exchange_count
+    from kinesis_sample_spark.sources.bucketed import write_bucketed
+
+    df = spark.range(100).withColumnRenamed("id", "orderkey")
+    write_bucketed(df, "t345_a", "orderkey", 4)
+    write_bucketed(df, "t345_b", "orderkey", 3)  # mismatch -> shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t345_a").hint("merge").join(spark.table("t345_b"), "orderkey")
+        assert exchange_count(j) > 0  # the condition q345 turns into a raise
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t345_a")
+        spark.sql("DROP TABLE IF EXISTS t345_b")
+
+
+def test_q345_matches_pandas_recompute(spark):
+    rows = {
+        r.o_orderpriority: (r.n_items, r.cents)
+        for r in _run(spark, "q345_bucketed_join_audit").collect()
+    }
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    cents = (m["l_extendedprice"] * 100).round().astype("int64")
+    grp = pd.DataFrame({"p": m["o_orderpriority"], "c": cents}).groupby("p")["c"]
+    assert rows == {p: (int(g.size), int(g.sum())) for p, g in grp}
+
+
+def test_q346_salt_is_in_the_join_key(spark):
+    import kinesis_sample_spark.queries.physical as mod
+    from kinesis_sample_spark.catalog import load_table
+    from kinesis_sample_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem")
+    left = li.select(
+        F.expr(mod._Q346_KEY_SQL).alias("k"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    dim = left.select("k").distinct().select("k", (F.col("k") * 2 + 1).alias("w"))
+    j = salted_join(left, dim.hint("merge"), "k", salt_buckets=4)
+    plan = formatted_plan(j)
+    assert "__salt" in plan, "salt column vanished from the join"
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_q346_skew_is_real_and_result_exact(spark):
+    rows = {r.k: (r.n_rows, r.weighted_cents) for r in _run(spark, "q346_salted_skew_join").collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    k = li["l_orderkey"].where(li["l_orderkey"] % 10 == 0, 0) % 97
+    k = k.where(li["l_orderkey"] % 10 == 0, 0)
+    cents = (li["l_extendedprice"] * 100).round().astype("int64")
+    df = pd.DataFrame({"k": k.astype("int64"), "c": cents})
+    grp = df.groupby("k")["c"]
+    expect = {kk: (int(g.size), int((g * (kk * 2 + 1)).sum())) for kk, g in grp}
+    assert rows == expect
+    # the engineered skew must stay engineered: hot key >= 80% of rows
+    assert expect[0][0] / len(df) >= 0.8
