@@ -85,3 +85,113 @@ def q160_producer_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q347 — the STREAMING Python DataSource, gated on checkpoint RESUME.
+# ---------------------------------------------------------------------------
+_S_ROWS_1 = 1000  # first incarnation's bound
+_S_ROWS_2 = 2000  # second incarnation's bound (same checkpoint)
+
+
+@query(
+    "q347_live_python_stream_source",
+    oracle=f"""
+WITH gen AS (
+  SELECT seq AS sequence_number,
+         seq % {_SHARDS} AS shard,
+         make_timestamp(({DEFAULT_START_MS} + seq * {DEFAULT_INTERVAL_MS}) * 1000)
+           AS event_ts
+  FROM generate_series(0, {_S_ROWS_2 - 1}) t(seq)
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       count(*) AS n_records,
+       count(DISTINCT sequence_number) AS n_distinct_seq,
+       CAST(min(sequence_number) AS BIGINT) AS min_seq,
+       CAST(max(sequence_number) AS BIGINT) AS max_seq,
+       min(event_ts) AS first_ts,
+       max(event_ts) AS last_ts,
+       CAST({_S_ROWS_1} AS BIGINT) AS first_incarnation_rows
+FROM gen
+GROUP BY 1 ORDER BY shard_id
+""",
+)
+def q347_live_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Python STREAMING DataSource (Spark 4 ``streamReader`` API —
+    q160 is the batch sibling): driver-side offset management
+    (``initialOffset``/``latestOffset``/``commit``) checkpointed by the
+    engine, per-shard task-side row generation (``partitions(start,
+    end)`` → one InputPartition per shard). The gate is the A9 resume
+    law through this API: incarnation 1 drains records 0..999 into a
+    parquet sink against a fresh checkpoint and stops; incarnation 2 —
+    SAME checkpoint and sink, source bound raised to 2000 — must append
+    EXACTLY the delta 1000..1999. The committed table is gated as a
+    whole: per shard n_records == n_distinct_seq == 1000 over seq
+    0..1999, so a source that re-emitted committed records (offset lost
+    on deserialize), or an engine that dropped the WAL, duplicates the
+    first thousand and fails the hash; the in-query check additionally
+    pins incarnation 1's count BEFORE the resume so "the delta was
+    exactly the second half" is part of the claim, not an inference.
+    (A memory sink cannot do this — it refuses checkpoint recovery; the
+    durable-sink requirement IS part of the resume law.) sf_dir is
+    unused — the source generates its records.
+
+    Scale: offsets are O(1) driver state (a shard cursor, the KCL
+    model); generation is one task per shard per batch, and
+    ``partitions`` regenerates any uncommitted range deterministically
+    (the A14 replay contract). At real scale this source shape is a
+    Kinesis/Kafka connector: same offset algebra, same resume law."""
+    import os
+
+    from kinesis_sample_spark.scratch import scratch_dir
+    from kinesis_sample_spark.sources.producer_source import (
+        STREAM_SOURCE_NAME,
+        register_stream,
+    )
+    from kinesis_sample_spark.streaming.pipeline import stop_query
+
+    register_stream(spark)
+    work = scratch_dir(prefix="kss_pystream_")
+    ck = os.path.join(work, "ck")
+    out = os.path.join(work, "out")
+
+    def _drain(rows: int) -> None:
+        q = (
+            spark.readStream.format(STREAM_SOURCE_NAME)
+            .option("rows", str(rows))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            stop_query(q)
+            raise RuntimeError("q347 drain did not finish within 300 s")
+
+    _drain(_S_ROWS_1)
+    n1 = spark.read.parquet(out).count()
+    if n1 != _S_ROWS_1:
+        raise RuntimeError(
+            f"q347: first incarnation committed {n1} rows, expected {_S_ROWS_1}"
+        )
+    _drain(_S_ROWS_2)  # same checkpoint + sink: must append only the delta
+
+    decoded = spark.read.parquet(out).withColumn(
+        "event_ts",
+        F.try_to_timestamp(F.regexp_extract("data", r"^testData-(.+)$", 1)),
+    )
+    return (
+        decoded.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("sequence_number").alias("n_distinct_seq"),
+            F.min("sequence_number").alias("min_seq"),
+            F.max("sequence_number").alias("max_seq"),
+            F.min("event_ts").alias("first_ts"),
+            F.max("event_ts").alias("last_ts"),
+            F.lit(n1).cast("bigint").alias("first_incarnation_rows"),
+        )
+        .orderBy("shard_id")
+    )

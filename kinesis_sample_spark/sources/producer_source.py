@@ -21,7 +21,12 @@ reference's 500).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SOURCE_NAME = "kinesis_sample_producer"
 PRODUCER_SCHEMA = (
@@ -96,3 +101,95 @@ class KinesisSampleProducerSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on this session."""
     spark.dataSource.register(KinesisSampleProducerSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: the same deterministic record stream through Spark 4's
+# Python STREAMING DataSource API (round 16).
+# ---------------------------------------------------------------------------
+STREAM_SOURCE_NAME = "kinesis_sample_producer_stream"
+
+
+class _ShardRange(InputPartition):
+    """One shard's slice of a micro-batch's [start, end) sequence range."""
+
+    def __init__(self, shard: int, start_seq: int, end_seq: int):
+        self.shard = shard
+        self.start_seq = start_seq
+        self.end_seq = end_seq
+
+
+class ProducerStreamReader(DataSourceStreamReader):
+    """``DataSourceStreamReader`` (the real ABC — the engine routes a
+    reader to the streaming read path by isinstance, so duck-typing
+    lands on the batch planner): offsets live on the DRIVER and are
+    checkpointed by the engine; row generation happens in TASKS, one per shard per
+    micro-batch — the KCL model (shard = unit of parallelism, shard
+    cursor = resume position) re-expressed through the Python streaming
+    source API.
+
+    Offset = ``{"seq": n}`` — the next sequence number to emit, exactly a
+    shard-iterator position (A9). ``latestOffset`` jumps straight to the
+    configured ``rows`` bound, so a drain processes everything available
+    in one batch and a RESTARTED query resumes from the checkpointed
+    offset (never re-emitting committed records — q347 gates that).
+    ``partitions(start, end)`` regenerates any range deterministically,
+    which is also the A14 story: a replayed/uncommitted batch re-reads
+    the same rows bit-for-bit."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", "1000"))
+        self.shards = int(options.get("shards", str(DEFAULT_SHARDS)))
+        self.start_ms = int(options.get("start_ms", str(DEFAULT_START_MS)))
+        self.interval_ms = int(options.get("interval_ms", str(DEFAULT_INTERVAL_MS)))
+
+    def initialOffset(self):
+        return {"seq": 0}
+
+    def latestOffset(self):
+        return {"seq": self.rows}
+
+    def partitions(self, start, end):
+        return [
+            _ShardRange(s, int(start["seq"]), int(end["seq"]))
+            for s in range(self.shards)
+        ]
+
+    def read(self, partition: _ShardRange):
+        # task-side generation of one shard's slice; seq -> shard is the
+        # same round-robin as the batch reader, so the two sources emit
+        # identical records for identical ranges
+        first = partition.start_seq + (
+            (partition.shard - partition.start_seq) % self.shards
+        )
+        for seq in range(first, partition.end_seq, self.shards):
+            epoch_ms = self.start_ms + seq * self.interval_ms
+            yield (
+                seq,
+                f"shardId-{partition.shard:012d}",
+                f"partitionKey-{epoch_ms}",
+                _payload(epoch_ms),
+            )
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
+
+
+class KinesisSampleProducerStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return STREAM_SOURCE_NAME
+
+    def schema(self) -> str:
+        return PRODUCER_SCHEMA
+
+    def streamReader(self, schema) -> ProducerStreamReader:
+        return ProducerStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Idempotently register the streaming source on this session."""
+    spark.dataSource.register(KinesisSampleProducerStreamSource)

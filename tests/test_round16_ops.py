@@ -333,3 +333,69 @@ def test_q346_skew_is_real_and_result_exact(spark):
     assert rows == expect
     # the engineered skew must stay engineered: hot key >= 80% of rows
     assert expect[0][0] / len(df) >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# q347 — Python STREAMING DataSource: reader algebra and the durable-sink
+# requirement, independent of the live drain.
+# ---------------------------------------------------------------------------
+def test_q347_stream_reader_matches_batch_reader():
+    """partitions(start,end)/read must regenerate exactly the records the
+    batch reader yields for the same range — the A14 replay contract the
+    docstring claims, checked without an engine in the loop."""
+    from kinesis_sample_spark.sources.producer_source import (
+        ProducerReader,
+        ProducerStreamReader,
+        _ShardPartition,
+    )
+
+    opts = {"rows": "40", "shards": "3"}
+    batch = ProducerReader(opts)
+    stream = ProducerStreamReader(opts)
+    assert stream.initialOffset() == {"seq": 0}
+    assert stream.latestOffset() == {"seq": 40}
+    got = []
+    for p in stream.partitions({"seq": 0}, {"seq": 40}):
+        got.extend(stream.read(p))
+    want = []
+    for s in range(3):
+        want.extend(batch.read(_ShardPartition(s)))
+    assert sorted(got) == sorted(want)
+    # a mid-stream range regenerates exactly the slice (replay law)
+    mid = []
+    for p in stream.partitions({"seq": 10}, {"seq": 25}):
+        mid.extend(stream.read(p))
+    assert sorted(r[0] for r in mid) == list(range(10, 25))
+
+
+def test_q347_memory_sink_refuses_resume(spark, tmp_path):
+    """The docstring's durable-sink claim: a memory sink must REFUSE the
+    second incarnation (no checkpoint recovery), which is why q347 gates
+    resume through a parquet sink."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from kinesis_sample_spark.sources.producer_source import (
+        STREAM_SOURCE_NAME,
+        register_stream,
+    )
+
+    register_stream(spark)
+    ck = str(tmp_path / "ck")
+
+    def drain(rows, name):
+        q = (
+            spark.readStream.format(STREAM_SOURCE_NAME)
+            .option("rows", str(rows))
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain(10, "t347_a")
+    with pytest.raises(AnalysisException, match="recovering from checkpoint"):
+        drain(20, "t347_b")
