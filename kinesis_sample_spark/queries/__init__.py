@@ -52,25 +52,29 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #
 # ROUND-16 WINDOW: CORRECTNESS_r15 went 50/50 green, settling the
 # entire round-14 wave (193 -> 239 settled). This round's rotation:
-#   11 slots — never-green (mandatory): the round-16 SQL-programmability
-#              and Arrow-transport wave — q337 SQL scalar UDF (inlined),
-#              q338 SQL table function (month spine), q339 session
-#              variables (literal pushdown), q340 parameter binding
-#              (named/positional/EXECUTE IMMEDIATE), q341 SQL scripting
-#              (bisection quantile), q342 Arrow-optimized scalar UDF,
-#              q343 Arrow-optimized UDTF, q344 collated grouping — plus
-#              the physical-layout promotions q345 (bucketed co-located
-#              join, shuffle-freedom raised in-query) and q346 (salted
-#              skew join vs the unsalted oracle), and q347 (LIVE Python
-#              streaming DataSource, A9 resume law through a durable
-#              sink).
+#   13 slots — never-green (mandatory): the round-16 wave —
+#              SQL programmability: q337 SQL scalar UDF (inlined), q338
+#              SQL table function (month spine), q339 session variables
+#              (literal pushdown), q340 parameter binding (named/
+#              positional/EXECUTE IMMEDIATE), q341 SQL scripting
+#              (bisection quantile), q344 collated grouping;
+#              Arrow transports: q342 Arrow-optimized scalar UDF, q343
+#              Arrow-optimized UDTF;
+#              physical-layout promotions: q345 bucketed co-located join
+#              (shuffle-freedom raised in-query), q346 salted skew join
+#              (vs the unsalted oracle);
+#              Python DataSource completion: q347 LIVE streaming source
+#              (A9 resume law through a durable sink), q348 custom batch
+#              sink (task-write/driver-commit, abort-tested), q349 the
+#              fully custom source->sink micro-batch pipeline (batchId-
+#              idempotent commit).
 #   4 slots  — settlement-eligible (one more green settles): the
 #              round-15 additions q333-q336 (CollectMetrics, mapInArrow,
 #              applyInArrow, cogrouped applyInArrow).
-#   35 slots — minimum-evidence backfill: the least-evidenced settled
-#              band (q120-q153 plus q40/q50/q58/q59), oldest evidence
-#              first. Free slots doing settlement re-verification are
-#              the verification budget working (VERDICT r15 §next).
+#   33 slots — minimum-evidence backfill: the least-evidenced settled
+#              band (q120-q153 plus q40/q50), oldest evidence first.
+#              Free slots doing settlement re-verification are the
+#              verification budget working (VERDICT r15 §next).
 #
 # ROUND-15 WINDOW, kept for provenance: 4 never-green round-15
 # additions (q333-q336) + 46 settlement-eligible round-14 carries;
@@ -131,6 +135,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q345_bucketed_join_audit",
     "q346_salted_skew_join",
     "q347_live_python_stream_source",
+    "q348_python_sink_roundtrip",
+    "q349_python_stream_pipeline",
     # -- settlement-eligible (one more green settles)
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
@@ -170,8 +176,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q153_live_left_outer_join",
     "q40_token_stats",
     "q50_media_features",
-    "q58_array_ops",
-    "q59_string_extras",
 )
 
 

@@ -195,3 +195,160 @@ def q347_live_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q348 — custom Python BATCH sink: the task-write / driver-commit protocol.
+# ---------------------------------------------------------------------------
+@query(
+    "q348_python_sink_roundtrip",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+""",
+)
+def q348_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 ``writer`` API — the
+    write half of the surface q160/q347 read with): every task
+    serializes its partition to a staged ``_tmp`` file and returns a
+    ``WriterCommitMessage``; the driver's ``commit`` renames the staged
+    files into place atomically (readers ignoring ``_tmp_*`` see none or
+    all — the two-phase-commit contract every production sink
+    implements; the abort path is unit-tested with an injected task
+    failure). The gate is a full round trip: orders flow THROUGH the
+    custom sink as pipe-joined lines, are read back and re-parsed, and
+    the grand totals must hash-match the oracle computed straight from
+    the parquet — a lost partition, duplicated commit, or mangled
+    serialization shifts count/sum/distinct.
+
+    Scale: task-side writes are embarrassingly parallel; the commit is
+    O(partitions) driver work on paths, not data — the same asymmetry
+    as a manifest commit on an object store. The line codec is
+    integer/string only, so the round trip is byte-deterministic."""
+    import os
+
+    from kinesis_sample_spark.catalog import load_table
+    from kinesis_sample_spark.scratch import scratch_dir
+    from kinesis_sample_spark.sources.python_sink import SINK_NAME, register_sinks
+
+    register_sinks(spark)
+    out = scratch_dir(prefix="kss_pysink_")
+    (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderkey",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .write.format(SINK_NAME)
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    if any(f.startswith("_tmp_") for f in os.listdir(out)):
+        raise RuntimeError("q348: staged _tmp files survived commit")
+    lines = spark.read.text(os.path.join(out, "part-*.lines"))
+    parsed = lines.selectExpr(
+        "CAST(split(value, '\\\\|')[0] AS BIGINT) AS o_orderkey",
+        "CAST(split(value, '\\\\|')[1] AS BIGINT) AS cents",
+    )
+    return parsed.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys",
+        "CAST(sum(cents) AS BIGINT) AS cents",
+        "CAST(min(o_orderkey) AS BIGINT) AS min_key",
+        "CAST(max(o_orderkey) AS BIGINT) AS max_key",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q349 — fully custom Python pipeline: streaming source -> streaming sink.
+# ---------------------------------------------------------------------------
+_S349_ROWS = 1500
+
+
+@query(
+    "q349_python_stream_pipeline",
+    oracle=f"""
+WITH gen AS (
+  SELECT seq, seq % {_SHARDS} AS shard
+  FROM generate_series(0, {_S349_ROWS - 1}) t(seq)
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       count(*) AS n_records,
+       count(DISTINCT seq) AS n_distinct_seq,
+       CAST(min(seq) AS BIGINT) AS min_seq,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM gen
+GROUP BY 1 ORDER BY shard_id
+""",
+)
+def q349_python_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully custom Python micro-batch pipeline: the q347 STREAMING
+    source feeds the Python STREAMING sink (``streamWriter`` — the last
+    unexercised half of the Python DataSource API). Per micro-batch,
+    tasks stage their partitions and the driver's ``commit(messages,
+    batchId)`` renames them under batchId-prefixed names — which makes a
+    REPLAYED batch idempotent by construction (same batchId, same names,
+    rename overwrites; the at-least-once engine + idempotent sink =
+    exactly-once, the A13/A14 composition, and precisely what the
+    foreachBatch+DLQ path does with parquet elsewhere in this repo).
+    The gate reads the committed files back and per-shard counts,
+    distinct sequence numbers and ranges must match the closed-form
+    oracle — a dropped message, double commit, or non-idempotent replay
+    shifts n_records vs n_distinct_seq.
+
+    Scale: both halves are shard-parallel; driver work is offset algebra
+    plus O(partitions) renames per batch. sf_dir is unused — the source
+    generates its records."""
+    import os
+
+    from kinesis_sample_spark.scratch import scratch_dir
+    from kinesis_sample_spark.sources.producer_source import (
+        STREAM_SOURCE_NAME,
+        register_stream,
+    )
+    from kinesis_sample_spark.sources.python_sink import (
+        STREAM_SINK_NAME,
+        register_sinks,
+    )
+    from kinesis_sample_spark.streaming.pipeline import stop_query
+
+    register_stream(spark)
+    register_sinks(spark)
+    work = scratch_dir(prefix="kss_pypipe_")
+    out = os.path.join(work, "out")
+    os.makedirs(out, exist_ok=True)
+    q = (
+        spark.readStream.format(STREAM_SOURCE_NAME)
+        .option("rows", str(_S349_ROWS))
+        .load()
+        .writeStream.format(STREAM_SINK_NAME)
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        stop_query(q)
+        raise RuntimeError("q349 drain did not finish within 300 s")
+    if any(f.startswith("_tmp_") for f in os.listdir(out)):
+        raise RuntimeError("q349: staged _tmp files survived commit")
+    lines = spark.read.text(os.path.join(out, "b*.lines"))
+    parsed = lines.selectExpr(
+        "CAST(split(value, '\\\\|')[0] AS BIGINT) AS seq",
+        "split(value, '\\\\|')[1] AS shard_id",
+    )
+    return (
+        parsed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("seq").alias("n_distinct_seq"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+        .orderBy("shard_id")
+    )

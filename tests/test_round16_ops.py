@@ -399,3 +399,55 @@ def test_q347_memory_sink_refuses_resume(spark, tmp_path):
     drain(10, "t347_a")
     with pytest.raises(AnalysisException, match="recovering from checkpoint"):
         drain(20, "t347_b")
+
+
+# ---------------------------------------------------------------------------
+# q348/q349 — the Python sink protocol: atomic abort and idempotent
+# batch commit, independent of the round-trip gates.
+# ---------------------------------------------------------------------------
+def test_q348_abort_leaves_no_output(spark, tmp_path):
+    """Two-phase commit's whole point: a failed job must leave NOTHING a
+    reader would pick up — staged files cleaned, no part-* committed."""
+    import os
+
+    import pytest
+
+    from kinesis_sample_spark.sources.python_sink import SINK_NAME, register_sinks
+
+    register_sinks(spark)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    poisoned = spark.range(100).selectExpr(
+        "id", "CAST(assert_true(id != 37, 'poison') AS STRING) AS v"
+    )
+    with pytest.raises(Exception, match="poison"):
+        (
+            poisoned.repartition(4)
+            .write.format(SINK_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    leftover = [f for f in os.listdir(out) if not f.startswith("_tmp_")]
+    assert leftover == [], f"committed output from an aborted job: {leftover}"
+
+
+def test_q349_stream_commit_is_batchid_idempotent(tmp_path):
+    """Replay law at the unit level: committing the same batchId twice
+    (the at-least-once engine's failure-replay) must OVERWRITE, not
+    duplicate — the file set and contents end identical."""
+    import os
+
+    from kinesis_sample_spark.sources.python_sink import LineStreamSinkWriter
+
+    out = str(tmp_path)
+    w = LineStreamSinkWriter({"path": out})
+    m1 = w.write(iter([(1, "a"), (2, "b")]))
+    w.commit([m1], batchId=7)
+    first = {f: open(os.path.join(out, f)).read() for f in os.listdir(out)}
+    # the replay: same rows, same batchId
+    m2 = w.write(iter([(1, "a"), (2, "b")]))
+    w.commit([m2], batchId=7)
+    second = {f: open(os.path.join(out, f)).read() for f in os.listdir(out)}
+    assert first == second
+    assert list(first) == ["b7-00000.lines"]
