@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #
 # ROUND-16 WINDOW: CORRECTNESS_r15 went 50/50 green, settling the
 # entire round-14 wave (193 -> 239 settled). This round's rotation:
-#   13 slots — never-green (mandatory): the round-16 wave —
+#   14 slots — never-green (mandatory): the round-16 wave —
 #              SQL programmability: q337 SQL scalar UDF (inlined), q338
 #              SQL table function (month spine), q339 session variables
 #              (literal pushdown), q340 parameter binding (named/
@@ -67,12 +67,13 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #              (A9 resume law through a durable sink), q348 custom batch
 #              sink (task-write/driver-commit, abort-tested), q349 the
 #              fully custom source->sink micro-batch pipeline (batchId-
-#              idempotent commit).
+#              idempotent commit), q350 row-level ForeachWriter sink
+#              (epoch/partition-named idempotent replay).
 #   4 slots  — settlement-eligible (one more green settles): the
 #              round-15 additions q333-q336 (CollectMetrics, mapInArrow,
 #              applyInArrow, cogrouped applyInArrow).
-#   33 slots — minimum-evidence backfill: the least-evidenced settled
-#              band (q120-q153 plus q40/q50), oldest evidence first.
+#   32 slots — minimum-evidence backfill: the least-evidenced settled
+#              band (q120-q153 plus q40), oldest evidence first.
 #              Free slots doing settlement re-verification are the
 #              verification budget working (VERDICT r15 §next).
 #
@@ -137,6 +138,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q347_live_python_stream_source",
     "q348_python_sink_roundtrip",
     "q349_python_stream_pipeline",
+    "q350_foreach_row_sink",
     # -- settlement-eligible (one more green settles)
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",
@@ -175,7 +177,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q152_prefix_filter_simjoin",
     "q153_live_left_outer_join",
     "q40_token_stats",
-    "q50_media_features",
 )
 
 

@@ -352,3 +352,116 @@ def q349_python_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q350 — row-level ForeachWriter sink (open/process/close lifecycle).
+# ---------------------------------------------------------------------------
+_S350_ROWS = 800
+
+
+class _LineForeachWriter:
+    """Row-level streaming sink with the ForeachWriter lifecycle —
+    ``open(partitionId, epochId) -> process(row)* -> close(error)`` per
+    partition per epoch. This is the reference's per-record processor
+    hook (Consumer processSingleRecord, SURVEY A8/A11) as Spark exposes
+    it: the engine is at-least-once, so the writer makes itself
+    idempotent by DETERMINISTIC NAMING — output file
+    ``e<epochId>-p<partitionId>`` means a replayed epoch overwrites its
+    own previous attempt instead of duplicating. Picklable by
+    construction (stdlib only, state opened lazily in ``open``)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self._f = None
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        import os
+
+        path = os.path.join(self.out_dir, f"e{epoch_id}-p{partition_id}.lines")
+        self._f = open(path, "w", encoding="utf-8")
+        return True
+
+    def process(self, row) -> None:
+        self._f.write(f"{row.sequence_number}|{row.shard_id}\n")
+
+    def close(self, error) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+@query(
+    "q350_foreach_row_sink",
+    oracle=f"""
+WITH gen AS (
+  SELECT seq, seq % {_SHARDS} AS shard
+  FROM generate_series(0, {_S350_ROWS - 1}) t(seq)
+)
+SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+       count(*) AS n_records,
+       count(DISTINCT seq) AS n_distinct_seq,
+       CAST(min(seq) AS BIGINT) AS min_seq,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM gen
+GROUP BY 1 ORDER BY shard_id
+""",
+)
+def q350_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE row-level ``foreach`` sink — the last streaming-sink surface
+    (foreachBatch is A10/A11's home; this is its per-ROW sibling, the
+    shape of the reference's processSingleRecord hook): the engine calls
+    ``open(partitionId, epochId)`` once per partition per micro-batch,
+    ``process`` per record, ``close`` at partition end — all executor-
+    side, no driver coordination beyond the epoch. Idempotence under
+    at-least-once comes from deterministic epoch-partition file naming
+    (a replayed epoch overwrites itself), the same law q349's batchId
+    commit pins at the sink level. The gate drains the q347 producer
+    source through the writer and hash-checks the read-back per-shard
+    counts, distinct sequence numbers and ranges against the
+    closed-form oracle — duplicates from a non-idempotent replay, or a
+    lost partition file, shift n_records vs n_distinct_seq.
+
+    Scale: pure task-side row writes; the trade vs foreachBatch is no
+    batch-level transaction — exactly why the naming carries the
+    idempotence. sf_dir is unused — the source generates its records."""
+    import os
+
+    from kinesis_sample_spark.scratch import scratch_dir
+    from kinesis_sample_spark.sources.producer_source import (
+        STREAM_SOURCE_NAME,
+        register_stream,
+    )
+    from kinesis_sample_spark.streaming.pipeline import stop_query
+
+    register_stream(spark)
+    work = scratch_dir(prefix="kss_foreach_")
+    out = os.path.join(work, "out")
+    os.makedirs(out, exist_ok=True)
+    q = (
+        spark.readStream.format(STREAM_SOURCE_NAME)
+        .option("rows", str(_S350_ROWS))
+        .load()
+        .writeStream.foreach(_LineForeachWriter(out))
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        stop_query(q)
+        raise RuntimeError("q350 drain did not finish within 300 s")
+    lines = spark.read.text(os.path.join(out, "e*-p*.lines"))
+    parsed = lines.selectExpr(
+        "CAST(split(value, '\\\\|')[0] AS BIGINT) AS seq",
+        "split(value, '\\\\|')[1] AS shard_id",
+    )
+    return (
+        parsed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("seq").alias("n_distinct_seq"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+        .orderBy("shard_id")
+    )

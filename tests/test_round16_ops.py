@@ -451,3 +451,28 @@ def test_q349_stream_commit_is_batchid_idempotent(tmp_path):
     second = {f: open(os.path.join(out, f)).read() for f in os.listdir(out)}
     assert first == second
     assert list(first) == ["b7-00000.lines"]
+
+
+def test_q350_foreach_writer_replay_is_idempotent(tmp_path):
+    """The deterministic-naming idempotence claim at the unit level: the
+    same (epoch, partition) written twice ends bit-identical, not
+    doubled."""
+    import os
+
+    from kinesis_sample_spark.queries.pysource import _LineForeachWriter
+
+    class Row:
+        def __init__(self, s, sh):
+            self.sequence_number = s
+            self.shard_id = sh
+
+    w = _LineForeachWriter(str(tmp_path))
+    for _ in range(2):  # the replay
+        assert w.open(partition_id=3, epoch_id=9)
+        w.process(Row(1, "shardId-000000000001"))
+        w.process(Row(3, "shardId-000000000001"))
+        w.close(None)
+    files = os.listdir(tmp_path)
+    assert files == ["e9-p3.lines"]
+    content = open(tmp_path / "e9-p3.lines").read()
+    assert content == "1|shardId-000000000001\n3|shardId-000000000001\n"
