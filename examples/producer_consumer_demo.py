@@ -99,18 +99,21 @@ def main(run_seconds: float = 5.0) -> None:
     )
     time.sleep(run_seconds)
     stop_query(q2, timeout_s=20.0)
-    md = (
+    md_rows = (
         spark.read.format("state-metadata").load(ck_agg)
         .select("operatorName", "maxBatchId")
-        .collect()[0]
+        .collect()
     )
-    state = spark.read.format("statestore").load(ck_agg)
-    n_keys = state.count()
-    print(
-        f"state store after shutdown: operator={md.operatorName} "
-        f"last_batch={md.maxBatchId} window_keys_held={n_keys} "
-        f"(read back cold from {ck_agg})"
-    )
+    if not md_rows:  # a very short run can stop before the first commit
+        print(f"state store after shutdown: no batch committed in {run_seconds}s")
+    else:
+        md = md_rows[0]
+        n_keys = spark.read.format("statestore").load(ck_agg).count()
+        print(
+            f"state store after shutdown: operator={md.operatorName} "
+            f"last_batch={md.maxBatchId} window_keys_held={n_keys} "
+            f"(read back cold from {ck_agg})"
+        )
     spark.streams.removeListener(listener)
     spark.streams.removeListener(metrics_listener)
 

@@ -137,8 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q346_salted_skew_join",
     "q347_live_python_stream_source",
     "q348_python_sink_roundtrip",
-    "q349_python_stream_pipeline",
-    "q350_foreach_row_sink",
+    "q349_live_python_stream_pipeline",
+    "q350_live_foreach_row_sink",
     # -- settlement-eligible (one more green settles)
     "q333_observed_metrics_audit",
     "q334_int8_quantization_audit",

@@ -592,7 +592,7 @@ WITH d AS (
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          (SELECT CAST(sum((o_orderkey // CAST(power(10, i) AS BIGINT)) % 10)
                  AS BIGINT)
-          FROM generate_series(0, 9) t(i)) AS dsum
+          FROM generate_series(0, 18) t(i)) AS dsum
   FROM orders
 )
 SELECT dsum AS digit_sum,

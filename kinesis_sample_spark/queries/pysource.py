@@ -26,6 +26,39 @@ _ROWS = 2000
 _SHARDS = 2
 
 
+def _decode_ts():
+    """q160's payload decode, shared by every query that lifts the event
+    time back out of the ``testData-<ISO>`` envelope (see q160's
+    docstring for why the default-pattern parser, not a fixed format).
+    A function, not a module constant: building a Column needs an active
+    session in classic mode."""
+    return F.try_to_timestamp(F.regexp_extract("data", r"^testData-(.+)$", 1))
+
+
+def _drain_available_now(writer, timeout_s: int = 300) -> None:
+    """Start an availableNow streaming writer, await termination, raise
+    with the query stopped on timeout — the drain protocol shared by
+    q347/q349/q350."""
+    from kinesis_sample_spark.streaming.pipeline import stop_query
+
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(timeout_s):
+        stop_query(q)
+        raise RuntimeError(f"drain did not finish within {timeout_s} s")
+
+
+def _read_piped_lines(spark: SparkSession, glob: str, *casts: str) -> DataFrame:
+    """Read the line sink's committed files and split the ``|`` codec
+    back into typed columns (the read-back half of q348/q349/q350)."""
+    exprs = [
+        f"CAST(split(value, '\\\\|')[{i}] AS {typ}) AS {name}"
+        if typ != "string"
+        else f"split(value, '\\\\|')[{i}] AS {name}"
+        for i, (name, typ) in enumerate(c.split(":") for c in casts)
+    ]
+    return spark.read.text(glob).selectExpr(*exprs)
+
+
 @query(
     "q160_producer_source_scan",
     oracle=f"""
@@ -69,10 +102,7 @@ def q160_producer_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern would NULL out real reference payloads. Spark's default
     # parser accepts the optional fraction at any width — one decode path
     # covers both the deterministic replay and the reference's output.
-    decoded = raw.withColumn(
-        "event_ts",
-        F.try_to_timestamp(F.regexp_extract("data", r"^testData-(.+)$", 1)),
-    )
+    decoded = raw.withColumn("event_ts", _decode_ts())
     return (
         decoded.groupBy("shard_id")
         .agg(
@@ -148,7 +178,6 @@ def q347_live_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFram
         STREAM_SOURCE_NAME,
         register_stream,
     )
-    from kinesis_sample_spark.streaming.pipeline import stop_query
 
     register_stream(spark)
     work = scratch_dir(prefix="kss_pystream_")
@@ -156,19 +185,14 @@ def q347_live_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFram
     out = os.path.join(work, "out")
 
     def _drain(rows: int) -> None:
-        q = (
+        _drain_available_now(
             spark.readStream.format(STREAM_SOURCE_NAME)
             .option("rows", str(rows))
             .load()
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
         )
-        if not q.awaitTermination(300):
-            stop_query(q)
-            raise RuntimeError("q347 drain did not finish within 300 s")
 
     _drain(_S_ROWS_1)
     n1 = spark.read.parquet(out).count()
@@ -178,10 +202,7 @@ def q347_live_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFram
         )
     _drain(_S_ROWS_2)  # same checkpoint + sink: must append only the delta
 
-    decoded = spark.read.parquet(out).withColumn(
-        "event_ts",
-        F.try_to_timestamp(F.regexp_extract("data", r"^testData-(.+)$", 1)),
-    )
+    decoded = spark.read.parquet(out).withColumn("event_ts", _decode_ts())
     return (
         decoded.groupBy("shard_id")
         .agg(
@@ -248,12 +269,13 @@ def q348_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .save()
     )
-    if any(f.startswith("_tmp_") for f in os.listdir(out)):
-        raise RuntimeError("q348: staged _tmp files survived commit")
-    lines = spark.read.text(os.path.join(out, "part-*.lines"))
-    parsed = lines.selectExpr(
-        "CAST(split(value, '\\\\|')[0] AS BIGINT) AS o_orderkey",
-        "CAST(split(value, '\\\\|')[1] AS BIGINT) AS cents",
+    # staged _tmp files from retried task ATTEMPTS may legitimately
+    # survive a successful job (only committed messages are renamed or
+    # abort-cleaned) — atomicity is that readers see committed names
+    # only, which the part-* glob below enforces
+    parsed = _read_piped_lines(
+        spark, os.path.join(out, "part-*.lines"),
+        "o_orderkey:BIGINT", "cents:BIGINT",
     )
     return parsed.selectExpr(
         "CAST(count(*) AS BIGINT) AS n_rows",
@@ -271,7 +293,7 @@ _S349_ROWS = 1500
 
 
 @query(
-    "q349_python_stream_pipeline",
+    "q349_live_python_stream_pipeline",
     oracle=f"""
 WITH gen AS (
   SELECT seq, seq % {_SHARDS} AS shard
@@ -286,7 +308,7 @@ FROM gen
 GROUP BY 1 ORDER BY shard_id
 """,
 )
-def q349_python_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q349_live_python_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fully custom Python micro-batch pipeline: the q347 STREAMING
     source feeds the Python STREAMING sink (``streamWriter`` — the last
     unexercised half of the Python DataSource API). Per micro-batch,
@@ -315,32 +337,24 @@ def q349_python_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         STREAM_SINK_NAME,
         register_sinks,
     )
-    from kinesis_sample_spark.streaming.pipeline import stop_query
 
     register_stream(spark)
     register_sinks(spark)
     work = scratch_dir(prefix="kss_pypipe_")
     out = os.path.join(work, "out")
     os.makedirs(out, exist_ok=True)
-    q = (
+    _drain_available_now(
         spark.readStream.format(STREAM_SOURCE_NAME)
         .option("rows", str(_S349_ROWS))
         .load()
         .writeStream.format(STREAM_SINK_NAME)
         .option("path", out)
         .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        stop_query(q)
-        raise RuntimeError("q349 drain did not finish within 300 s")
-    if any(f.startswith("_tmp_") for f in os.listdir(out)):
-        raise RuntimeError("q349: staged _tmp files survived commit")
-    lines = spark.read.text(os.path.join(out, "b*.lines"))
-    parsed = lines.selectExpr(
-        "CAST(split(value, '\\\\|')[0] AS BIGINT) AS seq",
-        "split(value, '\\\\|')[1] AS shard_id",
+    # retried task attempts may leave _tmp debris; the committed-name
+    # glob is the atomicity boundary (see q348)
+    parsed = _read_piped_lines(
+        spark, os.path.join(out, "b*.lines"), "seq:BIGINT", "shard_id:string"
     )
     return (
         parsed.groupBy("shard_id")
@@ -392,7 +406,7 @@ class _LineForeachWriter:
 
 
 @query(
-    "q350_foreach_row_sink",
+    "q350_live_foreach_row_sink",
     oracle=f"""
 WITH gen AS (
   SELECT seq, seq % {_SHARDS} AS shard
@@ -407,7 +421,7 @@ FROM gen
 GROUP BY 1 ORDER BY shard_id
 """,
 )
-def q350_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q350_live_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE row-level ``foreach`` sink — the last streaming-sink surface
     (foreachBatch is A10/A11's home; this is its per-ROW sibling, the
     shape of the reference's processSingleRecord hook): the engine calls
@@ -432,28 +446,20 @@ def q350_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         STREAM_SOURCE_NAME,
         register_stream,
     )
-    from kinesis_sample_spark.streaming.pipeline import stop_query
 
     register_stream(spark)
     work = scratch_dir(prefix="kss_foreach_")
     out = os.path.join(work, "out")
     os.makedirs(out, exist_ok=True)
-    q = (
+    _drain_available_now(
         spark.readStream.format(STREAM_SOURCE_NAME)
         .option("rows", str(_S350_ROWS))
         .load()
         .writeStream.foreach(_LineForeachWriter(out))
         .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        stop_query(q)
-        raise RuntimeError("q350 drain did not finish within 300 s")
-    lines = spark.read.text(os.path.join(out, "e*-p*.lines"))
-    parsed = lines.selectExpr(
-        "CAST(split(value, '\\\\|')[0] AS BIGINT) AS seq",
-        "split(value, '\\\\|')[1] AS shard_id",
+    parsed = _read_piped_lines(
+        spark, os.path.join(out, "e*-p*.lines"), "seq:BIGINT", "shard_id:string"
     )
     return (
         parsed.groupBy("shard_id")

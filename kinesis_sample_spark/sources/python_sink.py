@@ -13,7 +13,7 @@ deliberately trivial (strings and integers only in the gated schemas)
 so the round-trip is byte-deterministic with no codec in the loop.
 
 Task writes land as ``_tmp_*`` files; ``commit`` renames them into
-``part-<i>`` / ``b<batchId>-<i>`` names, so a reader that ignores
+``part-<jobId>-<i>`` / ``b<batchId>-<i>`` names, so a reader that ignores
 ``_tmp_*`` sees either none or all of a job's output — the atomicity
 claim, unit-tested via the abort path in tests/test_round16_ops.py.
 Batch ``overwrite`` clears committed files first (SaveMode.Overwrite);
@@ -60,6 +60,10 @@ class LineSinkWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
         self.out_dir = options["path"]
         self.overwrite = overwrite
+        # job-unique commit prefix: APPEND mode must add files, never
+        # rename over a previous job's part-00000 (which would silently
+        # mix two jobs' outputs) — the per-job id makes names disjoint
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, rows):
         return _write_partition(self.out_dir, rows)
@@ -70,7 +74,10 @@ class LineSinkWriter(DataSourceWriter):
                 if f.startswith("part-"):
                     os.remove(os.path.join(self.out_dir, f))
         for i, m in enumerate(messages):
-            os.rename(m.path, os.path.join(self.out_dir, f"part-{i:05d}.lines"))
+            os.rename(
+                m.path,
+                os.path.join(self.out_dir, f"part-{self.job_id}-{i:05d}.lines"),
+            )
 
     def abort(self, messages):
         for m in messages:

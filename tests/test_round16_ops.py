@@ -476,3 +476,29 @@ def test_q350_foreach_writer_replay_is_idempotent(tmp_path):
     assert files == ["e9-p3.lines"]
     content = open(tmp_path / "e9-p3.lines").read()
     assert content == "1|shardId-000000000001\n3|shardId-000000000001\n"
+
+
+def test_q348_append_mode_accumulates(spark, tmp_path):
+    """Two append jobs to one path must BOTH be readable afterwards —
+    the job-unique commit prefix makes their part names disjoint (the
+    round-16 review catch: index-only names let job 2 rename over
+    job 1's part-00000)."""
+    import os
+
+    from kinesis_sample_spark.sources.python_sink import SINK_NAME, register_sinks
+
+    register_sinks(spark)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    for lo, hi in ((0, 10), (10, 30)):
+        (
+            spark.range(lo, hi)
+            .selectExpr("id", "id * 2 AS y")
+            .repartition(2)
+            .write.format(SINK_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    rows = spark.read.text(os.path.join(out, "part-*.lines")).count()
+    assert rows == 30, "append clobbered a previous job's committed files"
