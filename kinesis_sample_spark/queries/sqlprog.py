@@ -38,9 +38,12 @@ racing the SAME query's setup would interleave — the driver and every
 sweep tool run queries sequentially.
 
 Reference: the reference repo (4 Java classes of Kinesis plumbing —
-Producer.java, Consumer.java) has no SQL surface at all; these queries
-exist for SURVEY §2 Table B "scalar functions / query surface"
-completeness of the engine built OVER it.
+AmazonKinesisRecordProducerSample.java,
+AmazonKinesisRecordConsumerSample.java,
+AmazonKinesisApplicationSampleRecordProcessor.java and its factory) has
+no SQL surface at all; these queries exist for SURVEY §2 Table B
+"scalar functions / query surface" completeness of the engine built
+OVER it.
 """
 
 from __future__ import annotations
