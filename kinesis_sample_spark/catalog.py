@@ -56,7 +56,6 @@ _REQUIRED_CONFS = {
     # performance, not correctness: a bare session defaults to 200 shuffle
     # partitions — pure overhead at fixture scale; AQE re-coalesces anyway.
     "spark.sql.adaptive.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -67,6 +66,20 @@ def ensure_session_confs(spark: SparkSession) -> None:
                 spark.conf.set(k, v)
         except Exception:  # pragma: no cover — conf not recognized
             pass
+    # Scale-adaptive shuffle sizing (optimization r16, guide §2.2): only a
+    # BARE driver session still carrying Spark's static default (200) gets
+    # retuned, and to ITS core count — not a constant. A session built by
+    # session.get_spark already sized this to local[N]; hard-coding 32 here
+    # (the r15 behavior) silently overrode the driver's lower-core bench
+    # layouts, the exact "constant tuned for one box" the scaling rules ban.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", None) == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:  # pragma: no cover — conf not recognized
+        pass
 
 
 #: (applicationId, sf_dir, table) → DataFrame. A catalog-level schema/plan

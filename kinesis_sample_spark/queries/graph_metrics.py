@@ -731,9 +731,18 @@ def q301_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= COMMUNITY_MIN_SUPPORT)
         .localCheckpoint(eager=True)
     )
-    old_edges = _old_edges(spark, sf_dir)
+    # Optimization r16 (guide §7.2 duplicated subtrees): old_edges feeds
+    # the old-graph CC, the delta anti-join AND the node-expansion union
+    # (×2) inside incremental_components — without truncation the
+    # distinct→window→pair-self-join subtree re-executes ~4× (measured:
+    # 16 lineitem scans in the final plan). Lazy checkpoint: the first
+    # action inside connected_components materializes it once.
+    old_edges = _old_edges(spark, sf_dir).localCheckpoint(eager=False)
     delta = full_edges.join(old_edges, ["part_a", "part_b"], "left_anti")
-    cc = incremental_components(old_edges, delta, "part_a", "part_b")
+    # cc is consumed by BOTH node_stats and edge_stats — same rule.
+    cc = incremental_components(old_edges, delta, "part_a", "part_b").localCheckpoint(
+        eager=False
+    )
     node_stats = cc.groupBy("component").agg(F.count("*").alias("n_parts"))
     edge_stats = (
         full_edges.join(cc, full_edges.part_a == cc.node)

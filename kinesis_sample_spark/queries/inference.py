@@ -796,13 +796,17 @@ def q312_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("mean_full")
     )
-    lo = ranked.filter(F.col("rk") == 2).select(F.col("rep_mean").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
-        F.col("rep_mean").alias("ci_hi")
+    # Optimization r16 (guide §7.2 duplicated subtrees): the r14 shape
+    # read ranks 2 and B-1 as two FILTERS over `ranked`, making the plan
+    # reference — and fully re-execute — the ×B expand + aggregate
+    # subtree twice. One conditional aggregate over the B ranked rows
+    # yields both bounds from a single execution of that subtree.
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("rep_mean"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == _BOOT_B - 1, F.col("rep_mean"))).alias("ci_hi"),
     )
     return (
-        full_mean.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        full_mean.crossJoin(F.broadcast(ci))
         .select(
             F.lit(_BOOT_B).cast("long").alias("n_replicas"),
             "mean_full",

@@ -357,12 +357,27 @@ def q341_scripting_bisection_quantile(spark: SparkSession, sf_dir: str) -> DataF
     sort (exact) or one approx_percentile pass (bounded error) — you
     choose bisection when range is small and a sort's shuffle is the
     thing you can't afford; the query exists to exercise the scripting
-    surface with an exactly-gateable answer. All arithmetic BIGINT."""
-    load_table(spark, sf_dir, "orders").selectExpr(
+    surface with an exactly-gateable answer. All arithmetic BIGINT.
+
+    Optimization r16 (guide §5 caching rule: reuse × recompute cost):
+    the ~28 scripted statements each re-planned a fresh parquet scan +
+    projection of the SAME immutable single-BIGINT column — the one
+    shape where an in-query persist is unambiguously right (26 reuses,
+    8 bytes/row, MEMORY_AND_DISK so a 100 TB orders spills instead of
+    OOMing; one materialization pass replaces 26 scan+decode passes).
+    The persist lives and dies inside this query: unpersisted in the
+    ``finally`` once the script has run, so nothing leaks across
+    bench/oracle invocations."""
+    from pyspark.storagelevel import StorageLevel
+
+    cents = load_table(spark, sf_dir, "orders").selectExpr(
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
-    ).createOrReplaceTempView("q341_cents")
-    return spark.sql(
-        """
+    )
+    cents.persist(StorageLevel.MEMORY_AND_DISK)
+    cents.createOrReplaceTempView("q341_cents")
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE lo BIGINT DEFAULT 0;
           DECLARE hi BIGINT;
@@ -385,7 +400,11 @@ def q341_scripting_bisection_quantile(spark: SparkSession, sf_dir: str) -> DataF
           SELECT lo AS p90_cents, target AS target_rank, n_rows;
         END
         """
-    )
+        )
+    finally:
+        # the script has fully executed by the time spark.sql returns —
+        # its result depends only on script variables, never on the view
+        cents.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -1157,9 +1157,18 @@ def q187_live_graceful_shutdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"not mid-stream"
             )
 
-        # -- phase 2: new incarnation, same checkpoint, drain the rest
+        # -- phase 2: new incarnation, same checkpoint, drain the rest.
+        # Optimization r16: phase 1 pinned 1 file/trigger because the
+        # graceful stop must land MID-stream; phase 2 only has to drain
+        # the remainder and read back the final state, so batching
+        # granularity is incidental there — maxFilesPerTrigger is a
+        # source option (not checkpointed state), and update-mode
+        # emission keeps the per-user LAST row identical whether the
+        # remainder arrives in 14 micro-batches or 1. Draining in one
+        # trigger removes ~13 micro-batch scheduling rounds (~10 s of
+        # pure trigger overhead at sf0.1, no compute change).
         q2 = (
-            aggregate(replay_events_stream(spark, events_dir))
+            aggregate(replay_events_stream(spark, events_dir, files_per_trigger=n_files))
             .writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", ck)

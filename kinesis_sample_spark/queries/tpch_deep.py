@@ -457,45 +457,54 @@ ORDER BY numwait DESC, s_name
 """,
 )
 def q92_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21's EXISTS/NOT-EXISTS pair rewritten as a semi-join (some other
-    supplier in the order) and an anti-join (no OTHER supplier was also
-    late) over the same late-lines relation. All three legs join on
-    l_orderkey, so after the first exchange the semi and anti reuse the
-    partitioning; "late" is an exact integer-interval comparison against
-    o_orderdate (the fixture has no receipt/commit dates)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
+    """Q21's EXISTS/NOT-EXISTS pair computed as a per-order supplier
+    census instead of semi/anti self-joins (optimization r16, guide
+    §2.3/§2.4): a late line l1 qualifies iff its order has >1 distinct
+    supplier (EXISTS l2) and exactly 1 distinct LATE supplier — l1's own
+    (NOT EXISTS l3). Both facts come from one two-level aggregate over a
+    single lineitem scan: per (orderkey, suppkey) count this supplier's
+    late lines, then per orderkey count suppliers / late suppliers and
+    carry the unique late supplier's key + late-line count. numwait is
+    then the sum of late-line counts per supplier name — identical to
+    counting the qualifying l1 rows.
+
+    The r15 shape scanned lineitem 3× and built the FULL 2-column
+    lineitem into a broadcast hash relation for the semi leg (fits only
+    below the 64 MB threshold — at 100 TB it degrades to two extra
+    full-fact shuffles); this shape scans lineitem once and shuffles
+    only aggregate states. "Late" stays the exact integer-interval
+    comparison against o_orderdate (the fixture has no receipt dates)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
     )
     supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    late = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int")
+        .alias("is_late"),
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("n_late_lines")
     )
-    late_others = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("n_late_lines") > 0, F.lit(1))).alias("n_late_supp"),
+        F.max(F.when(F.col("n_late_lines") > 0, F.col("l_suppkey"))).alias(
+            "late_suppkey"
+        ),
+        F.sum("n_late_lines").alias("n_late"),
     )
-    waited = (
-        late.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
-    )
+    waited = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
-        waited.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        waited.join(supp, F.col("s_suppkey") == F.col("late_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )

@@ -118,15 +118,19 @@ def test_q90_self_join_copartitions(spark):
     assert exchange_count(df) <= 3, exchange_count(df)
 
 
-def test_q92_semi_anti_share_orderkey_partitioning(spark):
-    """Q21 exists/not-exists: semi + anti legs must both hash on
-    l_orderkey; no cartesian, no extra exchange beyond one per leg."""
+def test_q92_single_fact_scan_census(spark):
+    """Q21 exists/not-exists, optimization r16: the per-order supplier
+    census must read lineitem exactly ONCE and never semi/anti self-join
+    it (the r15 shape scanned the fact 3x and broadcast the full
+    2-column lineitem for the semi leg — a sub-64MB-only plan)."""
     from kinesis_sample_spark.plans.inspect import exchange_count, formatted_plan
 
     df = REGISTRY["q92_waiting_suppliers"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert exchange_count(df) <= 5, exchange_count(df)
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert exchange_count(df) <= 4, exchange_count(df)
 
 
 def test_q93_sampler_is_map_side(spark):
