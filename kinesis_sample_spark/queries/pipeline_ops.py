@@ -534,16 +534,16 @@ def q122_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k_hits") == _BLOOM_K)
         .select("doc_id", "gram")
     )
-    exact_hits = corpus.join(F.broadcast(bench), "gram").select(
-        "doc_id", F.col("gram").alias("e_gram")
-    )
+    # Optimization r16 (guide §2.3/§7.2): a Bloom filter has NO false
+    # negatives, so every exact match is already a bloom hit — the exact
+    # audit only needs to re-test the (small) bloom-hit rows against the
+    # broadcast bench gram set, not re-explode and re-join the whole
+    # corpus a second time (the r5 shape's second corpus scan + wide
+    # join; (doc_id, gram) is unique on both sides there, so the left
+    # join below marks exactly the same rows).
+    e_bench = F.broadcast(bench.select(F.col("gram").alias("e_gram")))
     return (
-        bloom_hits.join(
-            exact_hits,
-            (bloom_hits.doc_id == exact_hits.doc_id)
-            & (bloom_hits.gram == exact_hits.e_gram),
-            "left",
-        )
+        bloom_hits.join(e_bench, bloom_hits.gram == F.col("e_gram"), "left")
         .groupBy(bloom_hits.doc_id)
         .agg(
             F.count(F.lit(1)).alias("n_bloom_grams"),

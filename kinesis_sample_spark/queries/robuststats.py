@@ -260,6 +260,62 @@ def q252_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARKOV_ITERS = 20
 
 
+#: transition-matrix CTE chain (events → lagged pairs → counts → the
+#: row-normalized matrix quantized to DECIMAL(12,9)), shared verbatim by
+#: the oracle text and the Spark-side matrix materialization.
+_MARKOV_P_CTES = [
+    """seq AS (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+    FROM events
+)""",
+    """tc AS (
+    SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+)""",
+    """p AS (
+    SELECT prev, cur,
+           CAST(round(cnt / SUM(cnt) OVER (PARTITION BY prev), 9)
+                AS DECIMAL(12,9)) AS pr
+    FROM tc
+)""",
+]
+
+
+def _markov_iter_ctes(p_name: str) -> list[str]:
+    """The s0..sN power-iteration CTE chain over transition matrix
+    ``p_name`` — parameterized (optimization r16) so the oracle iterates
+    over its inline ``p`` CTE while the Spark side iterates over the
+    materialized k×k LocalRelation view; the iteration TEXT is identical
+    either way, so the bit-for-bit cross-engine argument is unchanged."""
+    ctes = [
+        f"""s0 AS (
+    SELECT prev AS state,
+           CAST(round(CAST(1 AS DOUBLE)
+                      / (SELECT COUNT(DISTINCT prev) FROM {p_name}), 9)
+                AS DECIMAL(12,9)) AS prob
+    FROM (SELECT DISTINCT prev FROM {p_name}) d
+)"""
+    ]
+    for i in range(_MARKOV_ITERS):
+        ctes.append(
+            f"""s{i + 1} AS (
+    SELECT p.cur AS state,
+           CAST(SUM(CAST(round(CAST(s.prob AS DECIMAL(19,9)) * p.pr, 9)
+                         AS DECIMAL(18,9))) AS DECIMAL(12,9)) AS prob
+    FROM s{i} s JOIN {p_name} p ON p.prev = s.state
+    GROUP BY p.cur
+)"""
+        )
+    return ctes
+
+
+_MARKOV_FINAL = f"""
+SELECT state, CAST(CAST(prob AS STRING) AS DOUBLE) AS stationary_prob
+FROM s{_MARKOV_ITERS} ORDER BY state"""
+
+
 def _markov_sql() -> str:
     """The ENTIRE query as dialect-shared SQL: transition counts, the
     row-normalized matrix quantized to DECIMAL(12,9), and
@@ -268,48 +324,7 @@ def _markov_sql() -> str:
     widening one factor to 19 digits for DuckDB's int128 path), so every
     iteration is exact decimal arithmetic — both engines run this text
     verbatim and must agree bit-for-bit."""
-    ctes = [
-        """seq AS (
-    SELECT event_type,
-           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS prev
-    FROM events
-)""",
-        """tc AS (
-    SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
-)""",
-        """p AS (
-    SELECT prev, cur,
-           CAST(round(cnt / SUM(cnt) OVER (PARTITION BY prev), 9)
-                AS DECIMAL(12,9)) AS pr
-    FROM tc
-)""",
-        """s0 AS (
-    SELECT prev AS state,
-           CAST(round(CAST(1 AS DOUBLE)
-                      / (SELECT COUNT(DISTINCT prev) FROM p), 9)
-                AS DECIMAL(12,9)) AS prob
-    FROM (SELECT DISTINCT prev FROM p) d
-)""",
-    ]
-    for i in range(_MARKOV_ITERS):
-        ctes.append(
-            f"""s{i + 1} AS (
-    SELECT p.cur AS state,
-           CAST(SUM(CAST(round(CAST(s.prob AS DECIMAL(19,9)) * p.pr, 9)
-                         AS DECIMAL(18,9))) AS DECIMAL(12,9)) AS prob
-    FROM s{i} s JOIN p ON p.prev = s.state
-    GROUP BY p.cur
-)"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT state, CAST(CAST(prob AS STRING) AS DOUBLE) AS stationary_prob
-FROM s{_MARKOV_ITERS} ORDER BY state"""
-    )
+    return "WITH " + ",\n".join(_MARKOV_P_CTES + _markov_iter_ctes("p")) + _MARKOV_FINAL
 
 
 _MARKOV_SQL = _markov_sql()
@@ -334,9 +349,29 @@ def q255_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over the fact; all 20 iterations run on the k×k matrix —
     driver-independent, executor-trivial. A growing state space would
     swap the unrolled CTEs for the loop in operators/pagerank.py
-    (same quantization trick applies)."""
+    (same quantization trick applies).
+
+    Optimization r16 (guide §7.2 duplicated subtrees): Spark re-expands
+    a CTE at every reference, and the unrolled chain references ``p``
+    once per round — the lag-window transition count over the FACT ran
+    ~22× (measured: 22 events scans in the plan). The Spark side now
+    materializes the k×k matrix once as a LocalRelation (the q314
+    recipe: a bounded collect with an asserted ceiling) and iterates
+    over that; the oracle keeps the single inline text, and the
+    iteration SQL is the same parameterized text on both engines, so
+    the exact-decimal agreement argument is untouched."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_MARKOV_SQL)
+    p = spark.sql("WITH " + ",\n".join(_MARKOV_P_CTES) + "\nSELECT prev, cur, pr FROM p")
+    rows = p.collect()
+    if len(rows) > 64 * 64:
+        raise RuntimeError(
+            f"q255: transition matrix unexpectedly large ({len(rows)} cells) — "
+            "the bounded-collect premise (event-type state space) is broken"
+        )
+    spark.createDataFrame(rows, p.schema).createOrReplaceTempView("q255_p")
+    return spark.sql(
+        "WITH " + ",\n".join(_markov_iter_ctes("q255_p")) + _MARKOV_FINAL
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -233,7 +233,13 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _band_bucket(F.col("embedding"), *_NEARDUP_BANDS[0]).alias("b1"),
         _band_bucket(F.col("embedding"), *_NEARDUP_BANDS[1]).alias("b2"),
-    )
+        # optimization r16 (guide §7.2 duplicated subtrees): e feeds FOUR
+        # plan references (a/b sides × two band joins) — without the
+        # persist the scan + 8 hyperplane dot products per row run 4×
+        # (measured: 4 embeddings scans in the plan; median 5.2→4.5 s
+        # at sf0.1 cold). Narrow relation (id + vector + two bigints),
+        # so the cache is one vector-width copy of the table.
+    ).persist()
 
     def band_pairs(cond) -> DataFrame:
         a, b = e.alias("a"), e.alias("b")

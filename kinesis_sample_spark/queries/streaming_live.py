@@ -839,7 +839,12 @@ def q185_live_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run_incarnation() -> None:
-        st = replay_events_stream(spark, src, files_per_trigger=1)
+        # optimization r16: the law gated here is CROSS-INCARNATION
+        # resume (offsets + agg state surviving the restart), not
+        # within-phase batching — drain each phase's 2 files in one
+        # trigger; update-mode still emits each user's running count and
+        # the final per-user LAST row is unchanged.
+        st = replay_events_stream(spark, src, files_per_trigger=2)
         agg = (
             st.withWatermark("ts", "3650 days")
             .groupBy("user_id")
