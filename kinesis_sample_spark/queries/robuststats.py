@@ -368,7 +368,23 @@ def q255_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q255: transition matrix unexpectedly large ({len(rows)} cells) — "
             "the bounded-collect premise (event-type state space) is broken"
         )
-    spark.createDataFrame(rows, p.schema).createOrReplaceTempView("q255_p")
+    # Re-materialize as a VALUES literal, not createDataFrame(rows): the
+    # latter is a `Scan ExistingRDD` of pickled Python rows, and every
+    # one of the ~21 iteration references re-executes its Python
+    # deserialization tasks (A/B-measured SLOWER than the inline CTE at
+    # sf0.1). A VALUES view is a pure JVM LocalRelation — zero
+    # per-reference cost, exact DECIMAL(12,9) literals.
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{_q(r['prev'])}', '{_q(r['cur'])}', CAST('{r['pr']}' AS DECIMAL(12,9)))"
+        for r in rows
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW q255_p AS "
+        f"SELECT * FROM (VALUES {vals}) AS t(prev, cur, pr)"
+    )
     return spark.sql(
         "WITH " + ",\n".join(_markov_iter_ctes("q255_p")) + _MARKOV_FINAL
     )

@@ -23,9 +23,11 @@ def test_q255_iterates_over_materialized_matrix(spark):
     df = REGISTRY["q255_markov_stationary"].fn(spark, SF)
     plan = formatted_plan(df)
     assert plan.count("events.parquet") == 0, plan.count("events.parquet")
-    # createDataFrame(rows) surfaces as Scan ExistingRDD — the
-    # materialized matrix every round reads instead of the fact
-    assert "Scan ExistingRDD" in plan
+    # the VALUES-literal matrix is a pure JVM LocalRelation — the node
+    # every round reads instead of the fact (and instead of a pickled
+    # Scan ExistingRDD, which was A/B-rejected: its ~21 references each
+    # re-ran Python deserialization tasks)
+    assert "LocalTableScan" in plan, plan[:2000]
 
 
 def test_q312_reads_fact_twice_not_thrice(spark):
