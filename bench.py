@@ -62,6 +62,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # additions-only visibility (round-16 verdict): echo the
+                # session's ACTUAL core count and effective shuffle
+                # partitioning so a lower-core driver run is
+                # distinguishable from this one in the artifact itself.
+                "cpus": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
             }
         )
     )

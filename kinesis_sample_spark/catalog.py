@@ -56,6 +56,10 @@ _REQUIRED_CONFS = {
     # performance, not correctness: a bare session defaults to 200 shuffle
     # partitions — pure overhead at fixture scale; AQE re-coalesces anyway.
     "spark.sql.adaptive.enabled": "true",
+    # performance: let AQE size cached-plan output partitioning too (see
+    # session.py — small persisted aggregates otherwise pin
+    # shuffle.partitions near-empty tasks on every consumer job)
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
@@ -73,7 +77,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # (the r15 behavior) silently overrode the driver's lower-core bench
     # layouts, the exact "constant tuned for one box" the scaling rules ban.
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions", None) == "200":
+        # conf.get MUST be called without a default here: passing one
+        # bypasses the registered static default, returning None on a bare
+        # session even though the effective value is 200 — which made this
+        # branch dead code on exactly the sessions it exists for (round-16
+        # ADVICE). Without a default the call returns the effective "200".
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(spark.sparkContext.defaultParallelism),

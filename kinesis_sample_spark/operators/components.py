@@ -24,10 +24,14 @@ job per round for nothing. The truncation contract is unchanged —
 iterative joins otherwise grow the logical plan exponentially and
 Catalyst analysis time — not the data — becomes the bottleneck after
 ~10 rounds (measured here: a 200-node path hung the old
-persist-only loop). On a cluster,
-swap for reliable ``checkpoint`` (localCheckpoint trades executor-loss
-recoverability for speed). tests/test_components_convergence.py pins
-long paths and random graphs against a Python union-find.
+persist-only loop). The truncation mechanism is parameterized
+(session.checkpoint_df, round 17): local mode uses ``localCheckpoint``;
+a cluster deploy sets ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` (+ optional
+``SPARK_GRAFT_CHECKPOINT_DIR``) to get reliable ``checkpoint`` instead,
+because a lost executor makes non-replicated localCheckpoint blocks
+unrecoverable mid-iteration. tests/test_components_convergence.py pins
+long paths and random graphs against a Python union-find; the reliable
+path is exercised by tests/test_r17_optimizations.py.
 
 Session hygiene: localCheckpoint blocks persist for the session (and
 ``spark.catalog.clearCache()`` does NOT free them) — long-lived sessions
@@ -39,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kinesis_sample_spark.session import checkpoint_df
 
 
 def connected_components(
@@ -52,14 +58,18 @@ def connected_components(
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     undirected = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    undirected = checkpoint_df(undirected, eager=True)
 
     # Lazy: round 1's changed-count materializes this together with its
     # own checkpoint; rounds >= 2 read their labels from the previous
     # round's checkpoint, so the initial frame is scanned once either way.
-    labels = undirected.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint(eager=False)
+    labels = checkpoint_df(
+        undirected.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        ),
+        eager=False,
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -92,7 +102,8 @@ def connected_components(
                 ).alias("new_label"),
                 "label",
             )
-        ).localCheckpoint(eager=False)  # truncate lineage: plan growth, not
+        )
+        updated = checkpoint_df(updated, eager=False)  # truncate lineage: plan growth, not
         # data, dominates iterative joins after ~10 rounds. LAZY: the
         # changed-count below is the round's first action and materializes
         # the checkpoint as a side effect — one Spark job per round

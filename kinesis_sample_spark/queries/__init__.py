@@ -124,7 +124,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 #   python -m pytest tests/test_registry_hygiene.py -q
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-green (mandatory)
+    # -- settlement-eligible (one more green settles)
     "q337_sql_udf_pricing_bands",
     "q338_sql_tvf_month_spine",
     "q339_session_variable_threshold",
@@ -139,12 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q348_python_sink_roundtrip",
     "q349_live_python_stream_pipeline",
     "q350_live_foreach_row_sink",
-    # -- settlement-eligible (one more green settles)
-    "q333_observed_metrics_audit",
-    "q334_int8_quantization_audit",
-    "q335_label_medoids",
-    "q336_wasserstein_drift",
-    # -- minimum-evidence backfill (oldest evidence first)
     "q120_multiprobe_rerank",
     "q121_label_centroids",
     "q122_bloom_decontamination",
@@ -177,6 +171,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q152_prefix_filter_simjoin",
     "q153_live_left_outer_join",
     "q40_token_stats",
+    # -- minimum-evidence backfill (oldest evidence first)
+    "q50_media_features",
+    "q58_array_ops",
+    "q59_string_extras",
+    "q99_ols_regression",
 )
 
 

@@ -725,11 +725,11 @@ def q301_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_BASKET-capped pair projection; the delta anti-join is one
     shuffle on the edge key."""
     from kinesis_sample_spark.operators.components import incremental_components
+    from kinesis_sample_spark.session import checkpoint_df
 
-    full_edges = (
-        _edges(spark, sf_dir)
-        .filter(F.col("sup") >= COMMUNITY_MIN_SUPPORT)
-        .localCheckpoint(eager=True)
+    full_edges = checkpoint_df(
+        _edges(spark, sf_dir).filter(F.col("sup") >= COMMUNITY_MIN_SUPPORT),
+        eager=True,
     )
     # Optimization r16 (guide §7.2 duplicated subtrees): old_edges feeds
     # the old-graph CC, the delta anti-join AND the node-expansion union
@@ -737,11 +737,11 @@ def q301_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct→window→pair-self-join subtree re-executes ~4× (measured:
     # 16 lineitem scans in the final plan). Lazy checkpoint: the first
     # action inside connected_components materializes it once.
-    old_edges = _old_edges(spark, sf_dir).localCheckpoint(eager=False)
+    old_edges = checkpoint_df(_old_edges(spark, sf_dir), eager=False)
     delta = full_edges.join(old_edges, ["part_a", "part_b"], "left_anti")
     # cc is consumed by BOTH node_stats and edge_stats — same rule.
-    cc = incremental_components(old_edges, delta, "part_a", "part_b").localCheckpoint(
-        eager=False
+    cc = checkpoint_df(
+        incremental_components(old_edges, delta, "part_a", "part_b"), eager=False
     )
     node_stats = cc.groupBy("component").agg(F.count("*").alias("n_parts"))
     edge_stats = (

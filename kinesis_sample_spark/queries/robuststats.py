@@ -368,6 +368,13 @@ def q255_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q255: transition matrix unexpectedly large ({len(rows)} cells) — "
             "the bounded-collect premise (event-type state space) is broken"
         )
+    if not rows:
+        # an empty VALUES list is a parse error, not an empty result —
+        # fail with the real cause instead (round-16 ADVICE)
+        raise RuntimeError(
+            "q255: events produced zero transition rows — cannot build the "
+            "VALUES-literal matrix (empty or single-row events fixture?)"
+        )
     # Re-materialize as a VALUES literal, not createDataFrame(rows): the
     # latter is a `Scan ExistingRDD` of pickled Python rows, and every
     # one of the ~21 iteration references re-executes its Python
@@ -375,7 +382,11 @@ def q255_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). A VALUES view is a pure JVM LocalRelation — zero
     # per-reference cost, exact DECIMAL(12,9) literals.
     def _q(s: str) -> str:
-        return s.replace("'", "''")
+        # backslash first: Spark string literals treat \ as an escape by
+        # default (escapedStringLiterals=false), unlike DuckDB — an
+        # unescaped backslash in an event_type would silently change the
+        # embedded value and break oracle parity (round-16 ADVICE)
+        return s.replace("\\", "\\\\").replace("'", "''")
 
     vals = ", ".join(
         f"('{_q(r['prev'])}', '{_q(r['cur'])}', CAST('{r['pr']}' AS DECIMAL(12,9)))"

@@ -206,6 +206,12 @@ def q166_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # over every props payload — a second time (A/B at sf0.1:
         # median 4.3 s -> 2.7 s). The persisted relation is the narrow
         # computed result, not the raw props column.
+        # DELIBERATE LEAK (r17 adjudication, same convention as graph.py's
+        # session-hygiene note): the DataFrame returns lazily, so this
+        # query cannot unpersist before its caller materializes. Long-
+        # lived sessions reclaim it via session.release_checkpoints —
+        # guarded registry-wide by tests/test_r17_optimizations.py::
+        # test_release_checkpoints_reclaims_every_persisting_query.
         .persist()
         .orderBy("event_id")
     )

@@ -239,6 +239,10 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured: 4 embeddings scans in the plan; median 5.2→4.5 s
         # at sf0.1 cold). Narrow relation (id + vector + two bigints),
         # so the cache is one vector-width copy of the table.
+        # DELIBERATE LEAK (r17 adjudication): returns lazily, so the
+        # persist cannot be released in-query; reclaimed by
+        # session.release_checkpoints (registry-wide hygiene test in
+        # tests/test_r17_optimizations.py).
     ).persist()
 
     def band_pairs(cond) -> DataFrame:

@@ -49,6 +49,7 @@ OVER it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kinesis_sample_spark.catalog import load_table, register_views
 from kinesis_sample_spark.queries import query
@@ -353,28 +354,39 @@ def q341_scripting_bisection_quantile(spark: SparkSession, sf_dir: str) -> DataF
     target rank, which is exactly the order statistic the oracle reads
     with ORDER BY/OFFSET.
 
-    Scale, stated honestly: log2(range) full-column passes against ONE
-    sort (exact) or one approx_percentile pass (bounded error) — you
-    choose bisection when range is small and a sort's shuffle is the
-    thing you can't afford; the query exists to exercise the scripting
-    surface with an exactly-gateable answer. All arithmetic BIGINT.
+    Scale, stated honestly: one histogram-building pass plus log2(range)
+    passes over the range-bounded histogram, against ONE sort (exact) or
+    one approx_percentile pass (bounded error) — you choose bisection
+    when range is small and a sort's shuffle is the thing you can't
+    afford; the query exists to exercise the scripting surface with an
+    exactly-gateable answer. All arithmetic BIGINT.
 
-    Optimization r16 (guide §5 caching rule: reuse × recompute cost):
-    the ~28 scripted statements each re-planned a fresh parquet scan +
-    projection of the SAME immutable single-BIGINT column — the one
-    shape where an in-query persist is unambiguously right (26 reuses,
-    8 bytes/row, MEMORY_AND_DISK so a 100 TB orders spills instead of
-    OOMing; one materialization pass replaces 26 scan+decode passes).
-    The persist lives and dies inside this query: unpersisted in the
-    ``finally`` once the script has run, so nothing leaks across
+    Optimization r16 (guide §5 caching rule: reuse × recompute cost)
+    persisted the raw cents projection so the ~28 scripted statements
+    stopped re-scanning parquet. Optimization r17 goes one step further
+    down the same §2.3 aggregate-before-you-iterate road: the scripted
+    counts only ever ask "how many rows have cents <= mid", which a
+    GROUP BY cents histogram answers exactly — so ONE distributed
+    aggregation pass builds the histogram (cardinality bounded by the
+    cents RANGE, < 2^26 cells regardless of row count, ~16 bytes/cell,
+    MEMORY_AND_DISK so even the worst case spills instead of OOMing)
+    and the 26 threshold counts become sums over that tiny persisted
+    relation instead of 26 full passes over the fact. The answer is
+    unchanged: count(cents <= mid) == sum over histogram cells with
+    cents <= mid, n_rows == sum of all cells, max(cents) is the max
+    cell key. The persist lives and dies inside this query: unpersisted
+    in the ``finally`` once the script has run, so nothing leaks across
     bench/oracle invocations."""
     from pyspark.storagelevel import StorageLevel
 
-    cents = load_table(spark, sf_dir, "orders").selectExpr(
-        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cents.persist(StorageLevel.MEMORY_AND_DISK)
-    cents.createOrReplaceTempView("q341_cents")
+    hist.persist(StorageLevel.MEMORY_AND_DISK)
+    hist.createOrReplaceTempView("q341_cents_hist")
     try:
         return spark.sql(
             """
@@ -385,12 +397,13 @@ def q341_scripting_bisection_quantile(spark: SparkSession, sf_dir: str) -> DataF
           DECLARE cnt BIGINT;
           DECLARE target BIGINT;
           DECLARE n_rows BIGINT;
-          SET hi = (SELECT max(cents) FROM q341_cents);
-          SET n_rows = (SELECT count(*) FROM q341_cents);
+          SET hi = (SELECT max(cents) FROM q341_cents_hist);
+          SET n_rows = (SELECT coalesce(sum(cnt), 0) FROM q341_cents_hist);
           SET target = CAST(ceil(0.9 * n_rows) AS BIGINT);
           WHILE lo < hi DO
             SET mid = (lo + hi) DIV 2;
-            SET cnt = (SELECT count(*) FROM q341_cents WHERE cents <= mid);
+            SET cnt = (SELECT coalesce(sum(cnt), 0) FROM q341_cents_hist
+                       WHERE cents <= mid);
             IF cnt >= target THEN
               SET hi = mid;
             ELSE
@@ -404,7 +417,7 @@ def q341_scripting_bisection_quantile(spark: SparkSession, sf_dir: str) -> DataF
     finally:
         # the script has fully executed by the time spark.sql returns —
         # its result depends only on script variables, never on the view
-        cents.unpersist()
+        hist.unpersist()
 
 
 # ---------------------------------------------------------------------------

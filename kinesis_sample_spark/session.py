@@ -77,6 +77,16 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-coalesce the OUTPUT partitioning of cached plans
+        # (default false): without it a persisted relation freezes its
+        # builder's shuffle partition count, so every consumer job of a
+        # small cached aggregate schedules shuffle.partitions near-empty
+        # tasks — q341's 26 scripted passes over its cached histogram
+        # paid ~1 s of pure scheduling at sf0.1 (interleaved A/B, r17).
+        # Scale-adaptive by construction: AQE picks the partition count
+        # from actual sizes, so big cached relations keep their
+        # parallelism and small ones stop paying per-task overhead.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- shuffle sizing (local; cluster deploys override) ---
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -152,6 +162,34 @@ def release_checkpoints(spark: SparkSession) -> int:
     for rdd in rdds:
         rdd.unpersist()
     return len(rdds)
+
+
+def checkpoint_df(df, eager: bool = True):
+    """Lineage-truncating checkpoint with a cluster-safe escape hatch.
+
+    Default: ``localCheckpoint`` — blocks live on the executors,
+    non-replicated. That is the right local-mode trade (no
+    checkpoint-dir I/O) but on a real cluster an executor loss makes the
+    truncated lineage unrecoverable and FAILS the job mid-iteration.
+    Setting ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` switches every
+    iterative operator routed through this helper (connected components,
+    q301's incremental graph) to reliable ``checkpoint()`` against
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` (or ``<tmp>/kss_checkpoints``), which
+    survives executor loss at the cost of writing the intermediate to
+    storage. Laziness is preserved in both modes: callers that rely on
+    the next action materializing the checkpoint (one Spark job per
+    round, not two) get the same behavior on the reliable path."""
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "") not in ("", "0", "false"):
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR",
+                    os.path.join(tempfile.gettempdir(), "kss_checkpoints"),
+                )
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def stop_spark() -> None:

@@ -61,15 +61,18 @@ def test_q341_unpersists_its_scratch(spark):
     """q341 persists its cents projection for the scripted bisection
     passes and must release it before returning — nothing may leak into
     the session's BlockManager across bench/oracle invocations."""
-    from kinesis_sample_spark.session import release_checkpoints
-
-    release_checkpoints(spark)
+    # snapshot rather than clear: other suite queries (q36/q166) persist
+    # by design and may legitimately be live in the shared session — the
+    # assertion is that q341 adds NOTHING, not that the session is empty
+    # (round-16 ADVICE: the clear-then-assert-empty form was order-fragile)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     df = REGISTRY["q341_scripting_bisection_quantile"].fn(spark, SF)
     assert df.count() == 1
-    leaked = len(spark.sparkContext._jsc.getPersistentRDDs())
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
     # the SQL cache entry is dropped by unpersist(); no raw RDD blocks
     # may remain either
-    assert leaked == 0, f"q341 leaked {leaked} persisted RDDs"
+    assert not leaked, f"q341 leaked persisted RDD ids {sorted(leaked)}"
 
 
 def test_q301_truncates_old_edges_lineage(spark):
