@@ -56,10 +56,6 @@ _REQUIRED_CONFS = {
     # performance, not correctness: a bare session defaults to 200 shuffle
     # partitions — pure overhead at fixture scale; AQE re-coalesces anyway.
     "spark.sql.adaptive.enabled": "true",
-    # performance: let AQE size cached-plan output partitioning too (see
-    # session.py — small persisted aggregates otherwise pin
-    # shuffle.partitions near-empty tasks on every consumer job)
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

@@ -384,6 +384,14 @@ def q341_scripting_bisection_quantile(spark: SparkSession, sf_dir: str) -> DataF
         .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # single partition, justified by the RANGE bound (not a local
+        # tuned constant): the histogram is < 2^26 cells x 16 B <= ~1 GB
+        # at ANY input size, and the 26+ scripted consumer jobs otherwise
+        # each schedule shuffle.partitions near-empty tasks against the
+        # cached copy (measured ~1 s of pure scheduling at sf0.1). The
+        # aggregation itself still runs at full parallelism — the
+        # repartition only collapses the (bounded) aggregated output.
+        .repartition(1)
     )
     hist.persist(StorageLevel.MEMORY_AND_DISK)
     hist.createOrReplaceTempView("q341_cents_hist")

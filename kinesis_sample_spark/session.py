@@ -77,16 +77,17 @@ def get_spark(app_name: str = "kinesis_sample_spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE re-coalesce the OUTPUT partitioning of cached plans
-        # (default false): without it a persisted relation freezes its
-        # builder's shuffle partition count, so every consumer job of a
-        # small cached aggregate schedules shuffle.partitions near-empty
-        # tasks — q341's 26 scripted passes over its cached histogram
-        # paid ~1 s of pure scheduling at sf0.1 (interleaved A/B, r17).
-        # Scale-adaptive by construction: AQE picks the partition count
-        # from actual sizes, so big cached relations keep their
-        # parallelism and small ones stop paying per-task overhead.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # NOTE (r17, measured and REVERTED): do NOT enable
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # session-wide. It lets AQE re-coalesce the BUILD of every cached
+        # plan, which serializes expensive cached compute onto the few
+        # coalesced partitions — interleaved fresh-JVM A/B at sf0.1:
+        # q60's persisted pandas-UDF projection 9.2 s -> 38 s, q157's
+        # cogroup 3.3 s -> 22 s with the conf on. The cached-partitioning
+        # problem it would have solved (a tiny cached aggregate pinning
+        # shuffle.partitions near-empty tasks per consumer job) is fixed
+        # point-wise where the relation is provably small (q341's
+        # range-bounded histogram) instead of globally.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- shuffle sizing (local; cluster deploys override) ---
         .config("spark.sql.shuffle.partitions", str(cpus))
